@@ -1,0 +1,249 @@
+"""Geometry primitives: WKT <-> bbox, envelopes, haversine, vectorized PIP.
+
+Reference semantics preserved:
+- ``ENVELOPE(w, e, n, s)`` string format with exactly that spacing
+  (fgdc.py:115-123, marc.py:99-104 in /root/reference).
+- ``POINT(x, y)`` when a MARC 034 box degenerates to a point (w==e and n==s,
+  marc.py:106-120).
+- union-envelope = (min w, max e, max n, min s) (fgdc.py:110-122).
+- WKT validation -> None-on-invalid, never an exception
+  (validators.py:26-106).
+
+Everything here is either a native Column expression (JVM-side, codegen'd) or
+a numpy kernel meant to run inside Arrow-batched UDFs — no per-row Python.
+shapely is not available in this container; point-in-polygon is a vectorized
+numpy ray-casting kernel (identical semantics for simple polygons; boundary
+points use the even-odd rule). If shapely is importable we use its ufuncs.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+import numpy as np
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+try:  # optional fast path; not present in this container
+    import shapely  # type: ignore
+
+    HAVE_SHAPELY = True
+except Exception:  # pragma: no cover
+    shapely = None
+    HAVE_SHAPELY = False
+
+EARTH_RADIUS_M = 6371008.8  # mean Earth radius (IUGG)
+
+_ENVELOPE_RE = re.compile(
+    r"^ENVELOPE\(\s*(-?\d+(?:\.\d+)?)\s*,\s*(-?\d+(?:\.\d+)?)\s*,"
+    r"\s*(-?\d+(?:\.\d+)?)\s*,\s*(-?\d+(?:\.\d+)?)\s*\)$"
+)
+_POINT_RE = re.compile(
+    r"^POINT\(\s*(-?\d+(?:\.\d+)?)\s+(-?\d+(?:\.\d+)?)\s*\)$"
+)
+
+
+# ---------------------------------------------------------------------------
+# Column-expression builders (pure Catalyst; no Python at runtime)
+# ---------------------------------------------------------------------------
+def envelope_wkt(w: Column, e: Column, n: Column, s: Column) -> Column:
+    """``ENVELOPE(w, e, n, s)`` — exact spacing parity with fgdc.py:115-123."""
+    return F.format_string(
+        "ENVELOPE(%s, %s, %s, %s)",
+        w.cast("string"),
+        e.cast("string"),
+        n.cast("string"),
+        s.cast("string"),
+    )
+
+
+def point_wkt(x: Column, y: Column) -> Column:
+    """``POINT(x, y)`` — parity with marc.py:117-118."""
+    return F.format_string("POINT(%s, %s)", x.cast("string"), y.cast("string"))
+
+
+def parse_envelope(col: Column) -> Column:
+    """ENVELOPE WKT string -> struct<w,e,n,s: double>; null if not an envelope.
+
+    Pure regexp_extract, so Catalyst can pipeline it inside codegen.
+    """
+    num = r"(-?\d+\.?\d*)"
+    pat = (
+        r"^ENVELOPE\(\s*" + num + r"\s*,\s*" + num + r"\s*,\s*"
+        + num + r"\s*,\s*" + num + r"\s*\)$"
+    )
+    w = F.regexp_extract(col, pat, 1)
+    e = F.regexp_extract(col, pat, 2)
+    n = F.regexp_extract(col, pat, 3)
+    s = F.regexp_extract(col, pat, 4)
+    out = F.struct(
+        w.cast("double").alias("w"),
+        e.cast("double").alias("e"),
+        n.cast("double").alias("n"),
+        s.cast("double").alias("s"),
+    )
+    return F.when(w != "", out)
+
+
+def parse_point(col: Column) -> Column:
+    """POINT WKT -> struct<lon,lat: double>; null if not a point."""
+    num = r"(-?\d+\.?\d*)"
+    pat = r"^POINT\(\s*" + num + r"\s+" + num + r"\s*\)$"
+    x = F.regexp_extract(col, pat, 1)
+    y = F.regexp_extract(col, pat, 2)
+    out = F.struct(x.cast("double").alias("lon"), y.cast("double").alias("lat"))
+    return F.when(x != "", out)
+
+
+def geometry_centroid(bbox: Column) -> Column:
+    """Envelope midpoint -> struct<lon,lat> (tile/T6 centroid semantics)."""
+    return F.struct(
+        ((bbox["w"] + bbox["e"]) / F.lit(2.0)).alias("lon"),
+        ((bbox["n"] + bbox["s"]) / F.lit(2.0)).alias("lat"),
+    )
+
+
+def union_envelope_agg(w: Column, e: Column, n: Column, s: Column) -> list[Column]:
+    """Across-rows union envelope: min(w), max(e), max(n), min(s).
+
+    Matches the reference per-record union over multiple <bounding> boxes
+    (fgdc.py:110-122) lifted to a groupBy aggregate. Returns the 4 agg
+    Columns (caller aliases them).
+    """
+    return [F.min(w), F.max(e), F.max(n), F.min(s)]
+
+
+def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column) -> Column:
+    """Great-circle distance in meters as a native Column expression.
+
+    Stays inside whole-stage codegen — used by the kNN join's exact-distance
+    refine so no Python runs in the hot path.
+    """
+    rl1, rl2 = F.radians(lat1), F.radians(lat2)
+    dlat = F.radians(lat2 - lat1) / 2.0
+    dlon = F.radians(lon2 - lon1) / 2.0
+    a = F.sin(dlat) ** 2 + F.cos(rl1) * F.cos(rl2) * F.sin(dlon) ** 2
+    return F.lit(2.0 * EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def validated_envelope_wkt(col: Column) -> Column:
+    """Engine analog of the ValidateGeoshapeWKT decorator
+    (validators.py:26-106): invalid WKT -> NULL, valid passes through.
+
+    Accepts ENVELOPE(w,e,n,s) with w<=e, s<=n, lon/lat in range, and
+    POINT(x,y) in range. Anything else -> NULL (reference logs a warning and
+    returns None rather than raising).
+    """
+    env = parse_envelope(col)
+    pnt = parse_point(col)
+    env_ok = (
+        env.isNotNull()
+        & (env["w"] <= env["e"])
+        & (env["s"] <= env["n"])
+        & (env["w"] >= -180) & (env["e"] <= 180)
+        & (env["s"] >= -90) & (env["n"] <= 90)
+    )
+    pnt_ok = (
+        pnt.isNotNull()
+        & (pnt["lon"] >= -180) & (pnt["lon"] <= 180)
+        & (pnt["lat"] >= -90) & (pnt["lat"] <= 90)
+    )
+    return F.when(env_ok | pnt_ok, col)
+
+
+# ---------------------------------------------------------------------------
+# numpy kernels (for Arrow-batched refine stages)
+# ---------------------------------------------------------------------------
+def parse_envelope_np(values: "np.ndarray") -> np.ndarray:
+    """Vector parse of ENVELOPE strings -> (n,4) float array, NaN rows invalid."""
+    out = np.full((len(values), 4), np.nan)
+    for i, v in enumerate(values):
+        if not v:
+            continue
+        m = _ENVELOPE_RE.match(v)
+        if m:
+            out[i] = [float(m.group(j)) for j in range(1, 5)]
+    return out
+
+
+def parse_polygon_wkt(wkt: str) -> list[np.ndarray]:
+    """POLYGON/MULTIPOLYGON WKT -> list of (n,2) exterior-ring arrays.
+
+    Holes are ignored (synthetic polygons here have none); MULTIPOLYGON
+    returns one array per part. Used driver-side (tiny polygon dim) and in
+    the PIP refine UDF.
+    """
+    rings: list[np.ndarray] = []
+    for ring_txt in re.findall(r"\(\(([^()]+)\)", wkt):
+        pts = []
+        for pair in ring_txt.split(","):
+            xs = pair.split()
+            pts.append((float(xs[0]), float(xs[1])))
+        rings.append(np.asarray(pts))
+    if not rings and wkt.strip().upper().startswith("POLYGON"):
+        inner = re.search(r"\(\s*\(?([^()]+)\)?\s*\)", wkt)
+        if inner:
+            pts = [
+                (float(p.split()[0]), float(p.split()[1]))
+                for p in inner.group(1).split(",")
+            ]
+            rings.append(np.asarray(pts))
+    return rings
+
+
+def points_in_ring(lons: np.ndarray, lats: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd ray casting: bool mask of points inside `ring`.
+
+    O(n_points * n_vertices) fully in numpy; this is the exact-refine kernel
+    after the cell-prefilter equi-join (SURVEY.md J3) — the candidate set per
+    batch is small, so the kernel is cache-friendly.
+    """
+    x, y = np.asarray(lons, dtype=np.float64), np.asarray(lats, dtype=np.float64)
+    inside = np.zeros(len(x), dtype=bool)
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        crosses = (y1 > y) != (y2 > y)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+        inside ^= crosses & (x < xint)
+    return inside
+
+
+def points_in_polygon(
+    lons: np.ndarray, lats: np.ndarray, rings: list[np.ndarray]
+) -> np.ndarray:
+    """Point-in-(multi)polygon using the exterior rings (even-odd union)."""
+    if HAVE_SHAPELY:  # pragma: no cover - not in this container
+        from shapely.geometry import MultiPolygon, Polygon
+
+        geom = MultiPolygon([Polygon(r) for r in rings]) if len(rings) > 1 else Polygon(rings[0])
+        return shapely.contains_xy(geom, lons, lats)
+    mask = np.zeros(len(lons), dtype=bool)
+    for ring in rings:
+        mask |= points_in_ring(lons, lats, ring)
+    return mask
+
+
+def haversine_np(
+    lon1: np.ndarray, lat1: np.ndarray, lon2: np.ndarray, lat2: np.ndarray
+) -> np.ndarray:
+    """numpy haversine (meters) — oracle/test twin of haversine_m."""
+    lon1, lat1, lon2, lat2 = (np.radians(np.asarray(a, dtype=np.float64)) for a in (lon1, lat1, lon2, lat2))
+    a = (
+        np.sin((lat2 - lat1) / 2.0) ** 2
+        + np.cos(lat1) * np.cos(lat2) * np.sin((lon2 - lon1) / 2.0) ** 2
+    )
+    return 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(a))
+
+
+def haversine_scalar(lon1: float, lat1: float, lon2: float, lat2: float) -> float:
+    """Pure-python haversine for tiny oracle loops in tests."""
+    rl1, rl2 = math.radians(lat1), math.radians(lat2)
+    a = (
+        math.sin(math.radians(lat2 - lat1) / 2.0) ** 2
+        + math.cos(rl1) * math.cos(rl2) * math.sin(math.radians(lon2 - lon1) / 2.0) ** 2
+    )
+    return 2.0 * EARTH_RADIUS_M * math.asin(math.sqrt(a))

@@ -1,0 +1,329 @@
+"""Cell indexing: hierarchical grid cells (H3-role) + genuine S2 cell ids.
+
+North-rule requirement (BASELINE.json): assign H3 (res 5-9) and S2 cell
+indexes per record with a broadcast-free, salt-partitioned shuffle for
+hot-cell skew.
+
+H3 note: the `h3` wheel is NOT installed in this container. If it is
+importable at runtime we use it (``cell_h3_udf``); otherwise the engine's
+hexagon-role index is ``ghcell`` — a deterministic hierarchical aperture-4
+lat/lon grid with the same API surface (point->cell, parent, k-ring,
+resolution 0..15). ghcell is intentionally expressible as pure integer
+arithmetic so (a) it runs entirely JVM-side inside whole-stage codegen (no
+Python in the hot path at 100 TB) and (b) the DuckDB oracle can recompute it
+in ANSI SQL for the driver's correctness gate.
+
+S2: a faithful pure-numpy implementation of the public S2 cell-id scheme
+(quadratic ST projection + Hilbert curve position, level 30 leaf ids), per
+the open-source s2geometry algorithm description. Used for tile ids and
+verified by geometric invariants in tests.
+
+ghcell layout (res r in 0..15):
+    nx = 8 * 2^r  columns over lon [-180, 180)
+    ny = 4 * 2^r  rows    over lat [-90, 90]
+    cell = r * 2^50 + x * 2^25 + y        (fits int64; x < 2^22, y < 2^21)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+try:  # optional real-H3 fast path (not present in this container)
+    import h3 as _h3  # type: ignore
+
+    HAVE_H3 = True
+except Exception:  # pragma: no cover
+    _h3 = None
+    HAVE_H3 = False
+
+GHCELL_RES_BITS = 2**50
+GHCELL_X_BITS = 2**25
+
+
+# ---------------------------------------------------------------------------
+# ghcell — Column-expression implementation (JVM-side, oracle-expressible)
+# ---------------------------------------------------------------------------
+def ghcell_nx(res: int) -> int:
+    return 8 << res
+
+
+def ghcell_ny(res: int) -> int:
+    return 4 << res
+
+
+def ghcell(lon: Column, lat: Column, res: int) -> Column:
+    """Point -> ghcell id at resolution `res` as a BIGINT Column.
+
+    Pure integer arithmetic; identical SQL runs on DuckDB (see
+    __spark_entry__.oracle_sql). Longitude wraps into [-180,180); latitude
+    clamps so lat=90 lands in the top row.
+    """
+    nx, ny = ghcell_nx(res), ghcell_ny(res)
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(nx)))
+    y = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(ny)))
+    x = F.least(F.greatest(x, F.lit(0)), F.lit(nx - 1))
+    y = F.least(F.greatest(y, F.lit(0)), F.lit(ny - 1))
+    return (
+        F.lit(res).cast("long") * F.lit(GHCELL_RES_BITS)
+        + x.cast("long") * F.lit(GHCELL_X_BITS)
+        + y.cast("long")
+    ).cast("long")
+
+
+def ghcell_sql(lon_expr: str, lat_expr: str, res: int) -> str:
+    """The same ghcell computation as an ANSI-SQL text fragment (DuckDB oracle)."""
+    nx, ny = ghcell_nx(res), ghcell_ny(res)
+    x = (
+        f"least(greatest(cast(floor((({lon_expr}) + 180.0) / 360.0 * {nx}.0) "
+        f"as bigint), 0), {nx - 1})"
+    )
+    y = (
+        f"least(greatest(cast(floor((({lat_expr}) + 90.0) / 180.0 * {ny}.0) "
+        f"as bigint), 0), {ny - 1})"
+    )
+    return f"(cast({res} as bigint) * {GHCELL_RES_BITS} + {x} * {GHCELL_X_BITS} + {y})"
+
+
+def ghcell_decode(cell: Column) -> Column:
+    """cell id -> struct<res:int, x:long, y:long> (for parent/kring in SQL)."""
+    res = (cell / F.lit(GHCELL_RES_BITS)).cast("int")
+    rem = cell % F.lit(GHCELL_RES_BITS)
+    return F.struct(
+        res.alias("res"),
+        (rem / F.lit(GHCELL_X_BITS)).cast("long").alias("x"),
+        (rem % F.lit(GHCELL_X_BITS)).cast("long").alias("y"),
+    )
+
+
+def ghcell_parent(cell: Column, parent_res: int, child_res: int) -> Column:
+    """Parent cell at coarser resolution (aperture-4: x>>k, y>>k)."""
+    k = child_res - parent_res
+    d = ghcell_decode(cell)
+    return (
+        F.lit(parent_res).cast("long") * F.lit(GHCELL_RES_BITS)
+        + F.floor(d["x"] / F.lit(2**k)).cast("long") * F.lit(GHCELL_X_BITS)
+        + F.floor(d["y"] / F.lit(2**k)).cast("long")
+    )
+
+
+def ghcell_np(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+    """numpy twin of ghcell() for oracles/tests."""
+    nx, ny = ghcell_nx(res), ghcell_ny(res)
+    x = np.clip(np.floor((np.asarray(lon) + 180.0) / 360.0 * nx).astype(np.int64), 0, nx - 1)
+    y = np.clip(np.floor((np.asarray(lat) + 90.0) / 180.0 * ny).astype(np.int64), 0, ny - 1)
+    return res * GHCELL_RES_BITS + x * GHCELL_X_BITS + y
+
+
+def ghcell_kring_np(cell: int, k: int) -> list[int]:
+    """All cells within Chebyshev distance k (x wraps around the antimeridian,
+    y clamps at the poles). Driver-side helper for kNN ring expansion — the
+    ring set per query is tiny and is shipped as an exploded candidate table.
+    """
+    res = int(cell // GHCELL_RES_BITS)
+    rem = int(cell % GHCELL_RES_BITS)
+    x, y = rem // GHCELL_X_BITS, rem % GHCELL_X_BITS
+    nx, ny = ghcell_nx(res), ghcell_ny(res)
+    out = set()
+    for dx in range(-k, k + 1):
+        for dy in range(-k, k + 1):
+            yy = y + dy
+            if yy < 0 or yy >= ny:
+                continue
+            xx = (x + dx) % nx
+            out.add(res * GHCELL_RES_BITS + xx * GHCELL_X_BITS + yy)
+    return sorted(out)
+
+
+def ghcell_center_np(cells: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Cell id -> (lon, lat) center."""
+    cells = np.asarray(cells, dtype=np.int64)
+    res = cells // GHCELL_RES_BITS
+    rem = cells % GHCELL_RES_BITS
+    x, y = rem // GHCELL_X_BITS, rem % GHCELL_X_BITS
+    nx = (8 << res).astype(np.float64)
+    ny = (4 << res).astype(np.float64)
+    lon = (x + 0.5) / nx * 360.0 - 180.0
+    lat = (y + 0.5) / ny * 180.0 - 90.0
+    return lon, lat
+
+
+# ---------------------------------------------------------------------------
+# S2 cell ids — pure numpy, public algorithm (quadratic projection + Hilbert)
+# ---------------------------------------------------------------------------
+_S2_LOOKUP_BITS = 4
+_S2_SWAP = 1
+_S2_INVERT = 2
+_S2_MAX_LEVEL = 30
+_S2_POS_TO_IJ = np.array(
+    [[0, 1, 3, 2], [0, 2, 3, 1], [3, 2, 0, 1], [3, 1, 0, 2]], dtype=np.int64
+)
+_S2_POS_TO_ORIENT = np.array([_S2_SWAP, 0, 0, _S2_INVERT | _S2_SWAP], dtype=np.int64)
+_S2_LOOKUP_POS = np.zeros(1 << (2 * _S2_LOOKUP_BITS + 2), dtype=np.int64)
+
+
+def _s2_init_lookup(level: int, i: int, j: int, orig: int, pos: int, orient: int) -> None:
+    if level == _S2_LOOKUP_BITS:
+        ij = (i << _S2_LOOKUP_BITS) + j
+        _S2_LOOKUP_POS[(ij << 2) + orig] = (pos << 2) + orient
+        return
+    level += 1
+    i <<= 1
+    j <<= 1
+    pos <<= 2
+    r = _S2_POS_TO_IJ[orient]
+    for idx in range(4):
+        _s2_init_lookup(
+            level,
+            i + (int(r[idx]) >> 1),
+            j + (int(r[idx]) & 1),
+            orig,
+            pos + idx,
+            orient ^ int(_S2_POS_TO_ORIENT[idx]),
+        )
+
+
+for _o in range(4):
+    _s2_init_lookup(0, 0, 0, _o, 0, _o)
+
+
+def s2_cell_np(lon: np.ndarray, lat: np.ndarray, level: int = 30) -> np.ndarray:
+    """(lon, lat) degrees -> S2 cell id at `level` as uint64-in-int64.
+
+    Vectorized end-to-end: xyz -> face/uv -> st (quadratic projection) ->
+    ij -> Hilbert position via the 4-bit lookup table, then parent-truncate
+    to `level`.
+    """
+    lon_r = np.radians(np.asarray(lon, dtype=np.float64))
+    lat_r = np.radians(np.asarray(lat, dtype=np.float64))
+    x = np.cos(lat_r) * np.cos(lon_r)
+    y = np.cos(lat_r) * np.sin(lon_r)
+    z = np.sin(lat_r)
+
+    ax, ay, az = np.abs(x), np.abs(y), np.abs(z)
+    face = np.where(ax >= ay, np.where(ax >= az, 0, 2), np.where(ay >= az, 1, 2))
+    comp = np.choose(face, [x, y, z])
+    face = np.where(comp < 0, face + 3, face).astype(np.int64)
+
+    u = np.empty_like(x)
+    v = np.empty_like(x)
+    m = face == 0
+    u[m], v[m] = y[m] / x[m], z[m] / x[m]
+    m = face == 1
+    u[m], v[m] = -x[m] / y[m], z[m] / y[m]
+    m = face == 2
+    u[m], v[m] = -x[m] / z[m], -y[m] / z[m]
+    m = face == 3
+    u[m], v[m] = z[m] / x[m], y[m] / x[m]
+    m = face == 4
+    u[m], v[m] = z[m] / y[m], -x[m] / y[m]
+    m = face == 5
+    u[m], v[m] = -y[m] / z[m], -x[m] / z[m]
+
+    def _st(a: np.ndarray) -> np.ndarray:  # quadratic projection
+        with np.errstate(invalid="ignore"):
+            return np.where(
+                a >= 0,
+                0.5 * np.sqrt(np.abs(1.0 + 3.0 * a)),
+                1.0 - 0.5 * np.sqrt(np.abs(1.0 - 3.0 * a)),
+            )
+
+    smax = (1 << _S2_MAX_LEVEL) - 1
+    i = np.clip((_st(u) * (1 << _S2_MAX_LEVEL)).astype(np.int64), 0, smax)
+    j = np.clip((_st(v) * (1 << _S2_MAX_LEVEL)).astype(np.int64), 0, smax)
+
+    n = face.astype(np.uint64) << np.uint64(60)
+    bits = (face & _S2_SWAP).astype(np.int64)
+    mask = (1 << _S2_LOOKUP_BITS) - 1
+    for k in range(7, -1, -1):
+        bits += ((i >> (k * _S2_LOOKUP_BITS)) & mask) << (_S2_LOOKUP_BITS + 2)
+        bits += ((j >> (k * _S2_LOOKUP_BITS)) & mask) << 2
+        bits = _S2_LOOKUP_POS[bits]
+        n |= (bits >> np.int64(2)).astype(np.uint64) << np.uint64(k * 2 * _S2_LOOKUP_BITS)
+        bits &= _S2_SWAP | _S2_INVERT
+    leaf = n * np.uint64(2) + np.uint64(1)
+    if level >= _S2_MAX_LEVEL:
+        return leaf.view(np.int64)
+    lsb = np.uint64(1) << np.uint64(2 * (_S2_MAX_LEVEL - level))
+    parent = (leaf & (~(lsb - np.uint64(1)))) | lsb
+    return parent.view(np.int64)
+
+
+def s2_level_np(cells: np.ndarray) -> np.ndarray:
+    """Level of each S2 cell id (from the position of the lowest set bit)."""
+    c = np.asarray(cells).view(np.uint64)
+    lsb = c & (~c + np.uint64(1))
+    lvl = _S2_MAX_LEVEL - (np.log2(lsb.astype(np.float64)) / 2.0)
+    return np.round(lvl).astype(np.int64)
+
+
+def s2_cell_udf(lon: Column, lat: Column, level: int = 12) -> Column:
+    """Arrow-batched pandas UDF wrapping s2_cell_np (binary->long column)."""
+
+    @F.pandas_udf("long")
+    def _s2(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+        return pd.Series(s2_cell_np(lon_s.to_numpy(), lat_s.to_numpy(), level))
+
+    return _s2(lon, lat)
+
+
+def cell_h3_udf(lon: Column, lat: Column, res: int) -> Column:  # pragma: no cover
+    """Real-H3 assignment when the h3 wheel is available (import-gated)."""
+    if not HAVE_H3:
+        raise ImportError("h3 package not installed; use ghcell() instead")
+
+    @F.pandas_udf("string")
+    def _h3c(lon_s: pd.Series, lat_s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_h3.latlng_to_cell(la, lo, res) for lo, la in zip(lon_s, lat_s)]
+        )
+
+    return _h3c(lon, lat)
+
+
+# ---------------------------------------------------------------------------
+# Hot-cell salting (north rule: broadcast-free, salt-partitioned shuffle)
+# ---------------------------------------------------------------------------
+def salt_factors(
+    df: DataFrame, cell_col: str = "cell", rows_per_task: int = 100_000
+) -> DataFrame:
+    """Census pass: per-cell row counts -> salt factor k = ceil(count/target).
+
+    Deterministic (no RNG): the probe side later computes
+    ``salt = pmod(xxhash64(row_key), k_cell)`` so a resumed/retried partition
+    produces identical assignments (SURVEY.md §7 hard-part #3).
+    Returns DataFrame(cell, salt_k).
+    """
+    return df.groupBy(cell_col).agg(
+        F.ceil(F.count(F.lit(1)) / F.lit(rows_per_task)).cast("int").alias("salt_k")
+    )
+
+
+def with_salt(
+    df: DataFrame,
+    factors: DataFrame,
+    cell_col: str = "cell",
+    key_col: str = "url",
+) -> DataFrame:
+    """Probe side: attach deterministic salt in [0, salt_k) per row."""
+    return (
+        df.join(factors, cell_col, "left")
+        .withColumn("salt_k", F.coalesce(F.col("salt_k"), F.lit(1)))
+        .withColumn("salt", F.pmod(F.xxhash64(F.col(key_col)), F.col("salt_k")).cast("int"))
+    )
+
+
+def explode_salts(
+    df: DataFrame, factors: DataFrame, cell_col: str = "cell"
+) -> DataFrame:
+    """Build side: replicate each row salt_k times with salt = 0..salt_k-1 so
+    the (cell, salt) equi-join co-partitions without broadcasting."""
+    return (
+        df.join(factors, cell_col, "left")
+        .withColumn("salt_k", F.coalesce(F.col("salt_k"), F.lit(1)))
+        .withColumn("salt", F.explode(F.sequence(F.lit(0), F.col("salt_k") - 1)))
+        .withColumn("salt", F.col("salt").cast("int"))
+        .drop("salt_k")
+    )

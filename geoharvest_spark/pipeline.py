@@ -1,0 +1,144 @@
+"""End-to-end harvest pipeline: pages -> extract -> normalize -> index -> tiles.
+
+The reference's generator chain (harvester/harvest/__init__.py:40-69):
+    get_source_records -> filter_failed -> normalize -> filter_failed ->
+    write_combined -> filter_failed -> harvester_specific -> filter_failed
+becomes a DataFrame lineage where "filter_failed" is a split on the error
+column (errors are data, never task failures).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import extract as ex
+from . import index as ix
+from .geo import geometry_centroid, parse_envelope, validated_envelope_wkt
+
+# quick per-format envelope sniffers used by the flagship slice; the full
+# per-field normalizers live in geoharvest_spark.normalize
+_ENV_RE = re.compile(rb"ENVELOPE\((-?[\d.]+),\s*(-?[\d.]+),\s*(-?[\d.]+),\s*(-?[\d.]+)\)")
+_FGDC_RE = re.compile(
+    rb"<westbc>(-?[\d.]+)</westbc><eastbc>(-?[\d.]+)</eastbc>"
+    rb"<northbc>(-?[\d.]+)</northbc><southbc>(-?[\d.]+)</southbc>"
+)
+_ISO_RE = re.compile(
+    rb"<gmd:westBoundLongitude><gco:Decimal>(-?[\d.]+)</gco:Decimal></gmd:westBoundLongitude>"
+    rb"<gmd:eastBoundLongitude><gco:Decimal>(-?[\d.]+)</gco:Decimal></gmd:eastBoundLongitude>"
+    rb"<gmd:southBoundLatitude><gco:Decimal>(-?[\d.]+)</gco:Decimal></gmd:southBoundLatitude>"
+    rb"<gmd:northBoundLatitude><gco:Decimal>(-?[\d.]+)</gco:Decimal></gmd:northBoundLatitude>"
+)
+_MARC034_RE = re.compile(
+    rb'<subfield code="d">([NSEW+-]?[\d.]+)</subfield>'
+    rb'<subfield code="e">([NSEW+-]?[\d.]+)</subfield>'
+    rb'<subfield code="f">([NSEW+-]?[\d.]+)</subfield>'
+    rb'<subfield code="g">([NSEW+-]?[\d.]+)</subfield>'
+)
+
+
+def _marc_to_deg(tok: bytes) -> float:
+    t = tok.decode()
+    sign = -1.0 if t[0] in "WS-" else 1.0
+    body = t[1:] if t[0] in "NSEW+-" else t
+    d = float(body[0:3])
+    m = float(body[3:5]) if len(body) >= 5 else 0.0
+    s = float(body[5:7]) if len(body) >= 7 else 0.0
+    return sign * (d + m / 60.0 + s / 3600.0)
+
+
+def _sniff_bbox(fmt: str | None, payload: bytes | None) -> str | None:
+    """Fast bbox sniff per format -> ENVELOPE WKT (flagship slice only)."""
+    if not payload:
+        return None
+    if fmt in ("gbl1", "aardvark"):
+        m = _ENV_RE.search(payload)
+        if m:
+            return (
+                f"ENVELOPE({m.group(1).decode()}, {m.group(2).decode()}, "
+                f"{m.group(3).decode()}, {m.group(4).decode()})"
+            )
+        return None
+    if fmt == "fgdc":
+        boxes = _FGDC_RE.findall(payload)
+        if not boxes:
+            return None
+        ws = [b[0].decode() for b in boxes]
+        es = [b[1].decode() for b in boxes]
+        ns = [b[2].decode() for b in boxes]
+        ss = [b[3].decode() for b in boxes]
+        # reference compares STRINGS here (fgdc.py:115-122) — preserved
+        return f"ENVELOPE({min(ws)}, {max(es)}, {max(ns)}, {min(ss)})"
+    if fmt == "iso19139":
+        m = _ISO_RE.search(payload)
+        if m:
+            return (
+                f"ENVELOPE({m.group(1).decode()}, {m.group(2).decode()}, "
+                f"{m.group(4).decode()}, {m.group(3).decode()})"
+            )
+        return None
+    if fmt == "marc":
+        boxes = _MARC034_RE.findall(payload)
+        if not boxes:
+            return None
+        w = min(_marc_to_deg(b[0]) for b in boxes)
+        e = max(_marc_to_deg(b[1]) for b in boxes)
+        n = max(_marc_to_deg(b[2]) for b in boxes)
+        s = min(_marc_to_deg(b[3]) for b in boxes)
+        return f"ENVELOPE({w}, {e}, {n}, {s})"
+    return None
+
+
+def with_bbox_sniff(df: DataFrame) -> DataFrame:
+    """Add dcat_bbox (ENVELOPE WKT) sniffed from the metadata payload."""
+    cols = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+    schema = ", ".join(cols + ["dcat_bbox string"])
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["dcat_bbox"] = [
+                _sniff_bbox(f, p) for f, p in zip(pdf["metadata_format"], pdf["metadata"])
+            ]
+            yield pdf
+
+    return df.mapInPandas(_map, schema)
+
+
+def pages_to_cells(
+    pages: DataFrame, res: int = 7, s2_level: int = 12
+) -> DataFrame:
+    """Flagship slice: pages -> metadata -> bbox -> centroid -> cell indexes.
+
+    Narrow end to end (no shuffle until the caller aggregates): one
+    mapInPandas pass for extraction, then pure Column expressions.
+    """
+    df = ex.with_metadata(pages.select("url", "warc_ts", "html", "lang"))
+    df = with_bbox_sniff(df.drop("html"))
+    # ValidateGeoshapeWKT semantics (validators.py:26-106): invalid -> NULL
+    df = df.withColumn("dcat_bbox", validated_envelope_wkt(F.col("dcat_bbox")))
+    df = df.withColumn("bbox", parse_envelope(F.col("dcat_bbox")))
+    df = df.where(F.col("bbox").isNotNull())
+    df = df.withColumn("centroid", geometry_centroid(F.col("bbox")))
+    df = df.withColumn(
+        "cell", ix.ghcell(F.col("centroid.lon"), F.col("centroid.lat"), res)
+    )
+    df = df.withColumn(
+        "s2_cell", ix.s2_cell_udf(F.col("centroid.lon"), F.col("centroid.lat"), s2_level)
+    )
+    return df
+
+
+def cell_counts(pages: DataFrame, res: int = 7) -> DataFrame:
+    """Flagship aggregate: records per ghcell at `res` (hash agg, map-side
+    partial combine — one shuffle)."""
+    return (
+        pages_to_cells(pages, res)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .orderBy(F.col("n_records").desc(), F.col("cell"))
+    )

@@ -1,0 +1,58 @@
+"""SparkSession factory.
+
+Local-mode defaults chosen for the sandbox (single JVM, 32 threads) but every
+knob is the one that matters at cluster scale too:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing);
+- shuffle partitions ~= cores locally; at 1000-executor scale the same code
+  runs with ``spark.sql.shuffle.partitions`` sized to 2-3x total cores by the
+  submitter (jobs/ entrypoints take it as a parameter);
+- Arrow enabled everywhere: all Python-side work in this engine is
+  Arrow-batched (pandas_udf / mapInPandas) — never per-row Python;
+- session timezone pinned UTC so results compare bit-for-bit against the
+  DuckDB oracle (DuckDB timestamps are UTC-naive).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "geoharvest_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` may be an int (local[N]) or "*" — defaults to
+    $SPARK_GRAFT_CPUS or all cores. On a real cluster the master URL comes
+    from spark-submit and this builder's master() is ignored.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    n_shuffle = shuffle_partitions or (
+        int(cores) if str(cores).isdigit() else (os.cpu_count() or 8)
+    )
+    builder = (
+        SparkSession.builder.master(f"local[{cores}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(n_shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

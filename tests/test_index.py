@@ -1,0 +1,108 @@
+"""Cell-index invariants: ghcell grid + pure-numpy S2."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geoharvest_spark import index as ix
+
+
+def _rand_lonlat(n=2000, seed=1):
+    r = np.random.RandomState(seed)
+    return r.uniform(-180, 180, n), r.uniform(-90, 90, n)
+
+
+def test_ghcell_roundtrip_center():
+    lon, lat = _rand_lonlat()
+    for res in (5, 7, 9):
+        c = ix.ghcell_np(lon, lat, res)
+        clon, clat = ix.ghcell_center_np(c)
+        assert np.all(ix.ghcell_np(clon, clat, res) == c)
+
+
+def test_ghcell_parent_containment():
+    lon, lat = _rand_lonlat(seed=2)
+    c9 = ix.ghcell_np(lon, lat, 9)
+    c5 = ix.ghcell_np(lon, lat, 5)
+    # decode child, shift by 4 -> parent coords
+    rem = c9 % ix.GHCELL_RES_BITS
+    x9, y9 = rem // ix.GHCELL_X_BITS, rem % ix.GHCELL_X_BITS
+    expected = 5 * ix.GHCELL_RES_BITS + (x9 >> 4) * ix.GHCELL_X_BITS + (y9 >> 4)
+    assert np.all(expected == c5)
+
+
+def test_ghcell_spark_matches_numpy(spark):
+    lon, lat = _rand_lonlat(500, seed=3)
+    pdf = list(zip(lon.tolist(), lat.tolist()))
+    df = spark.createDataFrame(pdf, "lon double, lat double")
+    got = (
+        df.withColumn("cell", ix.ghcell(F.col("lon"), F.col("lat"), 7))
+        .select("cell")
+        .toPandas()["cell"]
+        .to_numpy()
+    )
+    assert np.array_equal(np.sort(got), np.sort(ix.ghcell_np(lon, lat, 7)))
+
+
+def test_ghcell_sql_fragment_matches(spark):
+    """The DuckDB-oracle SQL fragment computes the identical cell ids."""
+    import duckdb
+
+    lon, lat = _rand_lonlat(500, seed=4)
+    expected = ix.ghcell_np(lon, lat, 7)
+    con = duckdb.connect()
+    con.execute("CREATE TABLE pts(lon DOUBLE, lat DOUBLE)")
+    con.executemany("INSERT INTO pts VALUES (?, ?)", list(zip(lon, lat)))
+    frag = ix.ghcell_sql("lon", "lat", 7)
+    got = np.array([r[0] for r in con.execute(f"SELECT {frag} FROM pts").fetchall()])
+    assert np.array_equal(got, expected)
+
+
+def test_ghcell_kring_wraps_and_clamps():
+    # cell at x=0 wraps to x=nx-1; pole row clamps
+    res = 5
+    c = ix.ghcell_np(np.array([-179.99]), np.array([89.99]), res)[0]
+    ring = ix.ghcell_kring_np(int(c), 1)
+    assert int(c) in ring
+    assert len(ring) == 6  # top row: 3 wide x 2 tall (clamped above)
+
+
+def test_s2_level_and_parenthood():
+    lon, lat = _rand_lonlat(seed=5)
+    leaf = ix.s2_cell_np(lon, lat, 30)
+    assert np.all(ix.s2_level_np(leaf) == 30)
+    for lvl in (8, 12, 16):
+        c = ix.s2_cell_np(lon, lat, lvl)
+        assert np.all(ix.s2_level_np(c) == lvl)
+        u, ul = c.view(np.uint64), leaf.view(np.uint64)
+        lsb = u & (~u + np.uint64(1))
+        assert np.all((ul >= u - lsb + np.uint64(1)) & (ul <= u + lsb - np.uint64(1)))
+
+
+def test_s2_known_region_prefixes():
+    """Boston-area S2 leaf ids start 0x89e3 (public S2 geography)."""
+    c = ix.s2_cell_np(np.array([-71.06]), np.array([42.36]), 30)
+    assert hex(int(c[0]) & (2**64 - 1)).startswith("0x89e")
+
+
+def test_s2_neighbour_distinctness():
+    """Nearby but distinct points get distinct leaves; same point same leaf."""
+    lon = np.array([10.0, 10.0, 10.0001])
+    lat = np.array([50.0, 50.0, 50.0])
+    c = ix.s2_cell_np(lon, lat, 30)
+    assert c[0] == c[1] != c[2]
+
+
+def test_salting_deterministic(spark):
+    from geoharvest_spark.synth import web_pages_df
+    from geoharvest_spark.pipeline import pages_to_cells
+
+    df = pages_to_cells(web_pages_df(spark, 200), res=5).select("url", "cell")
+    factors = ix.salt_factors(df, rows_per_task=10)
+    salted1 = ix.with_salt(df, factors).select("url", "salt").toPandas()
+    salted2 = ix.with_salt(df, factors).select("url", "salt").toPandas()
+    m = salted1.merge(salted2, on="url")
+    assert (m.salt_x == m.salt_y).all()
+    ex = ix.explode_salts(df.groupBy("cell").count(), factors)
+    assert ex.count() >= df.select("cell").distinct().count()
