@@ -109,6 +109,28 @@ def with_bbox_sniff(df: DataFrame) -> DataFrame:
     return df.mapInPandas(_map, schema)
 
 
+def harvest_pages(pages: DataFrame, md_modified: str | None = None) -> DataFrame:
+    """Full-parity harvest: pages -> metadata -> identifiers -> normalize.
+
+    Returns NORMALIZED_SCHEMA rows (aardvark struct + error side-channel).
+    The reference's whole generator chain (source -> filter_failed ->
+    normalize -> filter_failed, harvest/__init__.py:53-67) is this lineage;
+    split with normalize.split_failed.
+    """
+    from .normalize import DEFAULT_MD_MODIFIED, normalize_pages
+
+    df = ex.with_metadata(pages.select("url", "html"))
+    df = df.select(
+        "url",
+        ex.identifier_from_url(F.col("url")).alias("identifier"),
+        ex.origin_from_url(F.col("url")).alias("origin"),
+        "metadata_format",
+        "event",
+        "metadata",
+    )
+    return normalize_pages(df, md_modified or DEFAULT_MD_MODIFIED)
+
+
 def pages_to_cells(
     pages: DataFrame, res: int = 7, s2_level: int = 12
 ) -> DataFrame:

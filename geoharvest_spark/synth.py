@@ -77,10 +77,11 @@ def _fgdc_xml(i: int, edge: str) -> bytes:
     w, e, n, s = _coords(i)
     year = 1990 + i % 35
     title = "" if edge == "missing_title" else f"<title>{_title(i)}</title>"
+    wb: object = w
     if edge == "invalid_bbox":
-        w, e = e, w  # w > e -> validator must null the WKT
+        wb = f"W{abs(w):03.0f}"  # non-numeric -> WKT validator nulls the bbox
     bounding = (
-        f"<bounding><westbc>{w}</westbc><eastbc>{e}</eastbc>"
+        f"<bounding><westbc>{wb}</westbc><eastbc>{e}</eastbc>"
         f"<northbc>{n}</northbc><southbc>{s}</southbc></bounding>"
     )
     if edge == "multi_bbox":
@@ -308,7 +309,7 @@ def _marc_xml(i: int, edge: str) -> bytes:
         )
     return (
         '<record xmlns="http://www.loc.gov/MARC21/slim">'
-        f"<leader>01234n{leader_5}m a2200000 a 4500</leader>"
+        f"<leader>01234{leader_5}em a2200000 a 4500</leader>"
         f'<controlfield tag="001">99{100000 + i}</controlfield>'
         f'<controlfield tag="007">aj canzn</controlfield>'
         f'<controlfield tag="008">120523s{year}    mau           000 0 eng d</controlfield>'

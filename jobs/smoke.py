@@ -33,6 +33,22 @@ def main() -> None:
     for name, fn in entrymod.queries().items():
         print("QUERY", name, "rows=", fn(spark, sf_dir).count())
 
+    # full-parity normalize path (pages -> aardvark + error side-channel)
+    from geoharvest_spark.normalize import split_failed
+    from geoharvest_spark.pipeline import harvest_pages
+    from geoharvest_spark.synth import web_pages_df
+
+    norm = harvest_pages(web_pages_df(spark, 120)).cache()
+    ok, failed = split_failed(norm)
+    print("NORMALIZE ok=", ok.count(), "failed=", failed.count())
+    sample = ok.select(
+        "aardvark.id", "aardvark.dct_title_s", "aardvark.dcat_bbox"
+    ).head(2)
+    for r in sample:
+        print("NORMALIZE_ROW", r.asDict())
+    for r in failed.groupBy("error.stage").count().collect():
+        print("NORMALIZE_ERRSTAGE", r.asDict())
+
     # probe 1: empty input -> empty result, no crash (F10 early-exit analog)
     empty = spark.createDataFrame([], schema=PAGES_SCHEMA)
     print("PROBE_EMPTY rows=", cell_counts(empty, res=5).count())
