@@ -1,0 +1,345 @@
+"""Spatial joins: point-in-polygon (J3) and kNN (J4).
+
+North-rule plan (BASELINE.json): cell-prefilter equi-join + exact refine,
+broadcast-free, salt-partitioned against hot-cell skew.
+
+PIP join
+--------
+1. build side: polygons explode to the grid cells covering their bbox at a
+   fixed resolution (cover is a superset of the polygon, so no false
+   negatives);
+2. census pass over point cells -> deterministic salt factors
+   (ceil(count/target)); build side replicates per salt, probe side salts by
+   xxhash64(key) % k — deterministic under retry/resume;
+3. equi-join on (cell, salt) — Catalyst picks sort-merge/shuffled-hash;
+   auto-broadcast is disabled for this join (north rule: broadcast-free);
+4. exact refine: cheap bbox predicate (JVM codegen) then vectorized numpy
+   ray-casting inside an Arrow batch, with a per-partition parsed-polygon
+   cache so each WKT parses once per partition, not once per row.
+
+kNN join
+--------
+k-ring expansion around the query's cell at a density-matched resolution ->
+equi-join on cell -> exact haversine (JVM expression, no Python) ->
+ranking window row_number() <= k (distance-sorted pruning). Queries that a
+ring leaves underfilled (sparse oceans) fall back to a brute-force pass —
+correct for all inputs, and at scale the fallback set is tiny.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from . import index as ix
+from .geo import haversine_m, parse_polygon_wkt, points_in_polygon
+
+
+# ---------------------------------------------------------------------------
+# polygon cell cover
+# ---------------------------------------------------------------------------
+def polygon_cover_cells(polygons: DataFrame, res: int) -> DataFrame:
+    """(poly_id, wkt, bbox) -> exploded (cell, poly_id, wkt).
+
+    Cover = all grid cells intersecting the polygon's bbox (superset of the
+    true polygon cover; refine removes false positives). Pure Column
+    arithmetic — the per-row cell list is built with sequence() so the whole
+    thing stays JVM-side.
+    """
+    nx, ny = ix.ghcell_nx(res), ix.ghcell_ny(res)
+    x0 = F.least(
+        F.greatest(
+            F.floor((F.col("bbox.w") + 180.0) / 360.0 * nx), F.lit(0)
+        ),
+        F.lit(nx - 1),
+    )
+    x1 = F.least(
+        F.greatest(
+            F.floor((F.col("bbox.e") + 180.0) / 360.0 * nx), F.lit(0)
+        ),
+        F.lit(nx - 1),
+    )
+    y0 = F.least(
+        F.greatest(
+            F.floor((F.col("bbox.s") + 90.0) / 180.0 * ny), F.lit(0)
+        ),
+        F.lit(ny - 1),
+    )
+    y1 = F.least(
+        F.greatest(
+            F.floor((F.col("bbox.n") + 90.0) / 180.0 * ny), F.lit(0)
+        ),
+        F.lit(ny - 1),
+    )
+    df = (
+        polygons.withColumn("_x", F.explode(F.sequence(x0, x1)))
+        .withColumn("_y", F.explode(F.sequence(y0, y1)))
+        .withColumn(
+            "cell",
+            (
+                F.lit(res).cast("long") * F.lit(ix.GHCELL_RES_BITS)
+                + F.col("_x").cast("long") * F.lit(ix.GHCELL_X_BITS)
+                + F.col("_y").cast("long")
+            ),
+        )
+        .drop("_x", "_y")
+    )
+    return df
+
+
+def _refine_pip(joined: DataFrame) -> DataFrame:
+    """Exact PIP refine over candidate pairs (Arrow-batched ray casting)."""
+    fields = [f"{f.name} {f.dataType.simpleString()}" for f in joined.schema.fields]
+    schema = ", ".join(f for f in fields if not f.startswith("wkt "))
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ring_cache: dict[str, list[np.ndarray]] = {}
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf.drop(columns=["wkt"])
+                continue
+            keep = np.zeros(len(pdf), dtype=bool)
+            for wkt, grp in pdf.groupby("wkt", sort=False):
+                rings = ring_cache.get(wkt)
+                if rings is None:
+                    rings = parse_polygon_wkt(wkt)
+                    ring_cache[wkt] = rings
+                if not rings:
+                    continue
+                mask = points_in_polygon(
+                    grp["lon"].to_numpy(), grp["lat"].to_numpy(), rings
+                )
+                keep[pdf.index.get_indexer(grp.index)] = mask
+            yield pdf.loc[keep].drop(columns=["wkt"])
+
+    return joined.mapInPandas(_map, schema)
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int = 5,
+    point_key: str = "point_id",
+    rows_per_task: int = 200_000,
+    salted: bool = True,
+) -> DataFrame:
+    """Point-in-polygon join -> (point columns..., poly_id).
+
+    points: must carry (point_id, lon, lat). polygons: POLYGONS_SCHEMA.
+    Broadcast-free: the equi-join runs as a shuffle join on (cell[, salt]).
+    """
+    spark = points.sparkSession
+    pts = points.withColumn("cell", ix.ghcell(F.col("lon"), F.col("lat"), res))
+    cover = polygon_cover_cells(polygons, res).select("cell", "poly_id", "wkt", "bbox")
+
+    if salted:
+        factors = ix.salt_factors(pts, "cell", rows_per_task=rows_per_task)
+        pts = ix.with_salt(pts, factors, "cell", point_key).drop("salt_k")
+        cover = ix.explode_salts(cover, factors, "cell")
+        join_keys = ["cell", "salt"]
+    else:
+        join_keys = ["cell"]
+
+    # north rule: broadcast-free main join — pin it off for this plan
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        cand = pts.join(cover, join_keys, "inner")
+        # cheap exact-envelope prefilter stays in codegen before Python runs
+        cand = cand.where(
+            (F.col("lon") >= F.col("bbox.w"))
+            & (F.col("lon") <= F.col("bbox.e"))
+            & (F.col("lat") >= F.col("bbox.s"))
+            & (F.col("lat") <= F.col("bbox.n"))
+        ).drop("bbox", *(["salt"] if salted else []), "cell")
+        refined = _refine_pip(cand)
+        # a polygon may span several cover cells; a point matches in at most
+        # one (its own cell) so no dedupe needed — cell equi-join guarantees
+        # each (point, poly) pair appears once.
+        return refined
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# ---------------------------------------------------------------------------
+# kNN join
+# ---------------------------------------------------------------------------
+def _ring_guard_m(
+    lon: np.ndarray, lat: np.ndarray, res: int, ring: int
+) -> np.ndarray:
+    """Guaranteed-coverage radius (meters) of the ring around each query.
+
+    Any point strictly inside this disc is inside some ring cell, so a kNN
+    result whose k-th distance is <= guard is provably exact. Margins:
+    - to the box's parallels: R * delta_phi (exact min distance);
+    - to the box's meridians: R * asin(sin(min(dlam, pi/2)) * cos(phi_q))
+      (exact min distance to a meridian);
+    - clamped pole edge -> distance to the pole; full longitude wrap -> inf.
+    """
+    from .geo import EARTH_RADIUS_M
+
+    nx, ny = ix.ghcell_nx(res), ix.ghcell_ny(res)
+    deg_x, deg_y = 360.0 / nx, 180.0 / ny
+    cells = ix.ghcell_np(lon, lat, res)
+    rem = cells % ix.GHCELL_RES_BITS
+    x = rem // ix.GHCELL_X_BITS
+    y = rem % ix.GHCELL_X_BITS
+    lat_r = np.radians(lat)
+
+    y_lo, y_hi = y - ring, y + ring
+    lat_bot = np.where(y_lo <= 0, -90.0, -90.0 + y_lo * deg_y)
+    lat_top = np.where(y_hi >= ny - 1, 90.0, -90.0 + (y_hi + 1) * deg_y)
+    m_south = np.where(
+        lat_bot <= -90.0,
+        (lat + 90.0),
+        (lat - lat_bot),
+    ) * np.pi / 180.0 * EARTH_RADIUS_M
+    m_north = np.where(
+        lat_top >= 90.0,
+        (90.0 - lat),
+        (lat_top - lat),
+    ) * np.pi / 180.0 * EARTH_RADIUS_M
+
+    if 2 * ring + 1 >= nx:
+        m_lon = np.full(len(lon), np.inf)
+    else:
+        west = -180.0 + (x - ring) * deg_x
+        east = -180.0 + (x + ring + 1) * deg_x
+        dlam = np.minimum(lon - west, east - lon)  # degrees, >= 0
+        dlam_r = np.minimum(np.radians(np.maximum(dlam, 0.0)), np.pi / 2)
+        m_lon = EARTH_RADIUS_M * np.arcsin(
+            np.clip(np.sin(dlam_r) * np.cos(lat_r), 0.0, 1.0)
+        )
+    return np.minimum(np.minimum(m_south, m_north), m_lon)
+
+
+def _ring_cells_udf(res: int, ring: int):
+    @F.pandas_udf("struct<cells: array<long>, guard_m: double>")
+    def _rings(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+        lon_np, lat_np = lon.to_numpy(), lat.to_numpy()
+        cells = ix.ghcell_np(lon_np, lat_np, res)
+        guard = _ring_guard_m(lon_np, lat_np, res, ring)
+        return pd.DataFrame(
+            {
+                "cells": [ix.ghcell_kring_np(int(c), ring) for c in cells],
+                "guard_m": guard,
+            }
+        )
+
+    return _rings
+
+
+def knn_join(
+    queries: DataFrame,
+    points: DataFrame,
+    k: int | None = None,
+    res: int = 4,
+    ring: int = 1,
+    point_key: str = "point_id",
+) -> DataFrame:
+    """kNN: for each query row (qid, lon, lat[, k]) find the k nearest
+    points (point_id, lon, lat) by haversine distance.
+
+    Returns (qid, point_id, rank, dist_m). If `k` is None, the per-row
+    ``k`` column of `queries` is used.
+
+    Plan: ring-cover equi-join (W3/W4: ranking window + distance sort), then
+    a brute-force fallback ONLY for queries underfilled by the ring — at
+    production scale the res/ring should be sized so the fallback is ~0; it
+    exists for correctness on sparse regions.
+    """
+    k_col = F.lit(k) if k is not None else F.col("k")
+    q = queries.select(
+        "qid",
+        F.col("lon").alias("q_lon"),
+        F.col("lat").alias("q_lat"),
+        k_col.alias("_k"),
+    )
+    p = points.select(
+        F.col(point_key).alias("point_id"),
+        F.col("lon").alias("p_lon"),
+        F.col("lat").alias("p_lat"),
+        ix.ghcell(F.col("lon"), F.col("lat"), res).alias("cell"),
+    )
+
+    ring_cells = _ring_cells_udf(res, ring)
+    q2 = q.withColumn("_rc", ring_cells(F.col("q_lon"), F.col("q_lat")))
+    q_cells = q2.withColumn("cell", F.explode(F.col("_rc.cells"))).withColumn(
+        "guard_m", F.col("_rc.guard_m")
+    ).drop("_rc")
+
+    cand = q_cells.join(p, "cell", "inner").drop("cell")
+    cand = cand.withColumn(
+        "dist_m",
+        haversine_m(F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist_m").asc(), F.col("point_id"))
+    ranked = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("_k"))
+    )
+
+    # a ring answer is exact iff it filled k rows AND the k-th distance is
+    # within the guaranteed-coverage radius; everything else falls back
+    counts = ranked.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("dist_m").alias("_kth"),
+        F.first("guard_m").alias("_guard"),
+    )
+    fallback_qids = (
+        q.join(counts, "qid", "left")
+        .where(
+            (F.coalesce(F.col("_n"), F.lit(0)) < F.col("_k"))
+            | (F.col("_kth") > F.col("_guard"))
+        )
+        .select("qid")
+    )
+
+    fallback = (
+        q.join(fallback_qids, "qid", "left_semi")
+        .crossJoin(p.drop("cell"))
+        .withColumn(
+            "dist_m",
+            haversine_m(
+                F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("_k"))
+    )
+
+    out_cols = ["qid", "point_id", "rank", "dist_m"]
+    good = ranked.join(fallback_qids, "qid", "left_anti").select(*out_cols)
+    return good.unionByName(fallback.select(*out_cols))
+
+
+def knn_brute_force(
+    queries: DataFrame, points: DataFrame, k: int | None = None,
+    point_key: str = "point_id",
+) -> DataFrame:
+    """Oracle twin: exact kNN via cross join (tests / tiny inputs only)."""
+    k_col = F.lit(k) if k is not None else F.col("k")
+    q = queries.select(
+        "qid", F.col("lon").alias("q_lon"), F.col("lat").alias("q_lat"),
+        k_col.alias("_k"),
+    )
+    p = points.select(
+        F.col(point_key).alias("point_id"),
+        F.col("lon").alias("p_lon"), F.col("lat").alias("p_lat"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist_m").asc(), F.col("point_id"))
+    return (
+        q.crossJoin(p)
+        .withColumn(
+            "dist_m",
+            haversine_m(F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("_k"))
+        .select("qid", "point_id", "rank", "dist_m")
+    )

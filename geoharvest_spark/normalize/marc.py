@@ -152,6 +152,11 @@ class MARC(BaseNormalizer):
         super().__init__(*args, **kwargs)
         self.marc = MarcRecord(self.data)
         self._date_strings: list[str] | None = None
+        # Alma source-record construction derives identifier from control
+        # field 001 and event from leader[5] (sources/alma.py:38-62,
+        # harvest/alma.py:236-245) — override whatever the URL suggested.
+        self.identifier = marc_identifier(self.marc)
+        self.event = marc_event(self.marc)
 
     # --- marcalyx-helper parity (record.py:597-659) ---
     def get_single_tag(self, tag: str) -> list[tuple[str, str]] | None:

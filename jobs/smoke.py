@@ -49,6 +49,21 @@ def main() -> None:
     for r in failed.groupBy("error.stage").count().collect():
         print("NORMALIZE_ERRSTAGE", r.asDict())
 
+    # spatial joins + tiles
+    from geoharvest_spark.joins import knn_join, pip_join
+    from geoharvest_spark.synth import polygons_df, query_points_df
+    from geoharvest_spark.tiles import assign_tiles, records_with_centroid, tile_rollup
+
+    recs = records_with_centroid(ok).withColumnRenamed("id", "point_id")
+    pip = pip_join(
+        recs.select("point_id", "lon", "lat"), polygons_df(spark, 100), res=5
+    )
+    print("PIP rows=", pip.count())
+    knn = knn_join(query_points_df(spark, 40), recs.select("point_id", "lon", "lat"))
+    print("KNN rows=", knn.count(), "sample=", knn.orderBy("qid", "rank").head(2))
+    tiles = assign_tiles(records_with_centroid(ok))
+    print("TILES assignments=", tiles.count(), "rollup=", tile_rollup(tiles).count())
+
     # probe 1: empty input -> empty result, no crash (F10 early-exit analog)
     empty = spark.createDataFrame([], schema=PAGES_SCHEMA)
     print("PROBE_EMPTY rows=", cell_counts(empty, res=5).count())

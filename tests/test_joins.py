@@ -1,0 +1,142 @@
+"""Spatial-join golden tests: PIP vs shapely-free ray-cast oracle, kNN vs
+brute-force haversine oracle (FIXTURES.md T4/T5 golden row-sets)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geoharvest_spark import geo
+from geoharvest_spark.joins import knn_brute_force, knn_join, pip_join
+from geoharvest_spark.synth import polygons_df, polygons_pdf, query_points_df, query_points_pdf
+
+
+@pytest.fixture(scope="module")
+def points_df(spark):
+    """Deterministic point cloud (hot-region skewed like synth pages)."""
+    rng = np.random.RandomState(7)
+    n = 4000
+    hot = rng.rand(n) < 0.6
+    lon = np.where(
+        hot,
+        np.take([-71.1, 8.5, 121.5], rng.randint(0, 3, n)) + rng.uniform(-5, 5, n),
+        rng.uniform(-179, 179, n),
+    )
+    lat = np.where(
+        hot,
+        np.take([42.36, 47.4, 31.2], rng.randint(0, 3, n)) + rng.uniform(-4, 4, n),
+        rng.uniform(-85, 85, n),
+    )
+    pdf = pd.DataFrame(
+        {
+            "point_id": [f"p{i:05d}" for i in range(n)],
+            "lon": np.round(lon, 6),
+            "lat": np.round(lat, 6),
+        }
+    )
+    return spark.createDataFrame(pdf).cache(), pdf
+
+
+def _pip_oracle(points_pdf: pd.DataFrame, polys_pdf: pd.DataFrame) -> set:
+    out = set()
+    for _, poly in polys_pdf.iterrows():
+        rings = geo.parse_polygon_wkt(poly.wkt)
+        b = poly.bbox
+        m = (
+            (points_pdf.lon >= b["w"]) & (points_pdf.lon <= b["e"])
+            & (points_pdf.lat >= b["s"]) & (points_pdf.lat <= b["n"])
+        )
+        sub = points_pdf[m]
+        if len(sub) == 0:
+            continue
+        inside = geo.points_in_polygon(sub.lon.to_numpy(), sub.lat.to_numpy(), rings)
+        out.update((pid, poly.poly_id) for pid in sub.point_id[inside])
+    return out
+
+
+def test_pip_join_matches_oracle(spark, points_df):
+    pts, pdf = points_df
+    polys = polygons_df(spark, 200)
+    got = {
+        (r.point_id, r.poly_id)
+        for r in pip_join(pts, polys, res=5, rows_per_task=500).select(
+            "point_id", "poly_id"
+        ).collect()
+    }
+    expected = _pip_oracle(pdf, polygons_pdf(200))
+    assert got == expected
+    assert len(expected) > 100  # non-trivial overlap
+
+
+def test_pip_join_unsalted_equals_salted(spark, points_df):
+    pts, _ = points_df
+    polys = polygons_df(spark, 50)
+    a = {
+        (r.point_id, r.poly_id)
+        for r in pip_join(pts, polys, res=5, salted=True, rows_per_task=300)
+        .select("point_id", "poly_id").collect()
+    }
+    b = {
+        (r.point_id, r.poly_id)
+        for r in pip_join(pts, polys, res=5, salted=False)
+        .select("point_id", "poly_id").collect()
+    }
+    assert a == b
+
+
+def test_pip_no_broadcast_in_plan(spark, points_df):
+    pts, _ = points_df
+    polys = polygons_df(spark, 50)
+    plan = pip_join(pts, polys, res=5)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan  # north rule: broadcast-free
+
+
+def test_knn_matches_brute_force(spark, points_df):
+    pts, _ = points_df
+    queries = query_points_df(spark, 120)
+    got = (
+        knn_join(queries, pts, res=4, ring=1)
+        .select("qid", "point_id", "rank")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        knn_brute_force(queries, pts)
+        .select("qid", "point_id", "rank")
+        .toPandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    assert got.shape == exp.shape
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_knn_python_oracle_spotcheck(spark, points_df):
+    """Independent pure-python haversine check for a handful of queries."""
+    pts, pdf = points_df
+    qpdf = query_points_pdf(10)
+    queries = spark.createDataFrame(qpdf)
+    got = knn_join(queries, pts, k=3, res=4, ring=1).toPandas()
+    for _, qrow in qpdf.iloc[:5].iterrows():
+        d = geo.haversine_np(
+            pdf.lon.to_numpy(), pdf.lat.to_numpy(), qrow.lon, qrow.lat
+        )
+        order = np.lexsort((pdf.point_id.to_numpy(), d))
+        expect_ids = list(pdf.point_id.to_numpy()[order[:3]])
+        got_ids = list(
+            got[got.qid == qrow.qid].sort_values("rank").point_id
+        )
+        assert got_ids == expect_ids
+
+
+def test_knn_rank_and_distance_monotone(spark, points_df):
+    pts, _ = points_df
+    queries = query_points_df(spark, 30)
+    out = knn_join(queries, pts, res=4, ring=1).toPandas()
+    for qid, grp in out.groupby("qid"):
+        grp = grp.sort_values("rank")
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+        assert grp.dist_m.is_monotonic_increasing

@@ -1,0 +1,124 @@
+"""Tile pyramid + checkpoint/resume tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geoharvest_spark import index as ix
+from geoharvest_spark.checkpoint import CheckpointStore, run_with_checkpoint
+from geoharvest_spark.normalize import split_failed
+from geoharvest_spark.pipeline import harvest_pages
+from geoharvest_spark.tiles import (
+    PYRAMID,
+    assign_tiles,
+    records_with_centroid,
+    tile_rollup,
+    write_tile_tables,
+)
+
+
+@pytest.fixture(scope="module")
+def assigned(spark, pages_small):
+    ok, _ = split_failed(harvest_pages(pages_small))
+    recs = records_with_centroid(ok)
+    return assign_tiles(recs).cache(), recs.cache()
+
+
+def test_tile_assignment_pyramid(assigned):
+    tiles, recs = assigned
+    n_recs = recs.count()
+    assert tiles.count() == n_recs * len(PYRAMID)
+    # golden cell math: every row's cell equals ghcell_np(lon, lat, res)
+    pdf = tiles.select("lon", "lat", "res", "cell").toPandas()
+    for res, grp in pdf.groupby("res"):
+        expect = ix.ghcell_np(grp.lon.to_numpy(), grp.lat.to_numpy(), int(res))
+        assert np.array_equal(grp.cell.to_numpy(), expect)
+
+
+def test_tile_parent_child_consistency(assigned):
+    tiles, _ = assigned
+    pdf = tiles.select("url", "res", "cell").toPandas()
+    by_url = pdf.pivot(index="url", columns="res", values="cell")
+    for child, parent in ((9, 8), (8, 7), (7, 6), (6, 5)):
+        rem = by_url[child] % ix.GHCELL_RES_BITS
+        x, y = rem // ix.GHCELL_X_BITS, rem % ix.GHCELL_X_BITS
+        expected = (
+            parent * ix.GHCELL_RES_BITS + (x // 2) * ix.GHCELL_X_BITS + (y // 2)
+        )
+        assert (expected == by_url[parent]).all()
+
+
+def test_s2_assignment_present(assigned):
+    tiles, _ = assigned
+    assert tiles.where(F.col("s2_cell").isNull()).count() == 0
+    lv = tiles.select("s2_cell").limit(200).toPandas().s2_cell.to_numpy()
+    assert (ix.s2_level_np(lv) == 12).all()
+
+
+def test_tile_rollup_envelope(assigned):
+    tiles, _ = assigned
+    roll = tile_rollup(tiles)
+    bad = roll.where(
+        (F.col("w") > F.col("e")) | (F.col("s") > F.col("n"))
+    ).count()
+    # union envelopes are well-formed whenever inputs are
+    assert bad == 0
+    # counts conserve
+    assert (
+        roll.agg(F.sum("n_records")).first()[0] == tiles.count()
+    )
+
+
+def test_write_tile_tables(tmp_path, assigned, spark):
+    tiles, _ = assigned
+    write_tile_tables(tiles, str(tmp_path))
+    back = spark.read.parquet(str(tmp_path / "tile_rollup"))
+    assert back.where(F.col("res") == 7).count() > 0
+    assert {f.name for f in back.schema.fields} >= {
+        "cell", "n_records", "w", "e", "n", "s", "res",
+    }
+
+
+def test_checkpoint_resume(tmp_path, spark):
+    store = CheckpointStore(spark, str(tmp_path / "lineage"))
+    work = spark.range(1000).withColumn(
+        "partition_id", (F.col("id") % 10).cast("int")
+    )
+
+    calls = []
+
+    def process(df):
+        calls.append(1)
+        return df.withColumn("y", F.col("id") * 2)
+
+    out1 = run_with_checkpoint(
+        spark, work, process, store, "job1", "snap1", str(tmp_path / "out")
+    )
+    assert out1.count() == 1000
+    done = store.completed_partitions("job1", "snap1").count()
+    assert done == 10
+
+    # resume: nothing pending -> no reprocessing
+    out2 = run_with_checkpoint(
+        spark, work, process, store, "job1", "snap1", str(tmp_path / "out")
+    )
+    assert out2.count() == 1000
+    assert len(calls) == 1  # process() not called again
+
+    # partial failure simulation: new snapshot with 3 partitions pre-done
+    store.mark("job1", "snap2", [(0, 1, 1), (1, 1, 1), (2, 1, 1)])
+    pending = store.pending(work, "job1", "snap2")
+    assert pending.select("partition_id").distinct().count() == 7
+
+
+def test_checkpoint_last_status_wins(tmp_path, spark):
+    import datetime as dt
+
+    store = CheckpointStore(spark, str(tmp_path / "lineage2"))
+    t0 = dt.datetime(2024, 1, 1)
+    store.mark("j", "s", [(0, 5, 5)], status="running", ts=t0)
+    store.mark("j", "s", [(0, 10, 10)], status="done", ts=t0 + dt.timedelta(1))
+    cur = store.current().collect()
+    assert len(cur) == 1 and cur[0]["status"] == "done" and cur[0]["rows"] == 10
