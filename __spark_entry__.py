@@ -4,12 +4,14 @@
 ``queries()`` / ``oracle_sql()`` — per-operator correctness pairs run by the
 driver at sf0.01 against DuckDB (row-count + schema + value-hash).
 
-Implementation notes:
-- every computed column is aliased identically in Spark and SQL;
-- float outputs are avoided or produced by the *same single IEEE expression*
-  in both engines (no transcendental outputs, no re-associated sums);
-- money-ish aggregates cast to DECIMAL before summing so Spark's
-  shuffle-order nondeterminism cannot change the value.
+Determinism rules used throughout (so Spark and DuckDB hash identically):
+- computed columns aliased identically on both sides;
+- float outputs only from bit-identical integer-derived arithmetic or from
+  exact-decimal sums cast to double at the end (one shared rounding);
+- no transcendental outputs; rank ties always broken by an id column;
+- timestamps compared under session TZ = UTC (DuckDB is UTC-naive).
+
+Operator ids (F*/A*/W*/U*/J*/X*/D*/S*/K*) reference SURVEY.md §2.
 """
 
 from __future__ import annotations
@@ -17,12 +19,13 @@ from __future__ import annotations
 import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 sys.path.insert(0, "/root/repo")
 
 from geoharvest_spark import index as ix  # noqa: E402
+from geoharvest_spark import textops as tx  # noqa: E402
 from geoharvest_spark.pipeline import cell_counts  # noqa: E402
 from geoharvest_spark.synth import web_pages_df  # noqa: E402
 
@@ -31,8 +34,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-# Deterministic point derivation shared by Spark and the DuckDB oracle:
+# ---------------------------------------------------------------------------
+# Deterministic derived geometries shared by Spark and the DuckDB oracle:
 # pure integer arithmetic -> bit-identical doubles in both engines.
+# ---------------------------------------------------------------------------
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     return ev.select(
@@ -42,14 +47,42 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: spatial cell-count pipeline.
+_POINTS_SQL = (
+    "SELECT event_id, "
+    "(event_id * 7919 % 36000) / 100.0 - 180.0 AS lon, "
+    "(event_id * 104729 % 18000) / 100.0 - 90.0 AS lat FROM events"
+)
 
-    (a) synthesize the web_pages table (input_hint shape), extract embedded
-    geo metadata, sniff bboxes, assign ghcell res-5 -> counts;
-    (b) derive deterministic points from sf0.001 events and count per cell;
-    union the two cell-count sources (U1 heterogeneous-union semantics).
-    """
+# nation -> 5x5 world grid of boxes, edges offset 0.005 deg so derived
+# points (multiples of 0.01) never sit on a boundary
+_GRID_W = "(-180.005 + (n_nationkey % 5) * 72.0)"
+_GRID_S = "(-90.005 + (n_nationkey // 5) * 36.0)"
+
+
+def _nation_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = _t(spark, sf_dir, "nation")
+    w = -180.005 + (F.col("n_nationkey") % 5).cast("double") * 72.0
+    s = -90.005 + F.floor(F.col("n_nationkey") / 5).cast("double") * 36.0
+    e, nn = w + 72.0, s + 36.0
+    wkt = F.format_string(
+        "POLYGON ((%s %s, %s %s, %s %s, %s %s, %s %s))",
+        w.cast("string"), s.cast("string"),
+        e.cast("string"), s.cast("string"),
+        e.cast("string"), nn.cast("string"),
+        w.cast("string"), nn.cast("string"),
+        w.cast("string"), s.cast("string"),
+    )
+    return n.select(
+        F.col("n_name").alias("poly_id"),
+        wkt.alias("wkt"),
+        F.struct(
+            w.alias("w"), e.alias("e"), nn.alias("n"), s.alias("s")
+        ).alias("bbox"),
+    )
+
+
+def entry(spark: SparkSession) -> DataFrame:
+    """Flagship: spatial cell-count pipeline (pages + derived event points)."""
     sf_dir = "/root/testdata/sf0.001"
     pages = web_pages_df(spark, 300)
     a = cell_counts(pages, res=5).select(
@@ -65,36 +98,816 @@ def entry(spark: SparkSession) -> DataFrame:
     return a.unionByName(b).orderBy(F.col("n_records").desc(), "cell", "source")
 
 
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator family (SURVEY.md §2 ids in names)."""
+    Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    def q_cell_assign_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # index op: ghcell assignment at res 5 (JVM-side integer arithmetic)
+    # ---------------- filters / projections ----------------
+    def f1_date_range_filter(spark, sf):  # F1: half-open from/until
+        li = _t(spark, sf, "lineitem")
         return (
-            _points(spark, sf_dir)
+            li.where(
+                (F.col("l_shipdate") >= F.lit("1996-01-01"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            )
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_qty"),
+            )
+            .orderBy("l_returnflag")
+        )
+
+    Q["f1_date_range_filter"] = f1_date_range_filter
+
+    def f2_suffix_filter(spark, sf):  # F2: extension/suffix filter
+        p = _t(spark, sf, "part")
+        return (
+            p.where(F.lower(F.col("p_type")).endswith("my"))
+            .groupBy("p_brand")
+            .agg(F.count(F.lit(1)).alias("n_parts"))
+            .orderBy("p_brand")
+        )
+
+    Q["f2_suffix_filter"] = f2_suffix_filter
+
+    def f4_include_exclude(spark, sf):  # F4/U2: include ∩ ¬exclude
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        keep = n.where(
+            F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3", "NATION_7")
+            & ~F.col("n_name").isin("NATION_3")
+        )
+        return (
+            c.join(F.broadcast(keep), c.c_nationkey == keep.n_nationkey)
+            .groupBy("n_name")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .orderBy("n_name")
+        )
+
+    Q["f4_include_exclude"] = f4_include_exclude
+
+    def f6_suppressed_filter(spark, sf):  # F6: drop suppressed analog
+        ev = _t(spark, sf, "events")
+        return (
+            ev.where(~F.coalesce(F.col("event_type") == "error", F.lit(False)))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("event_type")
+        )
+
+    Q["f6_suppressed_filter"] = f6_suppressed_filter
+
+    def f8_restricted_derivation(spark, sf):  # F8: Public->False else True
+        c = _t(spark, sf, "customer")
+        return (
+            c.withColumn(
+                "is_restricted",
+                F.when(F.col("c_mktsegment") == "BUILDING", F.lit(False)).otherwise(
+                    F.lit(True)
+                ),
+            )
+            .groupBy("is_restricted")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("is_restricted")
+        )
+
+    Q["f8_restricted_derivation"] = f8_restricted_derivation
+
+    # ---------------- aggregations ----------------
+    def a1_union_envelope(spark, sf):  # A1 lifted across rows
+        pts = _points(spark, sf).join(
+            _t(spark, sf, "events").select("event_id", "event_type"), "event_id"
+        )
+        return (
+            pts.groupBy("event_type")
+            .agg(
+                F.min("lon").alias("w"),
+                F.max("lon").alias("e"),
+                F.max("lat").alias("n"),
+                F.min("lat").alias("s"),
+            )
+            .orderBy("event_type")
+        )
+
+    Q["a1_union_envelope"] = a1_union_envelope
+
+    def a2_error_rollup(spark, sf):  # A2: count by step/exception analog
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_errors"))
+            .orderBy("event_type")
+        )
+
+    Q["a2_error_rollup"] = a2_error_rollup
+
+    def a4_last_event_per_key(spark, sf):  # A4: last-event-wins window dedupe
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        return (
+            ev.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type")
+            .orderBy("user_id")
+        )
+
+    Q["a4_last_event_per_key"] = a4_last_event_per_key
+
+    def a5_latest_per_group(spark, sf):  # A5: latest-full-run-date analog
+        o = _t(spark, sf, "orders")
+        return (
+            o.groupBy("o_orderpriority")
+            .agg(F.max("o_orderdate").alias("latest_date"))
+            .orderBy("o_orderpriority")
+        )
+
+    Q["a5_latest_per_group"] = a5_latest_per_group
+
+    # ---------------- windows / sorts / limits ----------------
+    def w2_top1(spark, sf):  # W2: reverse sort + head
+        o = _t(spark, sf, "orders")
+        return (
+            o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .select("o_orderkey", "o_orderpriority")
+            .limit(1)
+        )
+
+    Q["w2_top1"] = w2_top1
+
+    def w3_topk_per_group(spark, sf):  # W3: ranking window row_number<=k
+        o = _t(spark, sf, "orders")
+        w = Window.partitionBy("o_orderpriority").orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey")
+        )
+        return (
+            o.withColumn("rank", F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= 3)
+            .select("o_orderpriority", "o_orderkey", "rank")
+            .orderBy("o_orderpriority", "rank")
+        )
+
+    Q["w3_topk_per_group"] = w3_topk_per_group
+
+    def w_sessionization(spark, sf):  # lag + gap cumsum sessionization
+        ev = _t(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        epoch = F.col("ts").cast("timestamp").cast("long")  # NTZ -> epoch (UTC)
+        gap = F.when(
+            epoch - F.lag(epoch).over(w) > 3600,
+            1,
+        ).otherwise(0)
+        return (
+            ev.withColumn("new_sess", gap)
+            .groupBy("user_id")
+            .agg((F.sum("new_sess") + 1).alias("n_sessions"))
+            .orderBy("user_id")
+        )
+
+    Q["w_sessionization"] = w_sessionization
+
+    # ---------------- set ops / unions ----------------
+    def u1_union_heterogeneous(spark, sf):  # U1: unionByName across sources
+        c = _t(spark, sf, "customer").select(
+            F.lit("customer").alias("src"),
+            F.col("c_name").alias("name"),
+            F.col("c_nationkey").cast("int").alias("nationkey"),
+        )
+        s = _t(spark, sf, "supplier").select(
+            F.lit("supplier").alias("src"),
+            F.col("s_name").alias("name"),
+            F.col("s_nationkey").cast("int").alias("nationkey"),
+        )
+        return (
+            c.unionByName(s)
+            .groupBy("src", "nationkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("src", "nationkey")
+        )
+
+    Q["u1_union_heterogeneous"] = u1_union_heterogeneous
+
+    def u2_semi_anti(spark, sf):  # U2: left_semi / left_anti
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        with_orders = c.join(
+            o, c.c_custkey == o.o_custkey, "left_semi"
+        ).select(F.lit("with_orders").alias("bucket"), "c_custkey")
+        without = c.join(
+            o, c.c_custkey == o.o_custkey, "left_anti"
+        ).select(F.lit("without_orders").alias("bucket"), "c_custkey")
+        return (
+            with_orders.unionByName(without)
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("bucket")
+        )
+
+    Q["u2_semi_anti"] = u2_semi_anti
+
+    # ---------------- joins ----------------
+    def j1_broadcast_lookup(spark, sf):  # J1: tiny-dim broadcast join chain
+        c = _t(spark, sf, "customer")
+        n = _t(spark, sf, "nation")
+        r = _t(spark, sf, "region")
+        return (
+            c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("r_name")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .orderBy("r_name")
+        )
+
+    Q["j1_broadcast_lookup"] = j1_broadcast_lookup
+
+    def j5_range_join(spark, sf):  # J5: equi + interval predicate
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        j = o.join(li, o.o_orderkey == li.l_orderkey).where(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (
+                F.col("l_shipdate")
+                < F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            )
+        )
+        return (
+            j.groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+                )
+                .cast("double")
+                .alias("revenue"),
+            )
+            .orderBy("o_orderpriority")
+        )
+
+    Q["j5_range_join"] = j5_range_join
+
+    def j3_pip_join_grid(spark, sf):  # J3: the real PIP operator vs ranges
+        from geoharvest_spark.joins import pip_join
+
+        pts = _points(spark, sf).withColumnRenamed("event_id", "point_id")
+        polys = _nation_boxes(spark, sf)
+        out = pip_join(pts, polys, res=4, rows_per_task=5000)
+        return (
+            out.groupBy("poly_id")
+            .agg(F.count(F.lit(1)).alias("n_points"))
+            .orderBy("poly_id")
+        )
+
+    Q["j3_pip_join_grid"] = j3_pip_join_grid
+
+    # ---------------- TPC-H-style analytics ----------------
+    def tpch_q1_pricing(spark, sf):
+        li = _t(spark, sf, "lineitem")
+        dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+                F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+                F.sum(
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+                )
+                .cast("double")
+                .alias("sum_disc_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    Q["tpch_q1_pricing"] = tpch_q1_pricing
+
+    def tpch_q3_topk_revenue(spark, sf):
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        j = (
+            c.where(F.col("c_mktsegment") == "BUILDING")
+            .join(o, c.c_custkey == o.o_custkey)
+            .join(li, o.o_orderkey == li.l_orderkey)
+            .where(F.col("o_orderdate") < F.lit("1998-01-01"))
+        )
+        rev = F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(18,2)")
+                - F.col("l_discount").cast("decimal(18,2)")
+            )
+        )
+        return (
+            j.groupBy("o_orderkey")
+            .agg(rev.cast("double").alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+            .limit(10)
+        )
+
+    Q["tpch_q3_topk_revenue"] = tpch_q3_topk_revenue
+
+    def tpch_q5_regional_revenue(spark, sf):
+        r = _t(spark, sf, "region")
+        n = _t(spark, sf, "nation")
+        c = _t(spark, sf, "customer")
+        o = _t(spark, sf, "orders")
+        li = _t(spark, sf, "lineitem")
+        j = (
+            r.join(n, r.r_regionkey == n.n_regionkey)
+            .join(c, n.n_nationkey == c.c_nationkey)
+            .join(o, c.c_custkey == o.o_custkey)
+            .join(li, o.o_orderkey == li.l_orderkey)
+        )
+        rev = F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(18,2)")
+                - F.col("l_discount").cast("decimal(18,2)")
+            )
+        )
+        return (
+            j.groupBy("n_name")
+            .agg(rev.cast("double").alias("revenue"))
+            .orderBy("n_name")
+        )
+
+    Q["tpch_q5_regional_revenue"] = tpch_q5_regional_revenue
+
+    def grouping_rollup(spark, sf):  # rollup totals
+        li = _t(spark, sf, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    Q["grouping_rollup"] = grouping_rollup
+
+    def pivot_status_counts(spark, sf):  # pivot -> fixed columns
+        o = _t(spark, sf, "orders")
+        p = (
+            o.groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["O", "F", "P"])
+            .count()
+        )
+        return p.select(
+            "o_orderpriority",
+            F.coalesce(F.col("O"), F.lit(0)).alias("st_o"),
+            F.coalesce(F.col("F"), F.lit(0)).alias("st_f"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("st_p"),
+        ).orderBy("o_orderpriority")
+
+    Q["pivot_status_counts"] = pivot_status_counts
+
+    def daily_event_rollup(spark, sf):  # tumbling-window batch analog (S4/F1)
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.countDistinct("user_id").alias("n_users"),
+            )
+            .orderBy("day")
+        )
+
+    Q["daily_event_rollup"] = daily_event_rollup
+
+    def s4_incremental_dedupe(spark, sf):  # S4: in-run dropDuplicates
+        ev = _t(spark, sf, "events")
+        return (
+            ev.dropDuplicates(["user_id", "event_type"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_unique_users"))
+            .orderBy("event_type")
+        )
+
+    Q["s4_incremental_dedupe"] = s4_incremental_dedupe
+
+    # ---------------- scalar function suite (X*) ----------------
+    def x_scalar_suite(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id",
+            F.md5("text").alias("text_md5"),
+            F.length("text").cast("long").alias("n_chars_calc"),
+            F.regexp_extract("text", r"^(\w+)", 1).alias("first_word"),
+            F.upper(F.substring("text", 1, 8)).alias("head_upper"),
+            F.regexp_replace(F.trim(F.col("text")), r"\s+", " ").alias("ws_norm"),
+            F.concat(
+                F.col("source"), F.lit(":"), F.substring(F.md5("text"), 1, 12)
+            ).alias("short_id"),
+        ).orderBy("doc_id")
+
+    Q["x_scalar_suite"] = x_scalar_suite
+
+    # ---------------- ghcell / tiles ----------------
+    def cell_assign_counts(spark, sf):
+        return (
+            _points(spark, sf)
             .withColumn("cell", ix.ghcell(F.col("lon"), F.col("lat"), 5))
             .groupBy("cell")
             .agg(F.count(F.lit(1)).alias("n_points"))
             .orderBy("cell")
         )
 
-    return {
-        "cell_assign_counts": q_cell_assign_counts,
-    }
+    Q["cell_assign_counts"] = cell_assign_counts
+
+    def tile_pyramid_counts(spark, sf):
+        pts = _points(spark, sf)
+        frames = []
+        for res in (5, 6, 7):
+            frames.append(
+                pts.withColumn("cell", ix.ghcell(F.col("lon"), F.col("lat"), res))
+                .groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("n_points"))
+                .withColumn("res", F.lit(res))
+            )
+        out = frames[0]
+        for f_ in frames[1:]:
+            out = out.unionByName(f_)
+        return out.select("res", "cell", "n_points").orderBy("res", "cell")
+
+    Q["tile_pyramid_counts"] = tile_pyramid_counts
+
+    # ---------------- text pipeline ----------------
+    def dedup_exact(spark, sf):
+        return tx.exact_dedup(_t(spark, sf, "documents")).orderBy("text_md5")
+
+    Q["dedup_exact"] = dedup_exact
+
+    def doc_token_stats(spark, sf):
+        d = tx.with_token_stats(_t(spark, sf, "documents"))
+        return d.select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "n_subwords_est",
+        ).orderBy("doc_id")
+
+    Q["doc_token_stats"] = doc_token_stats
+
+    def doc_quality(spark, sf):
+        d = tx.with_quality(_t(spark, sf, "documents"))
+        return d.select(
+            "doc_id",
+            F.col("n_words").cast("long").alias("n_words"),
+            "mean_word_len", "upper_ratio", "digit_ratio", "distinct_ratio",
+        ).orderBy("doc_id")
+
+    Q["doc_quality"] = doc_quality
+
+    def doc_langid(spark, sf):
+        d = tx.with_langid(_t(spark, sf, "documents"))
+        return (
+            d.groupBy("lang_pred")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .orderBy("lang_pred")
+        )
+
+    Q["doc_langid"] = doc_langid
+
+    def doc_fingerprint(spark, sf):
+        d = _t(spark, sf, "documents")
+        return d.select(
+            "doc_id", tx.fingerprint_col(F.col("text")).alias("fingerprint")
+        ).orderBy("doc_id")
+
+    Q["doc_fingerprint"] = doc_fingerprint
+
+    def dedup_ngram_jaccard(spark, sf):
+        d = _t(spark, sf, "documents")
+        return tx.ngram_jaccard_pairs(d, threshold=0.2).orderBy("id_a", "id_b")
+
+    Q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
+
+    # ---------------- rows-only (non-SQL-expressible) ----------------
+    def knn_haversine(spark, sf):  # J4 operator (verified vs brute force in tests)
+        from geoharvest_spark.joins import knn_join
+        from geoharvest_spark.synth import query_points_df
+
+        pts = _points(spark, sf).withColumnRenamed("event_id", "point_id")
+        return knn_join(
+            query_points_df(spark, 60), pts, res=4, ring=1
+        ).select("qid", "point_id", "rank")
+
+    Q["knn_haversine"] = knn_haversine
+
+    def s2_cell_counts(spark, sf):  # Hilbert-curve ids: no SQL twin
+        pts = _points(spark, sf)
+        return (
+            pts.withColumn(
+                "s2_cell", ix.s2_cell_udf(F.col("lon"), F.col("lat"), 8)
+            )
+            .groupBy("s2_cell")
+            .agg(F.count(F.lit(1)).alias("n_points"))
+            .orderBy("s2_cell")
+        )
+
+    Q["s2_cell_counts"] = s2_cell_counts
+
+    def dedup_minhash_lsh(spark, sf):
+        d = _t(spark, sf, "documents")
+        return tx.minhash_lsh_pairs(d, num_hashes=64, bands=16).select(
+            "id_a", "id_b", "est_jaccard"
+        )
+
+    Q["dedup_minhash_lsh"] = dedup_minhash_lsh
+
+    def dedup_simhash(spark, sf):
+        # tight threshold: the synthetic corpus shares a tiny vocabulary, so
+        # unigram simhashes cluster — hamming<=3 keeps true near-dups only
+        d = _t(spark, sf, "documents")
+        return tx.simhash_near_dups(d, max_hamming=3)
+
+    Q["dedup_simhash"] = dedup_simhash
+
+    def embed_topk_cosine(spark, sf):
+        from geoharvest_spark.simsearch import cosine_topk_bruteforce
+
+        e = _t(spark, sf, "embeddings")
+        q = e.where(F.col("vec_id") < 20)
+        return cosine_topk_bruteforce(q, e, k=10).select(
+            "qid", "vec_id", "rank"
+        ).orderBy("qid", "rank")
+
+    Q["embed_topk_cosine"] = embed_topk_cosine
+
+    def embed_lsh_ann(spark, sf):
+        from geoharvest_spark.simsearch import lsh_topk
+
+        e = _t(spark, sf, "embeddings")
+        q = e.where(F.col("vec_id") < 20)
+        return lsh_topk(q, e, dim=64, k=10, n_bits=8, n_tables=4).select(
+            "qid", "vec_id", "rank"
+        )
+
+    Q["embed_lsh_ann"] = embed_lsh_ann
+
+    def harvest_normalize(spark, sf):  # full normalize pipeline (goldens in tests)
+        from geoharvest_spark.normalize import split_failed
+        from geoharvest_spark.pipeline import harvest_pages
+
+        ok, failed = split_failed(harvest_pages(web_pages_df(spark, 300)))
+        a = ok.groupBy("metadata_format").agg(F.count(F.lit(1)).alias("n"))
+        b = failed.groupBy("metadata_format").agg(F.count(F.lit(1)).alias("n"))
+        return (
+            a.withColumn("status", F.lit("ok"))
+            .unionByName(b.withColumn("status", F.lit("failed")))
+            .orderBy("metadata_format", "status")
+        )
+
+    Q["harvest_normalize"] = harvest_normalize
+
+    return Q
 
 
-_POINTS_SQL = (
-    "SELECT event_id, "
-    "(event_id * 7919 % 36000) / 100.0 - 180.0 AS lon, "
-    "(event_id * 104729 % 18000) / 100.0 - 90.0 AS lat FROM events"
-)
-
-
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect) — one per SQL-expressible query above
+# ---------------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
     cell5 = ix.ghcell_sql("lon", "lat", 5)
+    dec = "cast({c} as decimal(18,2))"
+    rev = (
+        "cast(sum(cast(l_extendedprice as decimal(18,2)) * "
+        "(cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) "
+        "as double)"
+    )
+    markers = {
+        "en": "('the','and','of','to','a','in','is')",
+        "fr": "('le','la','les','et','de','un','est')",
+        "de": "('der','die','das','und','ist','ein','nicht')",
+        "es": "('el','la','los','de','que','es','un')",
+    }
+    lang_scores = ", ".join(
+        f"len(list_filter(string_split(lower(text), ' '), x -> x in {m})) "
+        f"as s_{lang}"
+        for lang, m in markers.items()
+    )
+    lang_best = "greatest(s_en, s_fr, s_de, s_es)"
+    lang_case = (
+        f"case when s_en = {lang_best} and {lang_best} > 0 then 'en' "
+        f"when s_fr = {lang_best} and {lang_best} > 0 then 'fr' "
+        f"when s_de = {lang_best} and {lang_best} > 0 then 'de' "
+        f"when s_es = {lang_best} and {lang_best} > 0 then 'es' "
+        "else 'und' end"
+    )
+    toks = "list_sort(list_distinct(string_split(text, ' ')))"
+
     return {
+        "f1_date_range_filter": (
+            "SELECT l_returnflag, count(*) AS n_rows, "
+            f"cast(sum({dec.format(c='l_quantity')}) as double) AS sum_qty "
+            "FROM lineitem WHERE l_shipdate >= timestamp '1996-01-01' "
+            "AND l_shipdate < timestamp '1997-01-01' "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "f2_suffix_filter": (
+            "SELECT p_brand, count(*) AS n_parts FROM part "
+            "WHERE lower(p_type) LIKE '%my' GROUP BY 1 ORDER BY 1"
+        ),
+        "f4_include_exclude": (
+            "SELECT n_name, count(*) AS n_customers FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "WHERE n_name IN ('NATION_1','NATION_2','NATION_3','NATION_7') "
+            "AND n_name NOT IN ('NATION_3') GROUP BY 1 ORDER BY 1"
+        ),
+        "f6_suppressed_filter": (
+            "SELECT event_type, count(*) AS n FROM events "
+            "WHERE NOT coalesce(event_type = 'error', false) "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "f8_restricted_derivation": (
+            "SELECT (CASE WHEN c_mktsegment = 'BUILDING' THEN false ELSE true "
+            "END) AS is_restricted, count(*) AS n FROM customer "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "a1_union_envelope": (
+            "SELECT event_type, min(lon) AS w, max(lon) AS e, max(lat) AS n, "
+            f"min(lat) AS s FROM ({_POINTS_SQL}) p "
+            "JOIN events ev ON p.event_id = ev.event_id "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "a2_error_rollup": (
+            "SELECT event_type, count(*) AS n_errors FROM events "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "a4_last_event_per_key": (
+            "SELECT user_id, event_id, event_type FROM ("
+            "SELECT user_id, event_id, event_type, row_number() OVER ("
+            "PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn "
+            "FROM events) WHERE rn = 1 ORDER BY user_id"
+        ),
+        "a5_latest_per_group": (
+            "SELECT o_orderpriority, max(o_orderdate) AS latest_date "
+            "FROM orders GROUP BY 1 ORDER BY 1"
+        ),
+        "w2_top1": (
+            "SELECT o_orderkey, o_orderpriority FROM orders "
+            "ORDER BY o_totalprice DESC, o_orderkey LIMIT 1"
+        ),
+        "w3_topk_per_group": (
+            "SELECT o_orderpriority, o_orderkey, rank FROM ("
+            "SELECT o_orderpriority, o_orderkey, row_number() OVER ("
+            "PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, "
+            "o_orderkey) AS rank FROM orders) WHERE rank <= 3 "
+            "ORDER BY o_orderpriority, rank"
+        ),
+        "w_sessionization": (
+            "SELECT user_id, cast(sum(new_sess) + 1 as bigint) AS n_sessions FROM ("
+            "SELECT user_id, CASE WHEN epoch(ts) - lag(epoch(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) > 3600 THEN 1 "
+            "ELSE 0 END AS new_sess FROM events) GROUP BY 1 ORDER BY 1"
+        ),
+        "u1_union_heterogeneous": (
+            "SELECT src, nationkey, count(*) AS n FROM ("
+            "SELECT 'customer' AS src, c_name AS name, "
+            "cast(c_nationkey as int) AS nationkey FROM customer "
+            "UNION ALL SELECT 'supplier', s_name, cast(s_nationkey as int) "
+            "FROM supplier) GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "u2_semi_anti": (
+            "SELECT bucket, count(*) AS n FROM ("
+            "SELECT 'with_orders' AS bucket, c_custkey FROM customer c "
+            "WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) "
+            "UNION ALL "
+            "SELECT 'without_orders', c_custkey FROM customer c "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"
+            ") GROUP BY 1 ORDER BY 1"
+        ),
+        "j1_broadcast_lookup": (
+            "SELECT r_name, count(*) AS n_customers FROM customer c "
+            "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+            "JOIN region r ON n.n_regionkey = r.r_regionkey "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "j5_range_join": (
+            "SELECT o_orderpriority, count(*) AS n_items, "
+            f"{rev} AS revenue FROM orders o JOIN lineitem l "
+            "ON o.o_orderkey = l.l_orderkey "
+            "WHERE l.l_shipdate >= o.o_orderdate "
+            "AND l.l_shipdate < o.o_orderdate + INTERVAL 30 DAY "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "j3_pip_join_grid": (
+            "SELECT n_name AS poly_id, count(*) AS n_points "
+            f"FROM ({_POINTS_SQL}) p JOIN nation n ON "
+            f"p.lon >= {_GRID_W} AND p.lon < {_GRID_W} + 72.0 AND "
+            f"p.lat >= {_GRID_S} AND p.lat < {_GRID_S} + 36.0 "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "tpch_q1_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            f"cast(sum({dec.format(c='l_quantity')}) as double) AS sum_qty, "
+            f"cast(sum({dec.format(c='l_extendedprice')}) as double) AS sum_base_price, "
+            f"{rev} AS sum_disc_price, "
+            "count(*) AS count_order FROM lineitem "
+            "WHERE l_shipdate <= timestamp '1998-09-02' "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "tpch_q3_topk_revenue": (
+            f"SELECT o_orderkey, {rev} AS revenue FROM customer c "
+            "JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+            "WHERE c.c_mktsegment = 'BUILDING' "
+            "AND o.o_orderdate < timestamp '1998-01-01' "
+            "GROUP BY 1 ORDER BY revenue DESC, o_orderkey LIMIT 10"
+        ),
+        "tpch_q5_regional_revenue": (
+            f"SELECT n_name, {rev} AS revenue FROM region r "
+            "JOIN nation n ON r.r_regionkey = n.n_regionkey "
+            "JOIN customer c ON n.n_nationkey = c.c_nationkey "
+            "JOIN orders o ON c.c_custkey = o.o_custkey "
+            "JOIN lineitem l ON o.o_orderkey = l.l_orderkey "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "grouping_rollup": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem "
+            "GROUP BY ROLLUP (l_returnflag, l_linestatus) "
+            "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "pivot_status_counts": (
+            "SELECT o_orderpriority, "
+            "count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS st_o, "
+            "count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS st_f, "
+            "count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS st_p "
+            "FROM orders GROUP BY 1 ORDER BY 1"
+        ),
+        "daily_event_rollup": (
+            "SELECT date_trunc('day', ts) AS day, count(*) AS n_events, "
+            "count(DISTINCT user_id) AS n_users FROM events "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "s4_incremental_dedupe": (
+            "SELECT event_type, count(*) AS n_unique_users FROM ("
+            "SELECT DISTINCT user_id, event_type FROM events) "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "x_scalar_suite": (
+            "SELECT doc_id, md5(text) AS text_md5, length(text) AS n_chars_calc, "
+            "coalesce(regexp_extract(text, '^(\\w+)', 1), '') AS first_word, "
+            "upper(substring(text, 1, 8)) AS head_upper, "
+            "regexp_replace(trim(text), '\\s+', ' ', 'g') AS ws_norm, "
+            "source || ':' || substring(md5(text), 1, 12) AS short_id "
+            "FROM documents ORDER BY doc_id"
+        ),
         "cell_assign_counts": (
             f"SELECT {cell5} AS cell, count(*) AS n_points "
             f"FROM ({_POINTS_SQL}) GROUP BY 1 ORDER BY 1"
+        ),
+        "tile_pyramid_counts": " UNION ALL ".join(
+            f"SELECT {res} AS res, {ix.ghcell_sql('lon', 'lat', res)} AS cell, "
+            f"count(*) AS n_points FROM ({_POINTS_SQL}) GROUP BY 1, 2"
+            for res in (5, 6, 7)
+        )
+        + " ORDER BY res, cell",
+        "dedup_exact": (
+            "SELECT md5(text) AS text_md5, min(doc_id) AS keep_id, "
+            "count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1"
+        ),
+        "doc_token_stats": (
+            "SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, "
+            "cast(ceil(length(text) / 4.0 * 0.75 + "
+            "len(string_split(text, ' ')) * 0.25) as bigint) AS n_subwords_est "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "doc_quality": (
+            "SELECT doc_id, len(string_split(text, ' ')) AS n_words, "
+            "(length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / "
+            "len(string_split(text, ' ')) AS mean_word_len, "
+            "(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))) "
+            "* 1.0 / length(text) AS upper_ratio, "
+            "(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) "
+            "* 1.0 / length(text) AS digit_ratio, "
+            "len(list_distinct(string_split(text, ' '))) * 1.0 / "
+            "len(string_split(text, ' ')) AS distinct_ratio "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "doc_langid": (
+            f"SELECT lang_pred, count(*) AS n_docs FROM ("
+            f"SELECT {lang_case} AS lang_pred FROM ("
+            f"SELECT {lang_scores} FROM documents)) GROUP BY 1 ORDER BY 1"
+        ),
+        "doc_fingerprint": (
+            f"SELECT doc_id, md5(array_to_string({toks}, ' ')) AS fingerprint "
+            "FROM documents ORDER BY doc_id"
+        ),
+        "dedup_ngram_jaccard": (
+            f"WITH base AS (SELECT doc_id AS id, source AS blk, {toks} AS toks "
+            "FROM documents) "
+            "SELECT a.id AS id_a, b.id AS id_b, "
+            "len(list_intersect(a.toks, b.toks)) * 1.0 / "
+            "len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard "
+            "FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id "
+            "WHERE len(list_intersect(a.toks, b.toks)) * 1.0 / "
+            "len(list_distinct(list_concat(a.toks, b.toks))) >= 0.2 "
+            "ORDER BY 1, 2"
         ),
     }

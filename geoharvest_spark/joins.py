@@ -132,7 +132,6 @@ def pip_join(
     points: must carry (point_id, lon, lat). polygons: POLYGONS_SCHEMA.
     Broadcast-free: the equi-join runs as a shuffle join on (cell[, salt]).
     """
-    spark = points.sparkSession
     pts = points.withColumn("cell", ix.ghcell(F.col("lon"), F.col("lat"), res))
     cover = polygon_cover_cells(polygons, res).select("cell", "poly_id", "wkt", "bbox")
 
@@ -144,26 +143,22 @@ def pip_join(
     else:
         join_keys = ["cell"]
 
-    # north rule: broadcast-free main join — pin it off for this plan
-    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        cand = pts.join(cover, join_keys, "inner")
-        # cheap exact-envelope prefilter stays in codegen before Python runs
-        cand = cand.where(
-            (F.col("lon") >= F.col("bbox.w"))
-            & (F.col("lon") <= F.col("bbox.e"))
-            & (F.col("lat") >= F.col("bbox.s"))
-            & (F.col("lat") <= F.col("bbox.n"))
-        ).drop("bbox", *(["salt"] if salted else []), "cell")
-        refined = _refine_pip(cand)
-        # a polygon may span several cover cells; a point matches in at most
-        # one (its own cell) so no dedupe needed — cell equi-join guarantees
-        # each (point, poly) pair appears once.
-        return refined
-    finally:
-        if old is not None:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # north rule: broadcast-free main spatial join. A conf toggle would be
+    # restored before the (lazy) plan ever executes, so pin the physical
+    # strategy with a join HINT instead — shuffled-hash on the cover side
+    # co-partitions both sides on (cell[, salt]) without replicating either.
+    cand = pts.join(cover.hint("shuffle_hash"), join_keys, "inner")
+    # cheap exact-envelope prefilter stays in codegen before Python runs
+    cand = cand.where(
+        (F.col("lon") >= F.col("bbox.w"))
+        & (F.col("lon") <= F.col("bbox.e"))
+        & (F.col("lat") >= F.col("bbox.s"))
+        & (F.col("lat") <= F.col("bbox.n"))
+    ).drop("bbox", *(["salt"] if salted else []), "cell")
+    # a polygon may span several cover cells; a point matches in at most
+    # one (its own cell) so no dedupe needed — the cell equi-join yields
+    # each (point, poly) pair exactly once.
+    return _refine_pip(cand)
 
 
 # ---------------------------------------------------------------------------
@@ -234,6 +229,48 @@ def _ring_cells_udf(res: int, ring: int):
     return _rings
 
 
+def _knn_ring_pass(
+    q: DataFrame, p: DataFrame, res: int, ring: int
+) -> tuple[DataFrame, DataFrame]:
+    """One ring pass -> (exact_results, unresolved_queries).
+
+    A ring answer is exact iff it filled k rows AND the k-th distance is
+    within the guaranteed-coverage radius of the ring.
+    """
+    ring_cells = _ring_cells_udf(res, ring)
+    q2 = q.withColumn("_rc", ring_cells(F.col("q_lon"), F.col("q_lat")))
+    q_cells = (
+        q2.withColumn("cell", F.explode(F.col("_rc.cells")))
+        .withColumn("guard_m", F.col("_rc.guard_m"))
+        .drop("_rc")
+    )
+    cand = q_cells.join(p, "cell", "inner").drop("cell")
+    cand = cand.withColumn(
+        "dist_m",
+        haversine_m(F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("dist_m").asc(), F.col("point_id"))
+    ranked = cand.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= F.col("_k")
+    )
+    counts = ranked.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.max("dist_m").alias("_kth"),
+        F.first("guard_m").alias("_guard"),
+    )
+    unresolved = (
+        q.join(counts, "qid", "left")
+        .where(
+            (F.coalesce(F.col("_n"), F.lit(0)) < F.col("_k"))
+            | (F.col("_kth") > F.col("_guard"))
+        )
+        .select("qid", "q_lon", "q_lat", "_k")
+    )
+    out_cols = ["qid", "point_id", "rank", "dist_m"]
+    exact = ranked.join(unresolved.select("qid"), "qid", "left_anti").select(*out_cols)
+    return exact, unresolved
+
+
 def knn_join(
     queries: DataFrame,
     points: DataFrame,
@@ -241,6 +278,7 @@ def knn_join(
     res: int = 4,
     ring: int = 1,
     point_key: str = "point_id",
+    escalations: tuple[int, ...] = (4,),
 ) -> DataFrame:
     """kNN: for each query row (qid, lon, lat[, k]) find the k nearest
     points (point_id, lon, lat) by haversine distance.
@@ -248,10 +286,11 @@ def knn_join(
     Returns (qid, point_id, rank, dist_m). If `k` is None, the per-row
     ``k`` column of `queries` is used.
 
-    Plan: ring-cover equi-join (W3/W4: ranking window + distance sort), then
-    a brute-force fallback ONLY for queries underfilled by the ring — at
-    production scale the res/ring should be sized so the fallback is ~0; it
-    exists for correctness on sparse regions.
+    Plan (W3/W4: ranking window + distance-sorted pruning): staged ring
+    expansion — pass 1 at `ring`, then `ring * escalations[i]` for the
+    still-unresolved queries only, finally an exact brute-force pass for
+    whatever remains (sparse oceans). Each stage touches only unresolved
+    queries, so at production scale the expensive stages see ~0 rows.
     """
     k_col = F.lit(k) if k is not None else F.col("k")
     q = queries.select(
@@ -267,42 +306,18 @@ def knn_join(
         ix.ghcell(F.col("lon"), F.col("lat"), res).alias("cell"),
     )
 
-    ring_cells = _ring_cells_udf(res, ring)
-    q2 = q.withColumn("_rc", ring_cells(F.col("q_lon"), F.col("q_lat")))
-    q_cells = q2.withColumn("cell", F.explode(F.col("_rc.cells"))).withColumn(
-        "guard_m", F.col("_rc.guard_m")
-    ).drop("_rc")
+    out_cols = ["qid", "point_id", "rank", "dist_m"]
+    results = []
+    pending = q
+    for mult in (1, *escalations):
+        exact, pending = _knn_ring_pass(pending, p, res, ring * mult)
+        results.append(exact)
+        pending = pending.cache()
 
-    cand = q_cells.join(p, "cell", "inner").drop("cell")
-    cand = cand.withColumn(
-        "dist_m",
-        haversine_m(F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")),
-    )
+    # final exact pass for anything still unresolved
     w = Window.partitionBy("qid").orderBy(F.col("dist_m").asc(), F.col("point_id"))
-    ranked = (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= F.col("_k"))
-    )
-
-    # a ring answer is exact iff it filled k rows AND the k-th distance is
-    # within the guaranteed-coverage radius; everything else falls back
-    counts = ranked.groupBy("qid").agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.max("dist_m").alias("_kth"),
-        F.first("guard_m").alias("_guard"),
-    )
-    fallback_qids = (
-        q.join(counts, "qid", "left")
-        .where(
-            (F.coalesce(F.col("_n"), F.lit(0)) < F.col("_k"))
-            | (F.col("_kth") > F.col("_guard"))
-        )
-        .select("qid")
-    )
-
-    fallback = (
-        q.join(fallback_qids, "qid", "left_semi")
-        .crossJoin(p.drop("cell"))
+    brute = (
+        pending.crossJoin(p.drop("cell"))
         .withColumn(
             "dist_m",
             haversine_m(
@@ -311,11 +326,12 @@ def knn_join(
         )
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= F.col("_k"))
+        .select(*out_cols)
     )
-
-    out_cols = ["qid", "point_id", "rank", "dist_m"]
-    good = ranked.join(fallback_qids, "qid", "left_anti").select(*out_cols)
-    return good.unionByName(fallback.select(*out_cols))
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.unionByName(brute)
 
 
 def knn_brute_force(

@@ -1,0 +1,166 @@
+"""Embedding similarity search over the embeddings table (vec_id,
+embedding: array<float>, label).
+
+- brute-force cosine top-k: the exactness baseline. Normalize once, then
+  dot products via a vectorized numpy kernel inside applyInPandas per query
+  block (matrix-matrix multiply per Arrow batch, not per-row Python).
+- LSH-bucketed ANN: deterministic random-hyperplane signatures (seeded
+  numpy planes, sign bits -> bucket), candidates = bucket equi-join +
+  multiprobe (flip each bit), exact re-rank inside buckets. The scale path:
+  shuffle O(n * probes), never O(n^2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+SEED = 1234
+
+
+def _normalize_rows(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return m / n
+
+
+def cosine_topk_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine: (qid, vec_id, rank, cos_sim).
+
+    The corpus is collected ONCE into a numpy matrix broadcast to executors
+    (fine while corpus fits in memory — the baseline path; the LSH variant
+    is the scale path). Queries stream through mapInPandas with a single
+    GEMM per batch.
+    """
+    spark = queries.sparkSession
+    corpus_pd = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("v")
+    ).toPandas()
+    ids = corpus_pd["cid"].to_numpy()
+    mat = _normalize_rows(np.array(corpus_pd["v"].tolist(), dtype=np.float64))
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def _map(batches):
+        for pdf in batches:
+            if pdf.empty:
+                yield pd.DataFrame(
+                    {"qid": [], "vec_id": [], "rank": [], "cos_sim": []}
+                )
+                continue
+            q = _normalize_rows(
+                np.array(pdf["_qv"].tolist(), dtype=np.float64)
+            )
+            sims = q @ b_mat.value.T  # (nq, nc)
+            out = []
+            for row_i in range(sims.shape[0]):
+                s = sims[row_i]
+                order = np.lexsort((b_ids.value, -s))[:k]
+                for r, j in enumerate(order, start=1):
+                    out.append(
+                        (pdf["qid"].iloc[row_i], int(b_ids.value[j]), r, float(s[j]))
+                    )
+            yield pd.DataFrame(
+                out, columns=["qid", "vec_id", "rank", "cos_sim"]
+            )
+
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("_qv")
+    )
+    return q.mapInPandas(
+        _map, "qid long, vec_id long, rank int, cos_sim double"
+    )
+
+
+def _hyperplanes(dim: int, n_bits: int, seed: int = SEED) -> np.ndarray:
+    rs = np.random.RandomState(seed)
+    return rs.normal(size=(n_bits, dim))
+
+
+def lsh_signatures(
+    df: DataFrame,
+    dim: int,
+    n_bits: int = 12,
+    n_tables: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, table, bucket) — one sign-bit bucket per hash table.
+
+    Multiple independent tables (seeded hyperplane sets) are the standard
+    recall lever for hyperplane LSH; candidates union across tables.
+    """
+    plane_sets = [
+        _hyperplanes(dim, n_bits, seed=SEED + 7919 * t) for t in range(n_tables)
+    ]
+
+    @F.pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        m = np.array(vecs.tolist(), dtype=np.float64)
+        weights = (1 << np.arange(n_bits)).astype(np.int64)
+        per_table = [((m @ p.T) > 0) @ weights for p in plane_sets]
+        return pd.Series(np.stack(per_table, axis=1).tolist())
+
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(_buckets(F.col(vec_col))).alias("table", "bucket"),
+    )
+    return out
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 10,
+    n_tables: int = 4,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k: per-table bucket equi-join (+1-bit multiprobe), candidates
+    unioned across tables, exact cosine re-rank. Returns
+    (qid, vec_id, rank, cos_sim). Shuffle O(n * tables * probes)."""
+    c_sig = lsh_signatures(corpus, dim, n_bits, n_tables, id_col, vec_col).select(
+        F.col("id").alias("cid"), F.col("v").alias("cv"), "table", "bucket"
+    )
+    q_sig = lsh_signatures(queries, dim, n_bits, n_tables, id_col, vec_col).select(
+        F.col("id").alias("qid"), F.col("v").alias("qv"), "table", "bucket"
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                for i in range(n_bits)
+            ],
+        )
+        q_sig = q_sig.withColumn("bucket", F.explode(probes))
+
+    cand = q_sig.join(c_sig, ["table", "bucket"]).drop(
+        "table", "bucket"
+    ).dropDuplicates(["qid", "cid"])
+
+    @F.pandas_udf("double")
+    def _cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        a = _normalize_rows(np.array(qv.tolist(), dtype=np.float64))
+        b = _normalize_rows(np.array(cv.tolist(), dtype=np.float64))
+        return pd.Series((a * b).sum(axis=1))
+
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        cand.withColumn("cos_sim", _cos(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", F.col("cid").alias("vec_id"), "rank", "cos_sim")
+    )

@@ -1,0 +1,151 @@
+"""Structured Streaming: the reference's incremental mode as real streams.
+
+The reference's "streams" (SURVEY.md §2.9) are SQS messages
+(mit.py:58-87), git-diff deltas (ogm.py:248-292) and daily Alma files
+(alma.py:61-73): at-least-once delivery, in-run dedupe by message id,
+invalid messages diverted not dropped, last-event-wins ordering per id.
+
+Spark mapping implemented here:
+- file-source stream over a pages/events directory (micro-batch =
+  snapshot delta; at a real deployment this is Kafka or an Iceberg CDC
+  stream — same dataflow);
+- dropDuplicates within watermark = the processed_message_ids guard
+  (sqs.py:161-185);
+- last-event-wins per key via stateful dedup or foreachBatch MERGE
+  emulation (A4, mit.py:186-197);
+- invalid events -> error side-output, never dropped (sqs.py:95-108);
+- tumbling-window counts with late-data watermark (event-time filtering,
+  F1 analog).
+
+All helpers return streaming DataFrames; tests drive them with the memory
+sink + processAllAvailable() so a batch of parquet rows executes the whole
+streaming query synchronously.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("message_id", T.StringType(), False),
+        T.StructField("event_ts", T.TimestampType(), True),
+        T.StructField("event", T.StringType(), True),  # created|deleted|...
+        T.StructField("url", T.StringType(), True),
+        T.StructField("seq", T.LongType(), True),
+    ]
+)
+
+VALID_EVENTS = ("created", "deleted")
+
+
+def read_event_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 10
+) -> DataFrame:
+    """File-source event stream (micro-batch = arrival of new files)."""
+    return (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def split_invalid(stream: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Invalid events (unknown type / missing url) divert to a side output —
+    the reference logs + leaves them in the queue (sqs.py:95-108,139-159);
+    here they land in an errors sink for replay."""
+    is_valid = F.col("event").isin(*VALID_EVENTS) & F.col("url").isNotNull()
+    return stream.where(is_valid), stream.where(~is_valid)
+
+
+def dedupe_messages(stream: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """At-least-once -> effectively-once: drop duplicate message ids within
+    the watermark horizon (processed_message_ids guard, sqs.py:161-185)."""
+    return stream.withWatermark("event_ts", watermark).dropDuplicates(
+        ["message_id"]
+    )
+
+
+def windowed_event_counts(
+    stream: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window event counts with late-data watermark."""
+    return (
+        stream.withWatermark("event_ts", watermark)
+        .groupBy(F.window("event_ts", window), F.col("event"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event",
+            "n",
+        )
+    )
+
+
+def last_event_per_url_batch(df: DataFrame) -> DataFrame:
+    """Batch kernel for last-event-wins (A4): max-seq row per url."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(F.col("seq").desc(), F.col("event_ts").desc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def run_last_event_stream(
+    stream: DataFrame, out_table: str, checkpoint_dir: str
+):
+    """Streaming last-event-wins via foreachBatch MERGE emulation: each
+    micro-batch folds into an in-memory state table keyed by url — the
+    EventBridge pooling semantics (mit.py:158-242) with exactly-once
+    output per trigger. Returns the StreamingQuery.
+
+    State lives in a GLOBAL temp view: foreachBatch executes in a cloned
+    SparkSession, so a session-local temp view would be invisible to the
+    caller (and to the next epoch's clone)."""
+    state_view = f"{out_table}_state"
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        sess = batch_df.sparkSession
+        batch_last = last_event_per_url_batch(batch_df)
+        try:
+            prev = sess.table(f"global_temp.{state_view}")
+            merged = last_event_per_url_batch(prev.unionByName(batch_last))
+        except Exception:  # first epoch: no state yet
+            merged = batch_last
+        merged.cache().count()
+        merged.createOrReplaceGlobalTempView(state_view)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def synth_event_batch(i0: int, n: int, dup_every: int = 7) -> list[dict]:
+    """Deterministic synthetic event rows incl. duplicates and invalids
+    (FIXTURES.md T7)."""
+    import datetime as dt
+
+    rows = []
+    for i in range(i0, i0 + n):
+        mid = f"msg{i - (i % dup_every == 3)}"  # some ids repeat
+        rows.append(
+            {
+                "message_id": mid,
+                "event_ts": dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i * 30),
+                "event": ["created", "deleted", "created", "bogus"][i % 4]
+                if i % 11 == 0 or i % 4 != 3
+                else "created",
+                "url": None if i % 13 == 5 else f"https://cdn.mit.test/gis/data_{i % 50}.zip",
+                "seq": i,
+            }
+        )
+    return rows

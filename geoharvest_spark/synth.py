@@ -429,9 +429,9 @@ def web_pages_df(spark, n: int, partitions: int | None = None):
     """
     from .schema import PAGES_SCHEMA
 
-    if n <= 5_000:
+    if n <= 2_000 and partitions is None:
         return spark.createDataFrame(web_pages_pdf(n), schema=PAGES_SCHEMA)
-    parts = partitions or max(8, n // 25_000)
+    parts = partitions or max(32, n // 2_000)
 
     def _gen(batches):
         for pdf in batches:

@@ -1,0 +1,124 @@
+"""Scaling-efficiency run: the same spatial workload at a given parallelism.
+
+Usage: spark-submit jobs/scaling.py <cores> [sf_dir] [n_pages]
+Prints one JSON line {"cores": N, "seconds": {...}, "rows": {...}}.
+
+The north rule requires >=0.8 throughput scaling efficiency from N to 4N
+executors; in this sandbox the two cluster sizes are local[8] vs local[32]
+(driver instruction). jobs/run_scaling.sh runs both and writes
+BENCH/BASELINE.md.
+
+Workload (CPU-heavy, shuffle-real):
+  W1 extract+normalize: n_pages synthetic web pages, distributed generation
+     -> metadata extraction -> 5-format normalization -> error split
+  W2 PIP join: 600k lineitem-derived points vs 25 world-grid polygons
+     (salted, broadcast-free) at res 4
+  W3 tile pyramid: res 5/6/7 cell counts over the same points
+  W4 kNN: 300 queries, ring+window plan
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from geoharvest_spark import index as ix  # noqa: E402
+from geoharvest_spark.joins import knn_join, pip_join  # noqa: E402
+from geoharvest_spark.normalize import split_failed  # noqa: E402
+from geoharvest_spark.pipeline import harvest_pages_fused as harvest_pages  # noqa: E402
+from geoharvest_spark.session import get_spark  # noqa: E402
+from geoharvest_spark.synth import query_points_df, web_pages_df  # noqa: E402
+
+
+def _noop(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    cores = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    n_pages = int(sys.argv[3]) if len(sys.argv) > 3 else 6000
+    rep = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+
+    spark = get_spark(f"scaling-{cores}", cores=cores)
+    seconds: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # replication -> rep*600k points so shuffle/refine work dominates overhead
+    li = li.withColumn("rep", F.explode(F.array(*[F.lit(i) for i in range(rep)])))
+    pts = (
+        li.select(
+            (F.col("l_orderkey") * 32 + F.col("l_linenumber") * 8 + F.col("rep"))
+            .alias("point_id"),
+            ((F.col("l_orderkey") * 7919 + F.col("l_linenumber") * 131
+              + F.col("rep") * 101159)
+             % 36000 / 100.0 - 180.0).alias("lon"),
+            ((F.col("l_orderkey") * 104729 + F.col("l_linenumber") * 257
+              + F.col("rep") * 35742)
+             % 18000 / 100.0 - 90.0).alias("lat"),
+        )
+        .repartition(cores * 3)
+        .cache()
+    )
+    rows["points"] = pts.count()
+
+    # ---- warm-up (untimed): spin up + import-load every python worker so
+    # timed numbers measure throughput, not one-time worker cold start ----
+    _noop(
+        split_failed(harvest_pages(web_pages_df(spark, 300, partitions=cores)))[0]
+        .select("url")
+    )
+    import __spark_entry__ as entrymod
+
+    polys = entrymod._nation_boxes(spark, sf_dir)
+    _noop(pip_join(pts.limit(5000), polys, res=4))
+    _noop(knn_join(query_points_df(spark, 10), pts.limit(5000), res=4, ring=1))
+
+    # W1 normalize (generation + extraction + 5-format normalize, CPU-bound)
+    t0 = time.perf_counter()
+    ok, failed = split_failed(
+        harvest_pages(web_pages_df(spark, n_pages, partitions=cores * 4))
+    )
+    _noop(ok.select("url", "aardvark.id", "aardvark.dcat_bbox", "error"))
+    seconds["normalize"] = round(time.perf_counter() - t0, 2)
+    rows["pages"] = n_pages
+
+    # W2 PIP
+    t0 = time.perf_counter()
+    _noop(pip_join(pts, polys, res=4, rows_per_task=100_000))
+    seconds["pip_join"] = round(time.perf_counter() - t0, 2)
+
+    # W3 tiles
+    t0 = time.perf_counter()
+    for res in (5, 6, 7):
+        pass
+    frames = None
+    for res in (5, 6, 7):
+        f_ = (
+            pts.withColumn("cell", ix.ghcell(F.col("lon"), F.col("lat"), res))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("res", F.lit(res))
+        )
+        frames = f_ if frames is None else frames.unionByName(f_)
+    _noop(frames)
+    seconds["tiles"] = round(time.perf_counter() - t0, 2)
+
+    # W4 kNN
+    t0 = time.perf_counter()
+    _noop(knn_join(query_points_df(spark, 300), pts, res=4, ring=1))
+    seconds["knn"] = round(time.perf_counter() - t0, 2)
+
+    seconds["total"] = round(sum(seconds.values()), 2)
+    print(json.dumps({"cores": cores, "seconds": seconds, "rows": rows}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

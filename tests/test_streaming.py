@@ -1,0 +1,117 @@
+"""Structured Streaming semantics tests (memory sink + processAllAvailable).
+
+Mirrors the reference's incremental behaviors: message dedupe
+(sqs.py:161-185), invalid-message diversion (sqs.py:95-108), last-event-wins
+pooling (mit.py:186-197), event-time windows (F1 analog)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geoharvest_spark.streaming import (
+    EVENT_STREAM_SCHEMA,
+    dedupe_messages,
+    last_event_per_url_batch,
+    read_event_stream,
+    split_invalid,
+    synth_event_batch,
+    windowed_event_counts,
+)
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    d = tmp_path / "stream"
+    d.mkdir()
+    # two "arrivals" (micro-batches)
+    for batch_i, (i0, n) in enumerate([(0, 60), (60, 60)]):
+        pdf = pd.DataFrame(synth_event_batch(i0, n))
+        spark.createDataFrame(pdf, EVENT_STREAM_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(d))
+    return str(d)
+
+
+def _run_to_memory(df, name: str, mode: str = "append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return q
+
+
+def test_stream_dedupe_and_split(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir)
+    valid, invalid = split_invalid(stream)
+    deduped = dedupe_messages(valid)
+    _run_to_memory(deduped, "dedup_out")
+    out = spark.sql("SELECT * FROM dedup_out").toPandas()
+    # batch truth
+    all_rows = pd.DataFrame(synth_event_batch(0, 60) + synth_event_batch(60, 60))
+    valid_rows = all_rows[
+        all_rows.event.isin(["created", "deleted"]) & all_rows.url.notna()
+    ]
+    expected_ids = valid_rows.message_id.nunique()
+    assert len(out) == expected_ids
+    assert out.message_id.is_unique
+
+    _run_to_memory(invalid, "invalid_out")
+    inv = spark.sql("SELECT * FROM invalid_out").toPandas()
+    assert len(inv) == len(all_rows) - len(valid_rows)
+    assert len(inv) > 0  # side-channel caught the bad ones
+
+
+def test_stream_windowed_counts(spark, stream_dir):
+    stream = read_event_stream(spark, stream_dir)
+    valid, _ = split_invalid(stream)
+    agg = windowed_event_counts(valid, window="10 minutes")
+    _run_to_memory(agg, "win_out", mode="append")
+    out = spark.sql("SELECT * FROM win_out").toPandas()
+    # append mode emits only watermark-closed windows; at least the early
+    # ones must have been finalized, with sane counts
+    assert (out.n > 0).all()
+    assert (out.win_end > out.win_start).all()
+
+
+def test_last_event_per_url_batch_kernel(spark):
+    rows = synth_event_batch(0, 40)
+    df = spark.createDataFrame(pd.DataFrame(rows), EVENT_STREAM_SCHEMA)
+    out = last_event_per_url_batch(df.where(F.col("url").isNotNull())).toPandas()
+    assert out.url.is_unique
+    # the kept row per url is the max-seq row
+    truth = (
+        pd.DataFrame(rows)
+        .dropna(subset=["url"])
+        .sort_values("seq")
+        .groupby("url")
+        .last()
+        .reset_index()
+    )
+    m = out.merge(truth, on="url", suffixes=("_got", "_want"))
+    assert (m.seq_got == m.seq_want).all()
+    assert (m.event_got == m.event_want).all()
+
+
+def test_streaming_last_event_foreachbatch(spark, stream_dir, tmp_path):
+    from geoharvest_spark.streaming import run_last_event_stream
+
+    stream = read_event_stream(spark, stream_dir)
+    valid, _ = split_invalid(stream)
+    q = run_last_event_stream(valid, "pool", str(tmp_path / "ckpt"))
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table("global_temp.pool_state").toPandas()
+    assert out.url.is_unique and len(out) > 0
+    # equal to the batch kernel over the whole input
+    whole = spark.read.schema(EVENT_STREAM_SCHEMA).parquet(stream_dir)
+    whole_valid = split_invalid(whole)[0]
+    truth = last_event_per_url_batch(whole_valid).toPandas()
+    m = out.merge(truth, on="url", suffixes=("_s", "_t"))
+    assert len(m) == len(truth)
+    assert (m.seq_s == m.seq_t).all()

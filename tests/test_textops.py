@@ -1,0 +1,185 @@
+"""Text-pipeline + similarity-search + multimodal-plumbing tests over the
+driver-provided documents/embeddings tables (sf0.001)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from geoharvest_spark import textops as tx
+from geoharvest_spark.simsearch import cosine_topk_bruteforce, lsh_topk
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").cache()
+
+
+def test_token_stats_match_ncols(docs):
+    out = tx.with_token_stats(docs).where(
+        F.col("n_chars_calc") != F.col("n_chars")
+    )
+    assert out.count() == 0  # driver's n_chars column is len(text)
+
+
+def test_quality_ranges(docs):
+    out = tx.with_quality(docs).select(
+        "mean_word_len", "upper_ratio", "digit_ratio", "distinct_ratio"
+    ).toPandas()
+    assert (out.mean_word_len > 0).all()
+    assert ((out.upper_ratio >= 0) & (out.upper_ratio <= 1)).all()
+    assert ((out.distinct_ratio > 0) & (out.distinct_ratio <= 1)).all()
+
+
+def test_langid_mostly_en(docs):
+    out = tx.with_langid(docs).groupBy("lang_pred").count().toPandas()
+    top = out.sort_values("count", ascending=False).iloc[0]
+    assert top.lang_pred == "en"  # corpus is english-ish word salad
+
+
+def test_fingerprint_order_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b d")], "id long, text string"
+    )
+    out = df.select("id", tx.fingerprint_col(F.col("text")).alias("fp")).toPandas()
+    fps = dict(zip(out.id, out.fp))
+    assert fps[1] == fps[2] != fps[3]
+
+
+def test_exact_dedup_counts(docs):
+    total = docs.count()
+    dd = tx.exact_dedup(docs)
+    n_groups = dd.count()
+    assert dd.agg(F.sum("n_dups")).first()[0] == total
+    assert n_groups <= total
+    # keep_id is the min doc_id of its group
+    joined = (
+        docs.select(F.md5("text").alias("text_md5"), "doc_id")
+        .join(dd, "text_md5")
+        .groupBy("text_md5")
+        .agg(F.min("doc_id").alias("true_min"), F.first("keep_id").alias("keep"))
+    )
+    assert joined.where(F.col("true_min") != F.col("keep")).count() == 0
+
+
+def test_ngram_jaccard_pairs_oracle(spark):
+    rows = [
+        (1, "the quick brown fox jumps", "a"),
+        (2, "the quick brown fox leaps", "a"),
+        (3, "entirely different words here", "a"),
+        (4, "the quick brown fox jumps", "b"),  # other block: never paired
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = tx.ngram_jaccard_pairs(df, threshold=0.5).toPandas()
+    assert set(zip(out.id_a, out.id_b)) == {(1, 2)}
+    # |{the,quick,brown,fox}| / |{...,jumps,leaps}| = 4/6
+    assert abs(out.jaccard.iloc[0] - 4 / 6) < 1e-12
+
+
+def _true_jaccard(a: str, b: str, shingle: int = 2) -> float:
+    def grams(t):
+        w = t.split()
+        return set(
+            " ".join(w[i : i + shingle]) for i in range(len(w) - shingle + 1)
+        )
+
+    ga, gb = grams(a), grams(b)
+    return len(ga & gb) / len(ga | gb)
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    # plant near-duplicates: copy 10 docs with one word changed
+    base = docs.limit(10).toPandas()
+    clones = base.copy()
+    clones["doc_id"] = clones["doc_id"] + 1_000_000
+    clones["text"] = clones["text"].str.replace(" ", " ", n=1) + " extra"
+    both = spark.createDataFrame(
+        pd.concat([base, clones]), schema=docs.schema
+    )
+    pairs = tx.minhash_lsh_pairs(both, num_hashes=64, bands=16).toPandas()
+    found = set(zip(pairs.id_a, pairs.id_b))
+    planted = {(i, i + 1_000_000) for i in base.doc_id}
+    assert planted <= found  # every planted near-dup is a candidate
+    # est_jaccard correlates with true jaccard on planted pairs
+    for _, r in pairs[pairs.id_b - pairs.id_a == 1_000_000].iterrows():
+        t = base[base.doc_id == r.id_a].text.iloc[0]
+        tj = _true_jaccard(t, t + " extra")
+        assert abs(r.est_jaccard - tj) < 0.35
+
+
+def test_simhash_identical_and_near(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "alpha beta gamma delta epsilon eta"),
+            (4, "one two three four five six")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = tx.simhash_signatures(df).toPandas().set_index("id").simhash
+    assert sigs[1] == sigs[2]
+    dups = tx.simhash_near_dups(df, max_hamming=16).toPandas()
+    pairs = set(zip(dups.id_a, dups.id_b))
+    assert (1, 2) in pairs
+    ham_12 = dups[(dups.id_a == 1) & (dups.id_b == 2)].hamming.iloc[0]
+    assert ham_12 == 0
+
+
+def test_cosine_topk_bruteforce_oracle(spark, emb):
+    queries = emb.limit(5)
+    out = cosine_topk_bruteforce(queries, emb, k=5).toPandas()
+    # numpy oracle
+    pdf = emb.toPandas()
+    mat = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf.vec_id.to_numpy()
+    for qid in out.qid.unique():
+        qv = mat[ids == qid][0]
+        sims = mat @ qv
+        order = np.lexsort((ids, -sims))[:5]
+        expect = list(ids[order])
+        got = list(out[out.qid == qid].sort_values("rank").vec_id)
+        assert got == expect
+        # rank 1 is the query itself (cos=1)
+        assert got[0] == qid
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.limit(20)
+    exact = cosine_topk_bruteforce(queries, emb, k=10).toPandas()
+    approx = lsh_topk(queries, emb, dim=64, k=10, n_bits=7, n_tables=6).toPandas()
+    recalls = []
+    for qid in exact.qid.unique():
+        e = set(exact[exact.qid == qid].vec_id)
+        a = set(approx[approx.qid == qid].vec_id)
+        recalls.append(len(e & a) / len(e))
+    # random gaussian vectors are LSH's hardest case; multi-table multiprobe
+    # still has to recover a decent fraction of true neighbors
+    assert np.mean(recalls) > 0.5
+
+
+def test_multimodal_plumbing(spark):
+    from geoharvest_spark.multimodal import (
+        FEATURE_DIM,
+        frame_sample_plan,
+        synth_media_df,
+        with_media_features,
+    )
+
+    media = synth_media_df(spark, 30)
+    feats = with_media_features(media)
+    pdf = feats.select("media_id", "features").toPandas()
+    assert all(len(v) == FEATURE_DIM for v in pdf.features)
+    # deterministic: same payload -> same features
+    f2 = with_media_features(media).select("media_id", "features").toPandas()
+    m = pdf.merge(f2, on="media_id")
+    assert all(list(a) == list(b) for a, b in zip(m.features_x, m.features_y))
+    frames = frame_sample_plan(media)
+    assert frames.count() > 0
+    assert frames.where(F.col("kind") != "video").count() == 0
