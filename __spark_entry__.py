@@ -651,6 +651,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["embed_lsh_ann"] = embed_lsh_ann
 
+    def sink_pooled_events(spark, sf):  # K3: last-event pooling + payload
+        from geoharvest_spark.normalize import split_failed
+        from geoharvest_spark.pipeline import harvest_pages_fused
+        from geoharvest_spark.sinks import pooled_events
+
+        ok, _ = split_failed(harvest_pages_fused(web_pages_df(spark, 300)))
+        return pooled_events(ok).orderBy("identifier")
+
+    Q["sink_pooled_events"] = sink_pooled_events
+
+    def sink_failure_rollup(spark, sf):  # A2 over the real error channel
+        from geoharvest_spark.normalize import split_failed
+        from geoharvest_spark.pipeline import harvest_pages_fused
+        from geoharvest_spark.sinks import failure_rollup
+
+        _, failed = split_failed(harvest_pages_fused(web_pages_df(spark, 300)))
+        return failure_rollup(failed)
+
+    Q["sink_failure_rollup"] = sink_failure_rollup
+
+    def source_alma_pruning(spark, sf):  # S9: latest-full + dailies-after
+        from geoharvest_spark import sources as src
+
+        pages = web_pages_df(spark, 300).where(F.col("url").contains("//alma."))
+        kept = src.alma_daily_since_full(pages)
+        return (
+            kept.select(src.alma_file_kind(F.col("url")).alias("kind"))
+            .groupBy("kind")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("kind")
+        )
+
+    Q["source_alma_pruning"] = source_alma_pruning
+
+    def media_features(spark, sf):  # multimodal plumbing (decode stubbed)
+        from geoharvest_spark.multimodal import synth_media_df, with_media_features
+
+        m = with_media_features(synth_media_df(spark, 60))
+        return m.select(
+            "media_id", "kind", F.size("features").alias("feat_dim")
+        ).orderBy("media_id")
+
+    Q["media_features"] = media_features
+
     def harvest_normalize(spark, sf):  # full normalize pipeline (goldens in tests)
         from geoharvest_spark.normalize import split_failed
         from geoharvest_spark.pipeline import harvest_pages

@@ -14,11 +14,15 @@ SF=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 PAGES=${2:-96000}
 REP=${3:-16}
 
-echo "running cores=$N4 ..."
-J4=$(python jobs/scaling.py "$N4" "$SF" "$PAGES" "$REP" 2>/dev/null | tail -1)
+# taskset pins each leg to exactly its core budget: in local mode the JVM
+# task threads AND the python UDF workers otherwise spill onto the host's
+# idle cores, silently giving the small leg more than N cores and
+# understating true scaling.
+echo "running cores=$N4 (taskset 0-$((N4-1))) ..."
+J4=$(taskset -c 0-$((N4-1)) python jobs/scaling.py "$N4" "$SF" "$PAGES" "$REP" 2>/dev/null | tail -1)
 echo "$J4"
-echo "running cores=$N ..."
-J1=$(python jobs/scaling.py "$N" "$SF" "$PAGES" "$REP" 2>/dev/null | tail -1)
+echo "running cores=$N (taskset 0-$((N-1))) ..."
+J1=$(taskset -c 0-$((N-1)) python jobs/scaling.py "$N" "$SF" "$PAGES" "$REP" 2>/dev/null | tail -1)
 echo "$J1"
 
 python - "$J1" "$J4" <<'EOF'

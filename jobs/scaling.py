@@ -39,6 +39,16 @@ def _noop(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _timed_min(fn, reps: int = 3) -> float:
+    """Min wall-clock over reps — robust to this shared host's noise."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 2)
+
+
 def main() -> None:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
@@ -68,52 +78,59 @@ def main() -> None:
     )
     rows["points"] = pts.count()
 
+    # realistic polygon dim: synthetic polygons with 5-10 vertex rings incl.
+    # continent-scale ones (hot cells) — the refine stage does real ray-cast
+    # work per candidate, as a production PIP does
+    from geoharvest_spark.synth import polygons_df
+
+    polys = polygons_df(spark, 2000).cache()
+    polys.count()
+
     # ---- warm-up (untimed): spin up + import-load every python worker so
     # timed numbers measure throughput, not one-time worker cold start ----
     _noop(
         split_failed(harvest_pages(web_pages_df(spark, 300, partitions=cores)))[0]
         .select("url")
     )
-    import __spark_entry__ as entrymod
-
-    polys = entrymod._nation_boxes(spark, sf_dir)
-    _noop(pip_join(pts.limit(5000), polys, res=4))
+    _noop(pip_join(pts.limit(5000), polys, res=5))
     _noop(knn_join(query_points_df(spark, 10), pts.limit(5000), res=4, ring=1))
 
     # W1 normalize (generation + extraction + 5-format normalize, CPU-bound)
-    t0 = time.perf_counter()
-    ok, failed = split_failed(
-        harvest_pages(web_pages_df(spark, n_pages, partitions=cores * 4))
-    )
-    _noop(ok.select("url", "aardvark.id", "aardvark.dcat_bbox", "error"))
-    seconds["normalize"] = round(time.perf_counter() - t0, 2)
+    def w1():
+        ok, _failed = split_failed(
+            harvest_pages(web_pages_df(spark, n_pages, partitions=cores * 4))
+        )
+        _noop(ok.select("url", "aardvark.id", "aardvark.dcat_bbox", "error"))
+
+    seconds["normalize"] = _timed_min(w1)
     rows["pages"] = n_pages
 
     # W2 PIP
-    t0 = time.perf_counter()
-    _noop(pip_join(pts, polys, res=4, rows_per_task=100_000))
-    seconds["pip_join"] = round(time.perf_counter() - t0, 2)
+    seconds["pip_join"] = _timed_min(
+        lambda: _noop(pip_join(pts, polys, res=5, rows_per_task=100_000))
+    )
 
-    # W3 tiles
-    t0 = time.perf_counter()
-    for res in (5, 6, 7):
-        pass
-    frames = None
-    for res in (5, 6, 7):
-        f_ = (
-            pts.withColumn("cell", ix.ghcell(F.col("lon"), F.col("lat"), res))
-            .groupBy("cell")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("res", F.lit(res))
+    # W3 tiles: full res 5..9 pyramid in one job (posexplode -> 5x rows ->
+    # hash agg) — one shuffle over 5*|points| rows
+    def w3():
+        cells = F.array(
+            *[ix.ghcell(F.col("lon"), F.col("lat"), r) for r in (5, 6, 7, 8, 9)]
         )
-        frames = f_ if frames is None else frames.unionByName(f_)
-    _noop(frames)
-    seconds["tiles"] = round(time.perf_counter() - t0, 2)
+        res_arr = F.array(*[F.lit(r) for r in (5, 6, 7, 8, 9)])
+        exploded = pts.select(
+            F.posexplode(F.arrays_zip(res_arr, cells)).alias("_p", "_z")
+        ).select(F.col("_z.0").alias("res"), F.col("_z.1").alias("cell"))
+        _noop(
+            exploded.groupBy("res", "cell").agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    seconds["tiles"] = _timed_min(w3)
 
     # W4 kNN
-    t0 = time.perf_counter()
-    _noop(knn_join(query_points_df(spark, 300), pts, res=4, ring=1))
-    seconds["knn"] = round(time.perf_counter() - t0, 2)
+    q2k = query_points_df(spark, 3000)
+    seconds["knn"] = _timed_min(
+        lambda: _noop(knn_join(q2k, pts, res=4, ring=1))
+    )
 
     seconds["total"] = round(sum(seconds.values()), 2)
     print(json.dumps({"cores": cores, "seconds": seconds, "rows": rows}))

@@ -1,0 +1,96 @@
+"""Physical-plan audits: pushdown, pruning, codegen, join strategies.
+
+The 100 TB criteria from the brief: filters reach the parquet scan,
+projections prune columns, hot paths stay in whole-stage codegen, the big
+spatial join never broadcasts.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _fmt(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.where(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    ).select("l_orderkey", "l_quantity")
+    txt = _fmt(q)
+    assert "PushedFilters" in txt
+    assert "l_shipdate" in txt.split("PushedFilters")[1][:300]
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.select("l_orderkey", "l_quantity")
+    txt = _fmt(q)
+    read_schema = txt.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema  # untouched columns pruned
+
+
+def test_quality_query_stays_in_codegen(spark):
+    from geoharvest_spark.textops import with_quality
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(with_quality(d).select("doc_id", "mean_word_len", "upper_ratio"))
+    assert "*(" in plan  # whole-stage-codegen marker
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_ghcell_is_jvm_side(spark):
+    """Cell assignment must not invoke Python (pure Column arithmetic)."""
+    from geoharvest_spark import index as ix
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    pts = ev.select(
+        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+    plan = _plan(pts.withColumn("cell", ix.ghcell(F.col("lon"), F.col("lat"), 7)))
+    assert "EvalPython" not in plan
+    assert "*(" in plan  # whole-stage-codegen marker
+
+
+def test_knn_distance_is_jvm_side(spark):
+    """haversine_m stays in codegen — no Python in the kNN hot path after
+    the (tiny) ring UDF on the query side."""
+    from geoharvest_spark.geo import haversine_m
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").limit(100)
+    a = ev.select(F.col("event_id"), F.lit(1.0).alias("lon"), F.lit(2.0).alias("lat"))
+    d = a.withColumn("d", haversine_m(F.lit(0.0), F.lit(0.0), F.col("lon"), F.col("lat")))
+    assert "EvalPython" not in _plan(d)
+
+
+def test_broadcast_for_tiny_dims(spark):
+    n = spark.read.parquet(f"{SF}/nation.parquet")
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    assert "BroadcastHashJoin" in _plan(j)
+
+
+def test_partial_aggregation_before_shuffle(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    agg = li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    plan = _plan(agg)
+    # map-side partial: HashAggregate appears below AND above the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(l_returnflag" in plan
