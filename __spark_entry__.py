@@ -588,7 +588,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
-    # ---------------- rows-only (non-SQL-expressible) ----------------
     def knn_haversine(spark, sf):  # J4 operator (verified vs brute force in tests)
         from geoharvest_spark.joins import knn_join
         from geoharvest_spark.synth import query_points_df
@@ -600,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["knn_haversine"] = knn_haversine
 
+    # ---------------- rows-only (non-SQL-expressible) ----------------
     def s2_cell_counts(spark, sf):  # Hilbert-curve ids: no SQL twin
         pts = _points(spark, sf)
         return (
@@ -711,6 +711,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["harvest_normalize"] = harvest_normalize
 
     return Q
+
+
+def _knn_oracle_sql() -> str:
+    """kNN oracle: the same deterministic query set (synth.query_points_pdf)
+    inlined as VALUES + SQL haversine. Exactness holds on the fixed sf0.01
+    parquet (verified; distances are well-separated vs fp ulp differences);
+    rank ties break on point_id in both engines."""
+    from geoharvest_spark.synth import query_points_pdf
+
+    qp = query_points_pdf(60)
+    vals = ", ".join(
+        f"('{r.qid}', {r.lon}, {r.lat}, {r.k})" for r in qp.itertuples()
+    )
+    return (
+        f"WITH qs(qid, qlon, qlat, k) AS (VALUES {vals}), "
+        "pts AS (SELECT event_id AS point_id, "
+        "(event_id * 7919 % 36000) / 100.0 - 180.0 AS lon, "
+        "(event_id * 104729 % 18000) / 100.0 - 90.0 AS lat FROM events), "
+        "d AS (SELECT qid, k, point_id, "
+        "2.0 * 6371008.8 * asin(sqrt("
+        "sin(radians(lat - qlat) / 2.0) * sin(radians(lat - qlat) / 2.0) "
+        "+ cos(radians(qlat)) * cos(radians(lat)) "
+        "* sin(radians(lon - qlon) / 2.0) * sin(radians(lon - qlon) / 2.0)"
+        ")) AS dist FROM qs CROSS JOIN pts) "
+        "SELECT qid, point_id, rank FROM ("
+        "SELECT qid, point_id, k, row_number() OVER (PARTITION BY qid "
+        "ORDER BY dist ASC, point_id) AS rank FROM d) "
+        "WHERE rank <= k ORDER BY qid, rank"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -943,6 +972,18 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, md5(array_to_string({toks}, ' ')) AS fingerprint "
             "FROM documents ORDER BY doc_id"
         ),
+        "embed_topk_cosine": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings "
+            "WHERE vec_id < 20), "
+            "s AS (SELECT q.qid, e.vec_id, "
+            "list_cosine_similarity(q.qv, e.embedding) AS sim "
+            "FROM q CROSS JOIN embeddings e) "
+            "SELECT qid, vec_id, rank FROM ("
+            "SELECT qid, vec_id, row_number() OVER (PARTITION BY qid "
+            "ORDER BY sim DESC, vec_id) AS rank FROM s) "
+            "WHERE rank <= 10 ORDER BY qid, rank"
+        ),
+        "knn_haversine": _knn_oracle_sql(),
         "dedup_ngram_jaccard": (
             f"WITH base AS (SELECT doc_id AS id, source AS blk, {toks} AS toks "
             "FROM documents) "

@@ -36,8 +36,9 @@ HEADLINE = [
     "doc_quality",
     "a4_last_event_per_key",
     "w_sessionization",
-    "harvest_normalize",
 ]
+
+N_BENCH_PAGES = 6000
 
 
 def materialize(df) -> int:
@@ -61,13 +62,22 @@ def main() -> None:
         t0 = time.perf_counter()
         materialize(fn(spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
+
+    # fused extract+normalize over a real corpus size (pages/sec headline)
+    from geoharvest_spark.pipeline import harvest_pages_fused
+    from geoharvest_spark.synth import web_pages_df
+
+    n_cores = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
+    pages = web_pages_df(spark, N_BENCH_PAGES, partitions=n_cores * 4)
+    t0 = time.perf_counter()
+    materialize(harvest_pages_fused(pages))
+    timings["harvest_normalize_fused"] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_total0, 3)
 
     # derived throughputs for the north-rule metric
     n_points = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     pip_rps = round(n_points / timings["j3_pip_join_grid"], 1)
-    # harvest_normalize synthesizes 300 pages internally
-    pages_ps = round(300 / timings["harvest_normalize"], 1)
+    pages_ps = round(N_BENCH_PAGES / timings["harvest_normalize_fused"], 1)
     tiles_ps = round(n_points * 3 / timings["tile_pyramid_counts"], 1)
 
     print(

@@ -250,8 +250,13 @@ def _knn_ring_pass(
         haversine_m(F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")),
     )
     w = Window.partitionBy("qid").orderBy(F.col("dist_m").asc(), F.col("point_id"))
-    ranked = cand.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= F.col("_k")
+    # ranked is tiny (<= queries*k rows) but expensive to produce; cache so
+    # the unresolved-detection agg and the exact-output anti-join don't
+    # recompute the window over the full candidate set
+    ranked = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= F.col("_k"))
+        .cache()
     )
     counts = ranked.groupBy("qid").agg(
         F.count(F.lit(1)).alias("_n"),
@@ -313,25 +318,33 @@ def knn_join(
         exact, pending = _knn_ring_pass(pending, p, res, ring * mult)
         results.append(exact)
         pending = pending.cache()
+        if pending.isEmpty():  # cheap action on a tiny cached frame —
+            pending = None     # skips every later escalation stage
+            break
 
-    # final exact pass for anything still unresolved
-    w = Window.partitionBy("qid").orderBy(F.col("dist_m").asc(), F.col("point_id"))
-    brute = (
-        pending.crossJoin(p.drop("cell"))
-        .withColumn(
-            "dist_m",
-            haversine_m(
-                F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")
-            ),
-        )
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= F.col("_k"))
-        .select(*out_cols)
-    )
     out = results[0]
     for r in results[1:]:
         out = out.unionByName(r)
-    return out.unionByName(brute)
+
+    if pending is not None:
+        # final exact pass for anything still unresolved
+        w = Window.partitionBy("qid").orderBy(
+            F.col("dist_m").asc(), F.col("point_id")
+        )
+        brute = (
+            pending.crossJoin(p.drop("cell"))
+            .withColumn(
+                "dist_m",
+                haversine_m(
+                    F.col("q_lon"), F.col("q_lat"), F.col("p_lon"), F.col("p_lat")
+                ),
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= F.col("_k"))
+            .select(*out_cols)
+        )
+        out = out.unionByName(brute)
+    return out
 
 
 def knn_brute_force(

@@ -181,18 +181,21 @@ def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.nda
     return a, b
 
 
-def _token_hashes(tokens: list[str]) -> np.ndarray:
+def _token_hashes(tokens: list[str], cache: dict | None = None) -> np.ndarray:
+    """md5-based 32-bit token hashes; `cache` memoizes across docs in a
+    batch (corpora share vocabulary, so hit rates are high)."""
     import hashlib
 
-    return np.unique(
-        np.array(
-            [
-                int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big")
-                for t in set(tokens)
-            ],
-            dtype=np.int64,
-        )
-    )
+    if cache is None:
+        cache = {}
+    out = []
+    for t in set(tokens):
+        h = cache.get(t)
+        if h is None:
+            h = int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big")
+            cache[t] = h
+        out.append(h)
+    return np.unique(np.array(out, dtype=np.int64))
 
 
 def minhash_signatures(
@@ -208,6 +211,7 @@ def minhash_signatures(
     @F.pandas_udf("array<long>")
     def _sig(texts: pd.Series) -> pd.Series:
         out = []
+        gram_cache: dict[str, int] = {}  # shared across docs in the batch
         for t in texts:
             words = (t or "").split()
             if shingle > 1 and len(words) >= shingle:
@@ -220,10 +224,11 @@ def minhash_signatures(
             if not grams:
                 out.append([0] * num_hashes)
                 continue
-            hx = _token_hashes(grams)  # (m,)
-            # (H, m) -> min over m; python ints avoid int64 overflow via
-            # object dtype on the multiply — instead use Python mod math
-            sig = ((a[:, None] * (hx[None, :] % _MINHASH_P)) % _MINHASH_P + b[:, None]) % _MINHASH_P
+            hx = _token_hashes(grams, gram_cache)  # (m,)
+            sig = (
+                (a[:, None] * (hx[None, :] % _MINHASH_P)) % _MINHASH_P
+                + b[:, None]
+            ) % _MINHASH_P
             out.append(sig.min(axis=1).tolist())
         return pd.Series(out)
 
