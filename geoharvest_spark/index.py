@@ -287,17 +287,31 @@ def cell_h3_udf(lon: Column, lat: Column, res: int) -> Column:  # pragma: no cov
 # Hot-cell salting (north rule: broadcast-free, salt-partitioned shuffle)
 # ---------------------------------------------------------------------------
 def salt_factors(
-    df: DataFrame, cell_col: str = "cell", rows_per_task: int = 100_000
+    df: DataFrame,
+    cell_col: str = "cell",
+    rows_per_task: int = 100_000,
+    sample_fraction: float | None = None,
 ) -> DataFrame:
     """Census pass: per-cell row counts -> salt factor k = ceil(count/target).
 
-    Deterministic (no RNG): the probe side later computes
+    Deterministic (no RNG in the salt itself): the probe side later computes
     ``salt = pmod(xxhash64(row_key), k_cell)`` so a resumed/retried partition
     produces identical assignments (SURVEY.md §7 hard-part #3).
-    Returns DataFrame(cell, salt_k).
+
+    ``sample_fraction``: at 100 TB an exact pre-count is a full extra scan;
+    a seeded sample (e.g. 0.01) estimates counts instead. Over/under-
+    estimating k only affects load balance, never correctness — the salted
+    equi-join is exact for any k >= 1. Returns DataFrame(cell, salt_k).
     """
-    return df.groupBy(cell_col).agg(
-        F.ceil(F.count(F.lit(1)) / F.lit(rows_per_task)).cast("int").alias("salt_k")
+    src = df
+    scale = 1.0
+    if sample_fraction is not None and 0 < sample_fraction < 1:
+        src = df.sample(fraction=sample_fraction, seed=42)
+        scale = 1.0 / sample_fraction
+    return src.groupBy(cell_col).agg(
+        F.ceil(F.count(F.lit(1)) * F.lit(scale) / F.lit(rows_per_task))
+        .cast("int")
+        .alias("salt_k")
     )
 
 

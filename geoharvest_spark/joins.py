@@ -126,17 +126,22 @@ def pip_join(
     point_key: str = "point_id",
     rows_per_task: int = 200_000,
     salted: bool = True,
+    census_sample: float | None = None,
 ) -> DataFrame:
     """Point-in-polygon join -> (point columns..., poly_id).
 
     points: must carry (point_id, lon, lat). polygons: POLYGONS_SCHEMA.
     Broadcast-free: the equi-join runs as a shuffle join on (cell[, salt]).
+    ``census_sample``: estimate salt factors from a seeded sample instead of
+    an exact pre-count (the at-scale default — set ~0.01 for a 100 TB scan).
     """
     pts = points.withColumn("cell", ix.ghcell(F.col("lon"), F.col("lat"), res))
     cover = polygon_cover_cells(polygons, res).select("cell", "poly_id", "wkt", "bbox")
 
     if salted:
-        factors = ix.salt_factors(pts, "cell", rows_per_task=rows_per_task)
+        factors = ix.salt_factors(
+            pts, "cell", rows_per_task=rows_per_task, sample_fraction=census_sample
+        )
         pts = ix.with_salt(pts, factors, "cell", point_key).drop("salt_k")
         cover = ix.explode_salts(cover, factors, "cell")
         join_keys = ["cell", "salt"]
