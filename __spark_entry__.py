@@ -492,6 +492,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["s4_incremental_dedupe"] = s4_incremental_dedupe
 
+    def j6_asof_join(spark, sf):  # as-of join (merge_asof/ASOF JOIN analog)
+        from geoharvest_spark.joins import as_of_join
+
+        ev = _t(spark, sf, "events")
+        left = ev.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+        )
+        right = (
+            ev.where(F.col("event_type") == "click")
+            .groupBy("user_id", "ts")
+            .agg(F.min("event_id").alias("click_id"))
+        )
+        out = as_of_join(left, right, "user_id", "pts", "ts")
+        return out.select("user_id", "purchase_id", "click_id").orderBy(
+            "user_id", "purchase_id"
+        )
+
+    Q["j6_asof_join"] = j6_asof_join
+
+    def stats_percentiles(spark, sf):  # exact interpolated percentiles
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy("event_type")
+            .agg(
+                F.percentile(F.col("value"), F.lit(0.5)).alias("p50"),
+                F.percentile(F.col("value"), F.lit(0.9)).alias("p90"),
+            )
+            .orderBy("event_type")
+        )
+
+    Q["stats_percentiles"] = stats_percentiles
+
     # ---------------- scalar function suite (X*) ----------------
     def x_scalar_suite(spark, sf):
         d = _t(spark, sf, "documents")
@@ -921,6 +953,20 @@ def oracle_sql() -> dict[str, str]:
         "s4_incremental_dedupe": (
             "SELECT event_type, count(*) AS n_unique_users FROM ("
             "SELECT DISTINCT user_id, event_type FROM events) "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "j6_asof_join": (
+            "WITH l AS (SELECT user_id, event_id AS purchase_id, ts AS pts "
+            "FROM events WHERE event_type = 'purchase'), "
+            "r AS (SELECT user_id, ts, min(event_id) AS click_id FROM events "
+            "WHERE event_type = 'click' GROUP BY 1, 2) "
+            "SELECT l.user_id, l.purchase_id, r.click_id "
+            "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.pts >= r.ts "
+            "ORDER BY 1, 2"
+        ),
+        "stats_percentiles": (
+            "SELECT event_type, quantile_cont(value, 0.5) AS p50, "
+            "quantile_cont(value, 0.9) AS p90 FROM events "
             "GROUP BY 1 ORDER BY 1"
         ),
         "x_scalar_suite": (

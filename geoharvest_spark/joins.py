@@ -352,6 +352,68 @@ def knn_join(
     return out
 
 
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the single right row with the same
+    `on` key and the greatest right_ts <= left_ts (direction='backward';
+    'forward' = least right_ts >= left_ts).
+
+    Spark lacks a native ASOF JOIN (DuckDB/Pandas have one). Composition:
+    union both sides tagged, sort within key by timestamp, propagate the
+    last-seen right row with a running window (last_value ignorenulls) —
+    one shuffle on the key, no range explosion. Equivalent to
+    pd.merge_asof / DuckDB ASOF JOIN (oracle-checked in __spark_entry__).
+    """
+    lcols = [c for c in left.columns]
+    rcols = [c for c in right.columns if c not in (on, right_ts)]
+    l_tag = left.select(
+        F.col(on).alias("_key"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+        F.lit(None).cast(
+            right.select(F.struct(*rcols).alias("s")).schema["s"].dataType.simpleString()
+        ).alias("_r"),
+    )
+    r_tag = right.select(
+        F.col(on).alias("_key"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            left.select(F.struct(*lcols).alias("s")).schema["s"].dataType.simpleString()
+        ).alias("_l"),
+        F.struct(*[F.col(c) for c in rcols]).alias("_r"),
+    )
+    both = l_tag.unionByName(r_tag)
+    if direction == "backward":
+        # right rows sort BEFORE left rows at equal ts (<= semantics)
+        w = (
+            Window.partitionBy("_key")
+            .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    else:
+        w = (
+            Window.partitionBy("_key")
+            .orderBy(F.col("_ts").desc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+    matched = both.withColumn(
+        "_rmatch", F.last(F.col("_r"), ignorenulls=True).over(w)
+    ).where(F.col("_side") == 1)
+    out = matched.select(
+        *[F.col("_l")[c].alias(c) for c in lcols],
+        *[F.col("_rmatch")[c].alias(c) for c in rcols],
+    )
+    return out
+
+
 def knn_brute_force(
     queries: DataFrame, points: DataFrame, k: int | None = None,
     point_key: str = "point_id",
