@@ -141,7 +141,8 @@ def pip_join(
     if salted:
         factors = ix.salt_factors(
             pts, "cell", rows_per_task=rows_per_task, sample_fraction=census_sample
-        )
+        ).cache()  # consumed by BOTH sides — without cache the census scan
+        #            of the full point table runs twice (seen in the plan)
         pts = ix.with_salt(pts, factors, "cell", point_key).drop("salt_k")
         cover = ix.explode_salts(cover, factors, "cell")
         join_keys = ["cell", "salt"]
