@@ -34,6 +34,15 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--from-ts", default=None)
     ap.add_argument("--until-ts", default=None)
+    ap.add_argument(
+        "--origin", default=None, choices=["mit", "ogm", "alma"],
+        help="harvest one origin only (the reference's "
+        "`harvester harvest mit|ogm|alma` subcommands)",
+    )
+    ap.add_argument(
+        "--skip-events", action="store_true",
+        help="skip the pooled-events sink (reference --skip-eventbridge-events)",
+    )
     ap.add_argument("--md-modified", default=None)
     ap.add_argument("--snapshot-id", default="snap0")
     ap.add_argument("--job-id", default="harvest")
@@ -43,6 +52,10 @@ def main() -> None:
     spark = get_spark("harvest")
     pages = spark.read.parquet(args.input)
     pages = sources.modified_date_filter(pages, args.from_ts, args.until_ts)
+    if args.origin:
+        from geoharvest_spark.extract import origin_from_url
+
+        pages = pages.where(origin_from_url(F.col("url")) == args.origin)
 
     # F10 empty-input early exit
     if sources.is_empty(pages):
@@ -68,7 +81,10 @@ def main() -> None:
         f"{args.output}/errors"
     )
     sinks.write_combined_jsonl(ok, f"{args.output}/combined_jsonl")
-    sinks.pooled_events(ok).write.mode("append").parquet(f"{args.output}/events_out")
+    if not args.skip_events:
+        sinks.pooled_events(ok).write.mode("append").parquet(
+            f"{args.output}/events_out"
+        )
 
     from geoharvest_spark.checkpoint import partition_metrics
 
