@@ -107,7 +107,10 @@ def _fgdc_xml(i: int, edge: str) -> bytes:
         "<langdata>eng</langdata></descript>"
         "<timeperd><timeinfo><rngdates>"
         f"<begdate>{year}0101</begdate><enddate>{year + 2}1231</enddate>"
-        "</rngdates></timeinfo></timeperd>"
+        "</rngdates>"
+        f"<mdattim><sngdate><caldate>{year}0601</caldate></sngdate>"
+        f"<sngdate><caldate>{year + 1}0601</caldate></sngdate></mdattim>"
+        "</timeinfo></timeperd>"
         f"<keywords><theme><themekey>{subj}</themekey>"
         f"<themekey>transportation</themekey></theme>"
         f"<place><placekey>{place}</placekey></place>"
@@ -162,11 +165,22 @@ def _iso19139_xml(i: int, edge: str) -> bytes:
         '<gmd:role><gmd:CI_RoleCode codeListValue="originator">originator'
         "</gmd:CI_RoleCode></gmd:role>"
         "</gmd:CI_ResponsibleParty></gmd:citedResponsibleParty>"
+        "<gmd:citedResponsibleParty><gmd:CI_ResponsibleParty>"
+        "<gmd:organisationName><gco:CharacterString>"
+        f"{_PUBLISHERS[i % len(_PUBLISHERS)]}</gco:CharacterString>"
+        "</gmd:organisationName>"
+        '<gmd:role><gmd:CI_RoleCode codeListValue="publisher">publisher'
+        "</gmd:CI_RoleCode></gmd:role>"
+        "</gmd:CI_ResponsibleParty></gmd:citedResponsibleParty>"
+        "<gmd:identifier><gmd:MD_Identifier><gmd:code>"
+        f"<gco:CharacterString>iso-{i}</gco:CharacterString>"
+        "</gmd:code></gmd:MD_Identifier></gmd:identifier>"
         "</gmd:CI_Citation></gmd:citation>"
         "<gmd:abstract><gco:CharacterString>"
         f"Synthetic ISO layer {i} covering {place}."
         "</gco:CharacterString></gmd:abstract>"
         f"{restriction}"
+        "<gmd:language><gmd:LanguageCode>eng</gmd:LanguageCode></gmd:language>"
         "<gmd:descriptiveKeywords><gmd:MD_Keywords>"
         f"<gmd:keyword><gco:CharacterString>{subj}</gco:CharacterString></gmd:keyword>"
         "</gmd:MD_Keywords></gmd:descriptiveKeywords>"

@@ -13,7 +13,7 @@ from geoharvest_spark import sinks
 from geoharvest_spark.pipeline import harvest_pages_fused
 from geoharvest_spark.synth import web_pages_df
 
-GOLDEN_NORMALIZE_MD5 = "5760c360bb58bf3d5b666840fa127d25"
+GOLDEN_NORMALIZE_MD5 = "d15b19d312a085e853ef8e8ec2f19334"
 
 
 def test_normalized_output_hash_pinned(spark):

@@ -99,7 +99,9 @@ def test_fgdc_golden_row0():
     assert aard["dct_format_s"] == "Shapefile"
     assert aard["dct_issued_s"] == "1990-03-15"
     assert aard["gbl_dateRange_drsim"] == ["[1990 TO 1992]"]
-    assert aard["gbl_indexYear_im"] == [1990]
+    # tempkey 1990 + mdattim caldates (multi-date single dates)
+    assert aard["dct_temporal_sm"] == ["1990-01-01", "1990-06-01", "1991-06-01"]
+    assert aard["gbl_indexYear_im"] == [1990, 1991]
     assert aard["dct_language_sm"] == ["eng"]
     assert aard["id"] == "mit:id0"
     assert aard["dcat_theme_sm"] == ["Transportation"]
@@ -121,6 +123,9 @@ def test_iso_golden_row6():
     assert aard["dct_subject_sm"] == ["environment"]
     assert aard["dcat_theme_sm"] == ["Environment"]
     assert aard["dct_issued_s"] == "1996-03-15"
+    assert aard["dct_language_sm"] == ["eng"]
+    assert aard["dct_publisher_sm"] == ["US Census Bureau"]
+    assert aard["dct_identifier_sm"] == ["iso-6"]
 
 
 def test_iso_public_when_no_restriction():
