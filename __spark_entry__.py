@@ -452,6 +452,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["grouping_rollup"] = grouping_rollup
 
+    def grouping_cube(spark, sf):  # cube: all grouping-set combinations
+        o = _t(spark, sf, "orders")
+        return (
+            o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy("o_orderstatus", "o_orderpriority")
+        )
+
+    Q["grouping_cube"] = grouping_cube
+
+    def array_agg_sorted(spark, sf):  # deterministic array aggregation
+        n = _t(spark, sf, "nation")
+        return (
+            n.groupBy("n_regionkey")
+            .agg(F.sort_array(F.collect_list("n_name")).alias("nations"))
+            .select(
+                "n_regionkey", F.concat_ws("|", F.col("nations")).alias("nations")
+            )
+            .orderBy("n_regionkey")
+        )
+
+    Q["array_agg_sorted"] = array_agg_sorted
+
     def pivot_status_counts(spark, sf):  # pivot -> fixed columns
         o = _t(spark, sf, "orders")
         p = (
@@ -937,6 +960,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem "
             "GROUP BY ROLLUP (l_returnflag, l_linestatus) "
             "ORDER BY l_returnflag, l_linestatus"
+        ),
+        "grouping_cube": (
+            "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders "
+            "GROUP BY CUBE (o_orderstatus, o_orderpriority) "
+            "ORDER BY o_orderstatus, o_orderpriority"
+        ),
+        "array_agg_sorted": (
+            "SELECT n_regionkey, array_to_string(list_sort(list(n_name)), '|') "
+            "AS nations FROM nation GROUP BY 1 ORDER BY 1"
         ),
         "pivot_status_counts": (
             "SELECT o_orderpriority, "
