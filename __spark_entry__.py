@@ -712,7 +712,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from geoharvest_spark.sinks import pooled_events
 
         ok, _ = split_failed(harvest_pages_fused(web_pages_df(spark, 300)))
-        return pooled_events(ok).orderBy("identifier")
+        # objects serialized so the harness canonicalizer (pandas sort +
+        # hash) never sees an unhashable array column
+        return (
+            pooled_events(ok)
+            .withColumn("objects", F.concat_ws("|", F.col("objects")))
+            .orderBy("identifier")
+        )
 
     Q["sink_pooled_events"] = sink_pooled_events
 
@@ -801,6 +807,12 @@ def _knn_oracle_sql() -> str:
 # oracle SQL (DuckDB dialect) — one per SQL-expressible query above
 # ---------------------------------------------------------------------------
 def oracle_sql() -> dict[str, str]:
+    from geoharvest_spark.oracle_stage import stage_all
+
+    # Driver-side deterministic staging (pure Python/numpy, no Spark) for
+    # queries whose inputs are synthetic or whose reference computation is
+    # not SQL-expressible (S2 Hilbert ids). See oracle_stage.py docstring.
+    stage = stage_all()
     cell5 = ix.ghcell_sql("lon", "lat", 5)
     dec = "cast({c} as decimal(18,2))"
     rev = (
@@ -1072,5 +1084,66 @@ def oracle_sql() -> dict[str, str]:
             "WHERE len(list_intersect(a.toks, b.toks)) * 1.0 / "
             "len(list_distinct(list_concat(a.toks, b.toks))) >= 0.2 "
             "ORDER BY 1, 2"
+        ),
+        # ---- staged oracles (inputs materialized driver-side, logic in SQL)
+        "harvest_normalize": (
+            f"WITH norm AS (SELECT * FROM read_parquet('{stage['normalized']}')) "
+            "SELECT metadata_format, count(*) AS n, 'ok' AS status FROM norm "
+            "WHERE error_stage IS NULL GROUP BY 1 "
+            "UNION ALL "
+            "SELECT metadata_format, count(*) AS n, 'failed' AS status FROM norm "
+            "WHERE error_stage IS NOT NULL GROUP BY 1 "
+            "ORDER BY metadata_format, status"
+        ),
+        "sink_failure_rollup": (
+            "SELECT concat_ws(': ', error_stage, error_exception) AS failure, "
+            f"count(*) AS n FROM read_parquet('{stage['normalized']}') "
+            "WHERE error_stage IS NOT NULL GROUP BY 1 "
+            "ORDER BY n DESC, failure"
+        ),
+        "sink_pooled_events": (
+            # independent SQL re-implementation of K3 pooling + K2 filenames
+            # (sinks.py pooled_events/with_output_filenames) over the staged
+            # locally-normalized rows
+            "WITH ok AS (SELECT *, row_number() OVER ("
+            "PARTITION BY identifier ORDER BY url DESC) AS rn "
+            f"FROM read_parquet('{stage['normalized']}') "
+            "WHERE error_stage IS NULL) "
+            "SELECT 'cdn-origin-example' AS bucket, identifier, "
+            "CASE WHEN access_rights = 'Public' THEN 'false' ELSE 'true' END "
+            "AS restricted, "
+            "CASE WHEN event = 'deleted' THEN 'true' ELSE 'false' END "
+            "AS deleted, "
+            "'cdn/geo/public/' || identifier || '.source.' || metadata_format "
+            "|| '.' || (CASE WHEN metadata_format IN ('fgdc','iso19139','marc') "
+            "THEN 'xml' ELSE 'json' END) "
+            "|| '|cdn/geo/public/' || identifier || '.normalized.aardvark.json' "
+            "|| '|cdn/geo/public/' || identifier || '.zip' AS objects "
+            "FROM ok WHERE rn = 1 ORDER BY identifier"
+        ),
+        "source_alma_pruning": (
+            # independent SQL re-implementation of S9 latest-full+dailies-after
+            "WITH alma AS (SELECT url, "
+            "cast(nullif(regexp_extract(url, 'alma-(\\d{4}-\\d{2}-\\d{2})-', 1), "
+            "'') as date) AS d, "
+            "nullif(regexp_extract(url, "
+            "'alma-\\d{4}-\\d{2}-\\d{2}-(daily|full)-', 1), '') AS kind "
+            f"FROM read_parquet('{stage['pages']}') "
+            "WHERE contains(url, '//alma.')), "
+            "latest AS (SELECT max(d) AS lf FROM alma WHERE kind = 'full') "
+            "SELECT kind, count(*) AS n FROM alma, latest "
+            "WHERE (kind = 'full' AND d = lf) OR (kind = 'daily' AND d > lf) "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "media_features": (
+            "SELECT media_id, kind, feat_dim FROM "
+            f"read_parquet('{stage['media']}') ORDER BY media_id"
+        ),
+        "s2_cell_counts": (
+            # numpy reference S2 ids staged per event_id; inner join back to
+            # the events view so missing/extra ids surface as row mismatches
+            "SELECT s.s2_cell, count(*) AS n_points FROM events e "
+            f"JOIN read_parquet('{stage['s2cells']}') s USING (event_id) "
+            "GROUP BY 1 ORDER BY 1"
         ),
     }

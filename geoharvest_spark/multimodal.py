@@ -126,8 +126,9 @@ def frame_sample_plan(
     )
 
 
-def synth_media_df(spark, n: int = 50) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
+def synth_media_pdf(n: int = 50) -> pd.DataFrame:
+    """Deterministic fake media rows (pandas) — shared by the Spark table
+    builder and the driver-side oracle staging path."""
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
@@ -146,4 +147,9 @@ def synth_media_df(spark, n: int = 50) -> DataFrame:
                 },
             }
         )
-    return spark.createDataFrame(pd.DataFrame(rows), schema=MEDIA_SCHEMA)
+    return pd.DataFrame(rows)
+
+
+def synth_media_df(spark, n: int = 50) -> DataFrame:
+    """Deterministic fake media table for plumbing tests."""
+    return spark.createDataFrame(synth_media_pdf(n), schema=MEDIA_SCHEMA)

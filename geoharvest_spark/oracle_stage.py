@@ -1,0 +1,126 @@
+"""Driver-side oracle staging for non-SQL-expressible pipelines.
+
+The DuckDB correctness gate can only run SQL, but several operators consume
+synthetic inputs (web pages, media blobs) or compute values SQL cannot
+(S2 Hilbert-curve ids). For those, this module materializes deterministic
+parquet inputs on the DRIVER, single-process, with NO Spark involvement:
+
+- ``normalized.parquet``: the fused harvest kernel (pipeline.harvest_rows_pdf)
+  run locally over the same synthetic 300-page corpus the Spark queries use.
+  The oracle SQL then re-implements the *sink* logic (pooling, rollups) in
+  SQL over these rows — so the sinks are verified against an independent SQL
+  implementation AND the distributed normalize pass is verified against a
+  single-process run of the same kernel.
+- ``pages.parquet``: just the synthetic urls; the Alma pruning oracle
+  re-implements the latest-full+dailies-after logic entirely in SQL.
+- ``media.parquet``: media_id/kind/feat_dim computed locally with the same
+  deterministic feature stub.
+- ``s2cells.parquet``: event_id -> S2 cell id at level 8, computed with the
+  numpy reference implementation (index.s2_cell_np) over the sf0.01 events
+  ids; the oracle SQL joins it back to the events view.
+
+Everything here is pure Python/numpy/pyarrow — safe to call from
+``oracle_sql()`` (which has no SparkSession) and independent of whether the
+driver runs the Spark query or the oracle first.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+
+STAGE_DIR = "/root/repo/.oracle_stage"
+
+
+def _write(pdf: pd.DataFrame, name: str) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(STAGE_DIR, exist_ok=True)
+    path = os.path.join(STAGE_DIR, name)
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    return path
+
+
+def stage_normalized(n_pages: int = 300) -> str:
+    """Local single-process run of the fused harvest kernel, flattened."""
+    from .pipeline import harvest_rows_pdf
+    from .synth import web_pages_pdf
+
+    pages = web_pages_pdf(n_pages)
+    norm = harvest_rows_pdf(pages["url"], pages["html"])
+    flat = pd.DataFrame(
+        {
+            "url": norm["url"],
+            "identifier": norm["identifier"],
+            "origin": norm["origin"],
+            "metadata_format": norm["metadata_format"],
+            "event": norm["event"],
+            "error_stage": [
+                (e or {}).get("stage") for e in norm["error"]
+            ],
+            "error_exception": [
+                (e or {}).get("exception") for e in norm["error"]
+            ],
+            "access_rights": [
+                (a or {}).get("dct_accessRights_s") for a in norm["aardvark"]
+            ],
+        }
+    )
+    return _write(flat, "normalized.parquet")
+
+
+def stage_pages(n_pages: int = 300) -> str:
+    from .synth import url_for, FORMATS
+
+    urls = [url_for(i, FORMATS[i % 5]) for i in range(n_pages)]
+    return _write(pd.DataFrame({"url": urls}), "pages.parquet")
+
+
+def stage_media(n: int = 60) -> str:
+    from .multimodal import FEATURE_DIM, _fake_decode_features, synth_media_pdf
+
+    m = synth_media_pdf(n)
+    feat_dim = [
+        np.int32(len(_fake_decode_features(p, FEATURE_DIM)))
+        for p in m["payload"]
+    ]
+    out = pd.DataFrame(
+        {
+            "media_id": m["media_id"],
+            "kind": m["kind"],
+            "feat_dim": pd.array(feat_dim, dtype="int32"),
+        }
+    )
+    return _write(out, "media.parquet")
+
+
+def stage_s2_cells(sf_dir: str = "/root/testdata/sf0.01", level: int = 8) -> str:
+    """event_id -> S2 cell via the numpy reference path (no Spark)."""
+    import pyarrow.parquet as pq
+
+    from .index import s2_cell_np
+
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+        .column("event_id")
+        .to_numpy()
+        .astype(np.int64)
+    )
+    lon = (ids * 7919 % 36000) / 100.0 - 180.0
+    lat = (ids * 104729 % 18000) / 100.0 - 90.0
+    cells = s2_cell_np(lon, lat, level)
+    return _write(
+        pd.DataFrame({"event_id": ids, "s2_cell": cells}), "s2cells.parquet"
+    )
+
+
+def stage_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
+    return {
+        "normalized": stage_normalized(),
+        "pages": stage_pages(),
+        "media": stage_media(),
+        "s2cells": stage_s2_cells(sf_dir),
+    }

@@ -131,6 +131,80 @@ def harvest_pages(pages: DataFrame, md_modified: str | None = None) -> DataFrame
     return normalize_pages(df, md_modified or DEFAULT_MD_MODIFIED)
 
 
+def _fused_ident(url: str, origin: str) -> str:
+    import hashlib as _hashlib
+
+    if origin == "mit":
+        m = re.search(r"([^/]+)\.zip", url)
+        return m.group(1) if m else url
+    if origin == "ogm":
+        m = re.search(r"github\.[^/]+/[^/]+/([^/]+)/(.+)$", url)
+        if m:
+            h = _hashlib.md5(m.group(2).encode()).hexdigest()[:12]
+            return f"{m.group(1)}:{h}"
+        return url
+    if origin == "alma":
+        m = re.search(r"#rec(\d+)$", url)
+        return "990" + m.group(1) if m else url
+    return _hashlib.md5(url.encode()).hexdigest()[:16]
+
+
+def _fused_origin(url: str) -> str:
+    if "//cdn.mit." in url:
+        return "mit"
+    if "//github." in url:
+        return "ogm"
+    if "//alma." in url:
+        return "alma"
+    return "web"
+
+
+def harvest_rows_pdf(
+    urls, htmls, md_modified: str | None = None
+) -> pd.DataFrame:
+    """The fused harvest kernel over plain Python sequences.
+
+    Shared by the Spark operator (harvest_pages_fused, per Arrow batch) and
+    the driver-side oracle staging path — so the DuckDB correctness gate
+    compares distributed execution against a single-process run of the SAME
+    kernel, catching partitioning/serialization divergence.
+    """
+    from .normalize import DEFAULT_MD_MODIFIED, normalize_record
+    from .normalize.base import AARDVARK_FIELDS
+    from .schema import NORMALIZED_SCHEMA
+
+    md_mod = md_modified or DEFAULT_MD_MODIFIED
+    ordered = [f.name for f in NORMALIZED_SCHEMA.fields]
+    rows = []
+    for url, html in zip(urls, htmls):
+        fmt, event, payload = ex.extract_metadata_bytes(html)
+        origin = _fused_origin(url)
+        ident = _fused_ident(url, origin)
+        if fmt is None:
+            aard, err = None, {
+                "stage": "extract",
+                "exception": "no metadata payload found",
+            }
+        else:
+            aard, err = normalize_record(
+                fmt, payload, ident, origin, event, md_mod
+            )
+        if aard is not None:
+            aard = {k: aard.get(k) for k in AARDVARK_FIELDS}
+        rows.append(
+            {
+                "url": url,
+                "identifier": ident,
+                "origin": origin,
+                "metadata_format": fmt,
+                "event": event,
+                "aardvark": aard,
+                "error": err,
+            }
+        )
+    return pd.DataFrame(rows, columns=ordered)
+
+
 def harvest_pages_fused(pages: DataFrame, md_modified: str | None = None) -> DataFrame:
     """Fused harvest: ONE Arrow crossing does extraction + identifier
     derivation + normalization.
@@ -142,69 +216,11 @@ def harvest_pages_fused(pages: DataFrame, md_modified: str | None = None) -> Dat
     (SURVEY.md §4) applied to the whole chain. Semantics identical to
     harvest_pages (tests assert equality).
     """
-    import hashlib as _hashlib
-
-    from .normalize import DEFAULT_MD_MODIFIED, normalize_record
-    from .normalize.base import AARDVARK_FIELDS
     from .schema import NORMALIZED_SCHEMA
-
-    md_mod = md_modified or DEFAULT_MD_MODIFIED
-    ordered = [f.name for f in NORMALIZED_SCHEMA.fields]
-
-    def _ident(url: str, origin: str) -> str:
-        if origin == "mit":
-            m = re.search(r"([^/]+)\.zip", url)
-            return m.group(1) if m else url
-        if origin == "ogm":
-            m = re.search(r"github\.[^/]+/[^/]+/([^/]+)/(.+)$", url)
-            if m:
-                h = _hashlib.md5(m.group(2).encode()).hexdigest()[:12]
-                return f"{m.group(1)}:{h}"
-            return url
-        if origin == "alma":
-            m = re.search(r"#rec(\d+)$", url)
-            return "990" + m.group(1) if m else url
-        return _hashlib.md5(url.encode()).hexdigest()[:16]
-
-    def _origin(url: str) -> str:
-        if "//cdn.mit." in url:
-            return "mit"
-        if "//github." in url:
-            return "ogm"
-        if "//alma." in url:
-            return "alma"
-        return "web"
 
     def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for url, html in zip(pdf["url"], pdf["html"]):
-                fmt, event, payload = ex.extract_metadata_bytes(html)
-                origin = _origin(url)
-                ident = _ident(url, origin)
-                if fmt is None:
-                    aard, err = None, {
-                        "stage": "extract",
-                        "exception": "no metadata payload found",
-                    }
-                else:
-                    aard, err = normalize_record(
-                        fmt, payload, ident, origin, event, md_mod
-                    )
-                if aard is not None:
-                    aard = {k: aard.get(k) for k in AARDVARK_FIELDS}
-                rows.append(
-                    {
-                        "url": url,
-                        "identifier": ident,
-                        "origin": origin,
-                        "metadata_format": fmt,
-                        "event": event,
-                        "aardvark": aard,
-                        "error": err,
-                    }
-                )
-            yield pd.DataFrame(rows, columns=ordered)
+            yield harvest_rows_pdf(pdf["url"], pdf["html"], md_modified)
 
     return pages.select("url", "html").mapInPandas(_map, NORMALIZED_SCHEMA)
 
