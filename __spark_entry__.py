@@ -638,8 +638,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["doc_fingerprint"] = doc_fingerprint
 
     def dedup_ngram_jaccard(spark, sf):
+        # exact Jaccard >= 0.8 (the production near-dedup regime) with
+        # MinHash-LSH candidates — oracle below is ALL-PAIRS SQL, so any
+        # LSH recall miss would show up as a hash mismatch
         d = _t(spark, sf, "documents")
-        return tx.ngram_jaccard_pairs(d, threshold=0.2).orderBy("id_a", "id_b")
+        return tx.ngram_jaccard_pairs(d, threshold=0.8).orderBy("id_a", "id_b")
 
     Q["dedup_ngram_jaccard"] = dedup_ngram_jaccard
 
@@ -685,11 +688,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["dedup_simhash"] = dedup_simhash
 
     def embed_topk_cosine(spark, sf):
-        from geoharvest_spark.simsearch import cosine_topk_bruteforce
+        # exact distributed top-k: queries broadcast, corpus streamed —
+        # nothing corpus-sized touches the driver (the collect-based brute
+        # force is a capped pytest twin only)
+        from geoharvest_spark.simsearch import cosine_topk
 
         e = _t(spark, sf, "embeddings")
         q = e.where(F.col("vec_id") < 20)
-        return cosine_topk_bruteforce(q, e, k=10).select(
+        return cosine_topk(q, e, k=10).select(
             "qid", "vec_id", "rank"
         ).orderBy("qid", "rank")
 
@@ -800,6 +806,113 @@ def _knn_oracle_sql() -> str:
         "SELECT qid, point_id, k, row_number() OVER (PARTITION BY qid "
         "ORDER BY dist ASC, point_id) AS rank FROM d) "
         "WHERE rank <= k ORDER BY qid, rank"
+    )
+
+
+def _minhash_oracle_sql() -> str:
+    """Full SQL re-implementation of MinHash+LSH (textops.py:201-296):
+    distinct 2-gram shingles -> md5-prefix 32-bit hashes -> 64 seeded affine
+    minhashes mod 2^31-1 (every intermediate fits int64 exactly in both
+    engines) -> 16 banded md5 buckets -> bucket self-join -> est_jaccard =
+    matching positions / 64 (power-of-two division, bit-exact)."""
+    from geoharvest_spark.textops import _MINHASH_P, _minhash_params
+
+    a, b = _minhash_params(64)
+    vals = ", ".join(f"({k}, {int(a[k])}, {int(b[k])})" for k in range(64))
+    P = _MINHASH_P
+    return (
+        f"WITH params(k, a, b) AS (VALUES {vals}), "
+        "docs AS (SELECT doc_id AS id, string_split(text, ' ') AS words "
+        "FROM documents), "
+        "grams AS (SELECT id, unnest(list_distinct("
+        "CASE WHEN len(words) >= 2 THEN list_transform(range(1, len(words)), "
+        "i -> words[i] || ' ' || words[i+1]) ELSE words END)) AS g FROM docs), "
+        "gh AS (SELECT DISTINCT id, "
+        "('0x' || substr(md5(g), 1, 8))::BIGINT AS h FROM grams), "
+        f"sig_k AS (SELECT id, k, min(((a * (h % {P})) % {P} + b) % {P}) AS m "
+        "FROM gh, params GROUP BY id, k), "
+        "sigs AS (SELECT id, list(m ORDER BY k) AS sig FROM sig_k GROUP BY id), "
+        "banded AS (SELECT id, sig, band, "
+        "md5(concat_ws(',', sig[4*band+1]::VARCHAR, sig[4*band+2]::VARCHAR, "
+        "sig[4*band+3]::VARCHAR, sig[4*band+4]::VARCHAR)) AS bucket "
+        "FROM sigs, (SELECT unnest(range(0, 16)) AS band)), "
+        "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, "
+        "a.sig AS sa, b.sig AS sb FROM banded a JOIN banded b "
+        "ON a.band = b.band AND a.bucket = b.bucket WHERE a.id < b.id) "
+        "SELECT id_a, id_b, list_sum(list_transform(range(1, 65), "
+        "i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) * 1.0 / 64 "
+        "AS est_jaccard FROM cand ORDER BY id_a, id_b"
+    )
+
+
+def _simhash_oracle_sql() -> str:
+    """Full SQL re-implementation of SimHash near-dup (textops.py:299-368):
+    per-word md5-prefix uint64 hashes -> signed bit votes -> 64-bit signature
+    -> 4x16-bit chunk banding -> exact Hamming via bit_count(xor).
+    This oracle caught the uint64-wrap vote bug in the first numpy version."""
+    pow2 = " ".join(f"WHEN {i} THEN {1 << i}::UBIGINT" for i in range(64))
+    return (
+        "WITH words AS (SELECT doc_id AS id, "
+        "unnest(string_split(text, ' ')) AS w FROM documents), "
+        "wh AS (SELECT id, ('0x' || substr(md5(w), 1, 16))::UBIGINT AS h "
+        "FROM words), "
+        "votes AS (SELECT id, bit, "
+        "sum(CASE WHEN (h >> bit) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 "
+        "END) AS v FROM wh, (SELECT unnest(range(0, 64)) AS bit) "
+        "GROUP BY id, bit), "
+        "sigs AS (SELECT id, cast(sum(CASE WHEN v > 0 THEN p2 "
+        "ELSE 0::UBIGINT END) AS UBIGINT) AS sig FROM "
+        f"(SELECT id, v, (CASE bit {pow2} END)::UBIGINT AS p2 FROM votes) "
+        "GROUP BY id), "
+        "banded AS (SELECT id, sig, chunk, "
+        "cast((sig >> (16 * chunk)) & 65535::UBIGINT AS BIGINT) AS cv "
+        "FROM sigs, (SELECT unnest(range(0, 4)) AS chunk)), "
+        "cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b, "
+        "a.sig AS sa, b.sig AS sb FROM banded a JOIN banded b "
+        "ON a.chunk = b.chunk AND a.cv = b.cv WHERE a.id < b.id) "
+        "SELECT id_a, id_b, cast(bit_count(xor(sa, sb)) AS INTEGER) "
+        "AS hamming FROM cand WHERE bit_count(xor(sa, sb)) <= 3 "
+        "ORDER BY id_a, id_b"
+    )
+
+
+def _embed_lsh_oracle_sql(n_bits: int = 8, n_tables: int = 4, dim: int = 64) -> str:
+    """Full SQL re-implementation of hyperplane LSH ANN (simsearch.py:83-166):
+    seeded hyperplanes inlined as VALUES, sign-bit buckets per table, 1-bit
+    multiprobe, bucket equi-join, exact cosine re-rank. Sign bits and rank
+    order verified bit-identical on the fixed sf0.01 embeddings (float64
+    dots; no near-zero sign flips in this data)."""
+    from geoharvest_spark.simsearch import SEED, _hyperplanes
+
+    planes = [
+        _hyperplanes(dim, n_bits, seed=SEED + 7919 * t) for t in range(n_tables)
+    ]
+    rows = []
+    for t in range(n_tables):
+        for b in range(n_bits):
+            wv = "[" + ",".join(repr(float(x)) for x in planes[t][b]) + "]"
+            rows.append(f"({t}, {b}, {wv}::DOUBLE[])")
+    planes_vals = ", ".join(rows)
+    pow2 = " ".join(f"WHEN {i} THEN {1 << i}" for i in range(n_bits))
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << i})" for i in range(n_bits)]
+    )
+    return (
+        f"WITH planes(tbl, bit, wv) AS (VALUES {planes_vals}), "
+        "sig AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v, tbl, "
+        "cast(sum(CASE WHEN list_dot_product(embedding::DOUBLE[], wv) > 0 "
+        f"THEN (CASE bit {pow2} END) ELSE 0 END) AS BIGINT) AS bucket "
+        "FROM embeddings, planes GROUP BY vec_id, embedding, tbl), "
+        "qsig AS (SELECT id AS qid, v AS qv, tbl, "
+        f"unnest([{probes}]) AS bucket FROM sig WHERE id < 20), "
+        "cand AS (SELECT DISTINCT q.qid, q.qv, c.id AS cid, c.v AS cv "
+        "FROM qsig q JOIN sig c ON q.tbl = c.tbl AND q.bucket = c.bucket), "
+        "scored AS (SELECT qid, cid, list_cosine_similarity(qv, cv) AS cos "
+        "FROM cand) "
+        "SELECT qid, cid AS vec_id, cast(rank AS INTEGER) AS rank FROM ("
+        "SELECT qid, cid, row_number() OVER (PARTITION BY qid "
+        "ORDER BY cos DESC, cid) AS rank FROM scored) "
+        "WHERE rank <= 10 ORDER BY qid, rank"
     )
 
 
@@ -1074,15 +1187,20 @@ def oracle_sql() -> dict[str, str]:
             "WHERE rank <= 10 ORDER BY qid, rank"
         ),
         "knn_haversine": _knn_oracle_sql(),
+        "dedup_minhash_lsh": _minhash_oracle_sql(),
+        "dedup_simhash": _simhash_oracle_sql(),
+        "embed_lsh_ann": _embed_lsh_oracle_sql(),
         "dedup_ngram_jaccard": (
-            f"WITH base AS (SELECT doc_id AS id, source AS blk, {toks} AS toks "
+            # ALL-PAIRS oracle (no candidate pruning): proves the Spark-side
+            # LSH candidate generation loses nothing at this threshold
+            f"WITH base AS (SELECT doc_id AS id, {toks} AS toks "
             "FROM documents) "
             "SELECT a.id AS id_a, b.id AS id_b, "
             "len(list_intersect(a.toks, b.toks)) * 1.0 / "
             "len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard "
-            "FROM base a JOIN base b ON a.blk = b.blk AND a.id < b.id "
+            "FROM base a JOIN base b ON a.id < b.id "
             "WHERE len(list_intersect(a.toks, b.toks)) * 1.0 / "
-            "len(list_distinct(list_concat(a.toks, b.toks))) >= 0.2 "
+            "len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8 "
             "ORDER BY 1, 2"
         ),
         # ---- staged oracles (inputs materialized driver-side, logic in SQL)

@@ -26,21 +26,92 @@ def _normalize_rows(m: np.ndarray) -> np.ndarray:
     return m / n
 
 
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_queries: int = 100_000,
+) -> DataFrame:
+    """Exact distributed top-k by cosine: (qid, vec_id, rank, cos_sim).
+
+    The scale-correct orientation: the (small) QUERY set is collected and
+    broadcast; the (huge) corpus streams through mapInPandas, one GEMM per
+    Arrow batch, emitting only the per-batch top-k per query. A final
+    window keeps the global top-k. Shuffle is O(n_batches * n_queries * k),
+    never the corpus; nothing corpus-sized ever touches the driver.
+
+    Exactness: per-row similarity is independent of batching (normalized
+    float64 dot), so the global top-k equals brute force. Ties break on
+    vec_id in both the per-batch and global selection, keeping the
+    composition lossless.
+    """
+    spark = queries.sparkSession
+    q_pd = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+    ).limit(max_queries + 1).toPandas()
+    if len(q_pd) > max_queries:
+        raise ValueError(
+            f"cosine_topk broadcasts the query set; got > {max_queries} "
+            "queries — swap the sides or use lsh_topk"
+        )
+    if q_pd.empty:
+        return spark.createDataFrame(
+            [], "qid long, vec_id long, rank int, cos_sim double"
+        )
+    q_ids = q_pd["qid"].to_numpy()
+    q_mat = _normalize_rows(np.array(q_pd["qv"].tolist(), dtype=np.float64))
+    b_q = spark.sparkContext.broadcast((q_ids, q_mat))
+
+    def _map(batches):
+        ids, mat = b_q.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c = _normalize_rows(np.array(pdf["_cv"].tolist(), dtype=np.float64))
+            cids = pdf["cid"].to_numpy()
+            sims = mat @ c.T  # (nq, nbatch)
+            kk = min(k, sims.shape[1])
+            out = []
+            for row_i in range(sims.shape[0]):
+                s = sims[row_i]
+                order = np.lexsort((cids, -s))[:kk]
+                for j in order:
+                    out.append((ids[row_i], int(cids[j]), float(s[j])))
+            yield pd.DataFrame(out, columns=["qid", "vec_id", "cos_sim"])
+
+    part = corpus.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("_cv")
+    ).mapInPandas(_map, "qid long, vec_id long, cos_sim double")
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", "vec_id", "rank", "cos_sim")
+    )
+
+
 def cosine_topk_bruteforce(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_corpus: int = 1_000_000,
 ) -> DataFrame:
     """Exact top-k by cosine: (qid, vec_id, rank, cos_sim).
 
-    The corpus is collected ONCE into a numpy matrix broadcast to executors
-    (fine while corpus fits in memory — the baseline path; the LSH variant
-    is the scale path). Queries stream through mapInPandas with a single
-    GEMM per batch.
+    TEST-ORACLE TWIN ONLY: collects the corpus to the driver (capped at
+    ``max_corpus`` rows — errors beyond that). Production paths are
+    cosine_topk (exact, corpus distributed) and lsh_topk (ANN).
     """
     spark = queries.sparkSession
+    if corpus.limit(max_corpus + 1).count() > max_corpus:
+        raise ValueError(
+            f"cosine_topk_bruteforce collects the corpus (> {max_corpus} "
+            "rows) — use cosine_topk or lsh_topk"
+        )
     corpus_pd = corpus.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("v")
     ).toPandas()

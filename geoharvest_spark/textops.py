@@ -139,27 +139,33 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     key_col: str = "doc_id",
     text_col: str = "text",
-    block_col: str = "source",
-    threshold: float = 0.5,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 32,
 ) -> DataFrame:
-    """Near-dup candidate pairs by exact token-set Jaccard within blocks.
+    """Near-dup pairs by EXACT token-set Jaccard >= threshold.
 
-    Blocking on `block_col` bounds the self-join (at scale: LSH below).
-    Jaccard = |A∩B| / |A∪B| over distinct tokens — array built-ins, bit-
-    exact in DuckDB for the oracle.
+    Candidates come from unigram MinHash-LSH (bands of r = num_hashes/bands
+    rows), then the exact Jaccard — array intersect/union built-ins, bit-
+    exact in DuckDB for the oracle — filters them. No blocked self-join
+    anywhere: a skewed block key can no longer go O(block^2); the shuffle is
+    O(docs * bands) + O(candidates).
+
+    Recall: a pair at Jaccard J is missed with probability (1 - J^r)^bands;
+    at the near-dup regime this operator targets (threshold >= ~0.7, r=2,
+    b=32) that is < 1e-10 — and the driver's all-pairs DuckDB oracle would
+    surface any miss as a hash mismatch.
     """
     base = df.select(
         F.col(key_col).alias("id"),
-        F.col(block_col).alias("blk"),
         F.array_sort(F.array_distinct(tokens_col(F.col(text_col)))).alias("toks"),
     )
-    a = base.select(
-        F.col("id").alias("id_a"), "blk", F.col("toks").alias("toks_a")
-    )
-    b = base.select(
-        F.col("id").alias("id_b"), "blk", F.col("toks").alias("toks_b")
-    )
-    pairs = a.join(b, "blk").where(F.col("id_a") < F.col("id_b"))
+    cand = minhash_lsh_pairs(
+        df, key_col, text_col, num_hashes=num_hashes, bands=bands, shingle=1
+    ).select("id_a", "id_b")
+    a = base.select(F.col("id").alias("id_a"), F.col("toks").alias("toks_a"))
+    b = base.select(F.col("id").alias("id_b"), F.col("toks").alias("toks_b"))
+    pairs = cand.join(a, "id_a").join(b, "id_b")
     inter = F.size(F.array_intersect("toks_a", "toks_b"))
     union = F.size(F.array_union("toks_a", "toks_b"))
     return (
@@ -169,9 +175,11 @@ def ngram_jaccard_pairs(
     )
 
 
-# MinHash: h_i(x) = (a_i * x + b_i) mod p, over 32-bit token hashes from
-# md5 prefixes. Parameters derived from a fixed seed.
-_MINHASH_P = (1 << 61) - 1
+# MinHash: h_i(x) = (a_i * (x mod p) + b_i) mod p over 32-bit token hashes
+# from md5 prefixes. p = 2^31-1 (Mersenne) keeps every intermediate product
+# < 2^62, so the arithmetic is EXACT in int64 on both numpy and the DuckDB
+# oracle (a larger p silently wraps numpy int64 and overflow-errors DuckDB).
+_MINHASH_P = (1 << 31) - 1
 
 
 def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -318,7 +326,13 @@ def simhash_signatures(
                 ],
                 dtype=np.uint64,
             )
-            bits = (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+            # votes MUST be signed: in uint64, a negative vote wraps to a
+            # huge positive and `> 0` would set the bit (found by the DuckDB
+            # oracle — kept as a regression test there)
+            bits = (
+                (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)
+            ).astype(np.int64)
             votes = (bits * 2 - 1).sum(axis=0)
             sig = np.uint64(0)
             for i in np.nonzero(votes > 0)[0]:

@@ -76,13 +76,35 @@ def test_ngram_jaccard_pairs_oracle(spark):
         (1, "the quick brown fox jumps", "a"),
         (2, "the quick brown fox leaps", "a"),
         (3, "entirely different words here", "a"),
-        (4, "the quick brown fox jumps", "b"),  # other block: never paired
+        (4, "the quick brown fox jumps", "b"),  # exact dup of 1, corpus-wide
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string, source string")
     out = tx.ngram_jaccard_pairs(df, threshold=0.5).toPandas()
-    assert set(zip(out.id_a, out.id_b)) == {(1, 2)}
-    # |{the,quick,brown,fox}| / |{...,jumps,leaps}| = 4/6
-    assert abs(out.jaccard.iloc[0] - 4 / 6) < 1e-12
+    # corpus-wide semantics: (1,4) identical, (2,4) = (1,2) = 4/6
+    assert set(zip(out.id_a, out.id_b)) == {(1, 2), (1, 4), (2, 4)}
+    j = {(r.id_a, r.id_b): r.jaccard for r in out.itertuples()}
+    assert abs(j[(1, 2)] - 4 / 6) < 1e-12
+    assert j[(1, 4)] == 1.0
+    assert abs(j[(2, 4)] - 4 / 6) < 1e-12
+
+
+def test_ngram_jaccard_matches_all_pairs(spark, docs):
+    """LSH candidates lose nothing vs brute-force all-pairs at near-dup
+    thresholds (the driver oracle is all-pairs SQL)."""
+    pdf = docs.limit(120).toPandas()
+    toks = {r.doc_id: set(r.text.split()) for r in pdf.itertuples()}
+    ids = sorted(toks)
+    expect = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(toks[a] & toks[b])
+            union = len(toks[a] | toks[b])
+            if union and inter / union >= 0.8:
+                expect.add((a, b))
+    out = tx.ngram_jaccard_pairs(
+        docs.limit(120), threshold=0.8
+    ).toPandas()
+    assert set(zip(out.id_a, out.id_b)) == expect
 
 
 def _true_jaccard(a: str, b: str, shingle: int = 2) -> float:
