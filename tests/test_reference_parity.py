@@ -1,0 +1,509 @@
+"""Parity against the reference's OWN fixtures and golden values.
+
+Every assertion below is a literal golden from the reference test suite
+(/root/reference/tests/test_records/*.py) run over the reference's real
+metadata fixtures (/root/reference/tests/fixtures/records/ and
+alma/single_records/) — the strongest available parity check: real-world
+XML/JSON with namespaces, encodings and edge shapes the synthetic corpus
+cannot fully reproduce.
+
+Fixture -> golden sources:
+- FGDC: tests/test_records/test_fgdc.py:63-251
+- ISO19139: tests/test_records/test_iso19139.py:34-266
+- GBL1: tests/test_records/test_gbl1.py:15-146
+- Aardvark: tests/test_records/test_aardvark.py:11-180
+- MARC: tests/test_records/test_marc.py:38-307
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from geoharvest_spark.normalize.aardvark import Aardvark
+from geoharvest_spark.normalize.fgdc import FGDC
+from geoharvest_spark.normalize.gbl1 import GBL1
+from geoharvest_spark.normalize.iso19139 import ISO19139
+from geoharvest_spark.normalize.marc import MARC
+
+FIX = "/root/reference/tests/fixtures"
+
+
+def _read(path: str) -> bytes:
+    with open(path, "rb") as f:
+        return f.read()
+
+
+# ---------------------------------------------------------------------------
+# FGDC (conftest.py:381-401)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def fgdc_required():
+    return FGDC(
+        data=_read(f"{FIX}/records/fgdc/fgdc_required_fields_only.xml"),
+        identifier="EG_CAIRO_A25TOPO_1972",
+        origin="mit",
+        event="created",
+    )
+
+
+@pytest.fixture(scope="module")
+def fgdc_all():
+    return FGDC(
+        data=_read(f"{FIX}/records/fgdc/fgdc_all_fields.xml"),
+        identifier="SDE_DATA_US_P2HIGHWAYS_2005",
+        origin="mit",
+        event="created",
+    )
+
+
+def test_fgdc_required_fields(fgdc_required):
+    assert fgdc_required._dct_accessRights_s() == "Restricted"
+    assert fgdc_required.is_restricted
+    assert (
+        fgdc_required._dct_title_s() == "Egypt, Cairo (Topographic Map, 1972)"
+    )
+    assert fgdc_required._gbl_resourceClass_sm() == ["Imagery"]
+    assert fgdc_required._dct_format_s() is None
+
+
+def test_fgdc_all_fields_bbox_and_geometry(fgdc_all):
+    golden = "ENVELOPE(-74.041973, -73.832878, 40.739137, 40.569421)"
+    assert fgdc_all._dcat_bbox() == golden
+    assert fgdc_all._locn_geometry() == golden
+
+
+def test_fgdc_all_fields_lists(fgdc_all):
+    assert fgdc_all._dct_identifier_sm() == [
+        "SDE_DATA_US_P2HIGHWAYS_2005",
+        "BKMapPLUTO",
+        "US_NY_NYC_BK_G47TXLOTS_2012",
+    ]
+    assert fgdc_all._dct_subject_sm() == [
+        "Land value taxation",
+        "City planning",
+        "planningCadastre",
+        "boundaries",
+    ]
+    assert fgdc_all._dcat_theme_sm() == ["Boundaries"]
+    assert fgdc_all._dct_spatial_sm() == [
+        "New York (State)--New York--Brooklyn"
+    ]
+    assert fgdc_all._dct_temporal_sm() == ["2012-05-01", "2011-05-01"]
+    assert fgdc_all._gbl_dateRange_drsim() == ["[2011 TO 2012]"]
+    assert fgdc_all._dct_creator_sm() == [
+        "New York (N.Y.). Department of City Planning"
+    ]
+    assert fgdc_all._dct_publisher_sm() == [
+        "New York (N.Y.). Department of City Planning"
+    ]
+    assert fgdc_all._gbl_indexYear_im() == [2012, 2011]
+    assert fgdc_all._gbl_resourceType_sm() == ["Polygon data"]
+    assert fgdc_all._dct_language_sm() == ["eng"]
+
+
+def test_fgdc_all_fields_scalars(fgdc_all):
+    assert fgdc_all._dct_format_s() == "Shapefile"
+    assert fgdc_all._dct_issued_s() == "2012-05-01"
+    desc = fgdc_all._dct_description_sm()
+    assert len(desc) == 1
+    assert desc[0].startswith(
+        "This dataset represents a compilation of data from various"
+    )
+    rights = fgdc_all._dct_rights_sm()
+    assert len(rights) == 1
+    assert rights[0].startswith("The information contained in these files")
+
+
+# ---------------------------------------------------------------------------
+# ISO19139 (conftest.py:405-427)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def iso_required():
+    return ISO19139(
+        data=_read(f"{FIX}/records/iso19139/iso19139_required_fields_only.xml"),
+        identifier="def456",
+        origin="mit",
+        event="created",
+    )
+
+
+@pytest.fixture(scope="module")
+def iso_all():
+    return ISO19139(
+        data=_read(f"{FIX}/records/iso19139/iso19139_all_fields.xml"),
+        identifier="abc123",
+        origin="mit",
+        event="created",
+    )
+
+
+def test_iso19139_required_fields(iso_required):
+    assert iso_required._dct_accessRights_s() == "Public"
+    assert not iso_required.is_restricted
+    assert (
+        iso_required._dct_title_s()
+        == "Nihyakumanbunnoichi Nanpōzu, Maps Index"
+    )
+    assert iso_required._gbl_resourceClass_sm() == ["Datasets"]
+    # the fixture declares gmd as the DEFAULT namespace; lxml's gmd: XPath
+    # and this engine's nsmap path agree the format IS present
+    assert iso_required._dct_format_s() == "Shapefile"
+
+
+def test_iso19139_all_fields_bbox(iso_all):
+    golden = "ENVELOPE(88, 138, 25.833333, -16.5)"
+    assert iso_all._dcat_bbox() == golden
+    assert iso_all._locn_geometry() == golden
+
+
+def test_iso19139_all_fields_lists(iso_all):
+    assert iso_all._dcat_keyword_sm() == [
+        "Southeast Asia",
+        "polygon",
+        "Grids (Cartography)",
+        "Index maps",
+        "Military maps",
+        "Topographic maps",
+        "Downloadable Data",
+    ]
+    assert iso_all._dct_alternative_sm() == [
+        "Southeast Asia, 1:2,000,000 Maps Index"
+    ]
+    assert iso_all._dct_identifier_sm() == [
+        "http://purl.stanford.edu/yp709vs3743"
+    ]
+    assert iso_all._dct_subject_sm() == ["boundaries", "intelligenceMilitary"]
+    assert iso_all._dcat_theme_sm() == ["Boundaries"]
+    assert iso_all._dct_spatial_sm() == ["Southeast Asia"]
+    assert iso_all._dct_temporal_sm() == ["1990-11-03", "1941-1944"]
+    # NOTE: ISO date ranges have NO brackets in the reference
+    assert iso_all._gbl_dateRange_drsim() == ["1941 TO 1944"]
+    assert iso_all._dct_creator_sm() == ["Stanford Geospatial Center"]
+    assert iso_all._dct_publisher_sm() == ["Stanford Digital Repository"]
+    assert set(iso_all._gbl_indexYear_im()) == {1941, 1944, 1990}
+    assert iso_all._gbl_resourceType_sm() == ["Polygon data"]
+    assert iso_all._dct_language_sm() == ["eng"]
+    assert iso_all._dct_rights_sm() == [
+        "This item is in the public domain. There are no restrictions on "
+        "access or use."
+    ]
+
+
+def test_iso19139_all_fields_scalars(iso_all):
+    assert iso_all._dct_format_s() == "Shapefile"
+    assert iso_all._dct_issued_s() == "2016-05-01"
+    desc = iso_all._dct_description_sm()
+    assert desc[0].startswith(
+        "This polygon shapefile is an index to 1:2,000,000 scale maps of "
+        "Southeast Asia"
+    )
+
+
+def _mangled_synth_iso(mangle) -> tuple[ISO19139, ISO19139]:
+    """(plain, mangled) pair over the synth ISO payload (which uses explicit
+    gmd: prefixes, unlike the default-ns reference fixtures)."""
+    from geoharvest_spark.synth import _iso19139_xml
+
+    data = _iso19139_xml(17, "")
+    plain = ISO19139(data=data, identifier="iso-17", origin="mit", event="created")
+    hostile = ISO19139(
+        data=mangle(data), identifier="iso-17", origin="mit", event="created"
+    )
+    return plain, hostile
+
+
+def test_iso19139_prefix_renamed_namespace():
+    """Hostile XML: the gmd namespace bound to a DIFFERENT prefix. lxml
+    XPath matches by URI, not prefix — the engine's nsmap paths must too."""
+    plain, hostile = _mangled_synth_iso(
+        lambda d: d.replace(b"xmlns:gmd=", b"xmlns:isomd=").replace(
+            b"gmd:", b"isomd:"
+        )
+    )
+    for m in ("_dcat_bbox", "_dct_title_s", "_dct_creator_sm",
+              "_dct_issued_s", "_dct_publisher_sm"):
+        assert getattr(hostile, m)() == getattr(plain, m)(), m
+
+
+def test_iso19139_default_namespace_document():
+    """Hostile XML: the reference all_fields fixture uses gmd as the
+    DEFAULT namespace (no prefixes) — URI-based matching must still work.
+    (Covered for real above; this pins the invariant on a field matrix.)"""
+    rec = ISO19139(
+        data=_read(f"{FIX}/records/iso19139/iso19139_all_fields.xml"),
+        identifier="abc123", origin="mit", event="created",
+    )
+    assert rec._dct_title_s()
+    assert rec._dcat_bbox() == "ENVELOPE(88, 138, 25.833333, -16.5)"
+
+
+def test_iso19139_uri_swapped_namespace():
+    """Hostile XML: the gmd PREFIX bound to a different URI — the dynamic
+    nsmap reconciliation (reference iso19139.py:37-47) must adopt the
+    document's URI."""
+    plain, hostile = _mangled_synth_iso(
+        lambda d: d.replace(
+            b'xmlns:gmd="http://www.isotc211.org/2005/gmd"',
+            b'xmlns:gmd="http://example.test/custom/gmd"',
+        )
+    )
+    assert hostile.nsmap["gmd"] == "http://example.test/custom/gmd"
+    for m in ("_dcat_bbox", "_dct_title_s", "_dct_creator_sm"):
+        assert getattr(hostile, m)() == getattr(plain, m)(), m
+
+
+def test_iso19139_duplicate_creator_dedupe():
+    """Duplicate citedResponsibleParty originators collapse to one — the
+    preceding-sibling XPath predicate semantics (iso19139.py:225-254),
+    exercised on the REAL (default-namespace) reference fixture."""
+    data = _read(f"{FIX}/records/iso19139/iso19139_all_fields.xml")
+    frag_start = data.index(b"<citedResponsibleParty>")
+    frag_end = data.index(b"</citedResponsibleParty>") + len(
+        b"</citedResponsibleParty>"
+    )
+    frag = data[frag_start:frag_end]
+    assert b"originator" in frag  # first party in the fixture IS originator
+    data = data[:frag_end] + frag + frag + data[frag_end:]
+    rec = ISO19139(data=data, identifier="abc123", origin="mit", event="created")
+    assert rec._dct_creator_sm() == ["Stanford Geospatial Center"]
+
+
+def test_iso19139_real_mit_fixture_parses(iso_all):
+    """Real-world MIT ISO files parse end-to-end without error."""
+    for name in (
+        "in_bhopal_f7ward_2011.iso19139.xml",
+        "us_ma_boston_g46bldgs_2012.iso19139.xml",
+    ):
+        rec = ISO19139(
+            data=_read(f"{FIX}/records/iso19139/{name}"),
+            identifier=name.split(".")[0],
+            origin="mit",
+            event="created",
+        )
+        assert rec._dct_title_s()
+        assert rec._dcat_bbox().startswith("ENVELOPE(")
+
+
+# ---------------------------------------------------------------------------
+# GBL1 (conftest.py:734-745)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def gbl1_all():
+    return GBL1(
+        data=_read(f"{FIX}/records/gbl1/gbl1_all_fields.json"),
+        identifier="abc123",
+        origin="ogm",
+        event="created",
+    )
+
+
+def test_gbl1_all_fields(gbl1_all):
+    assert gbl1_all._dct_accessRights_s() == "Public"
+    assert (
+        gbl1_all._dct_title_s()
+        == "United Arab Emirates (Geographic Feature Names, 2003)"
+    )
+    assert gbl1_all._gbl_resourceClass_sm() == ["Datasets"]
+    golden = "ENVELOPE(45, 59.25, 26.133333, 22.166667)"
+    assert gbl1_all._dcat_bbox() == golden
+    assert gbl1_all._locn_geometry() == golden
+    assert gbl1_all._dct_description_sm() == [
+        "Geographic feature names for United Arab Emirates."
+    ]
+    assert gbl1_all._dcat_keyword_sm() == []
+    assert gbl1_all._dct_alternative_sm() == []
+    assert gbl1_all._dct_creator_sm() == [
+        "National Imagery and Mapping Agency"
+    ]
+    assert gbl1_all._dct_format_s() == "Shapefile"
+    assert gbl1_all._dct_issued_s() == "2003-10-01"
+    assert gbl1_all._dct_identifier_sm() == [
+        "http://example.com/IAmUniqueId123"
+    ]
+    assert gbl1_all._dct_language_sm() == ["English"]
+    assert gbl1_all._dct_publisher_sm() == [
+        "U.S. National Imagery and Mapping Agency (NIMA)"
+    ]
+    assert gbl1_all._dct_rights_sm() == []
+    assert gbl1_all._dct_spatial_sm() == ["United Arab Emirates"]
+    assert gbl1_all._dct_subject_sm() == ["locations", "Names, Geographical"]
+    assert gbl1_all._dct_temporal_sm() == ["2003"]
+    assert gbl1_all._gbl_dateRange_drsim() == []
+    assert gbl1_all._gbl_resourceType_sm() == ["Polygon data"]
+    assert gbl1_all._gbl_indexYear_im() == [2003]
+
+
+# ---------------------------------------------------------------------------
+# Aardvark (conftest.py:749-760)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def aardvark_all():
+    return Aardvark(
+        data=_read(f"{FIX}/records/aardvark/aardvark_all_fields.json"),
+        identifier="abc123",
+        origin="ogm",
+        event="created",
+    )
+
+
+def test_aardvark_all_fields(aardvark_all):
+    assert aardvark_all._dct_accessRights_s() == "Restricted"
+    assert (
+        aardvark_all._dct_title_s() == "Egypt, Cairo (Topographic Map, 1972)"
+    )
+    assert aardvark_all._gbl_resourceClass_sm() == ["Imagery"]
+    assert (
+        aardvark_all._dcat_bbox()
+        == "ENVELOPE(31.161907, 31.381609, 30.141311, 29.994131)"
+    )
+    assert aardvark_all._dcat_keyword_sm() == ["fish", "snails"]
+    assert aardvark_all._dct_alternative_sm() == ["This is another title"]
+    assert aardvark_all._dct_creator_sm() == [
+        "Soviet Union. Sovetskaia Armiia. Generalnyi Shtab (Soviet)"
+    ]
+    assert aardvark_all._dct_format_s() == "Shapefile"
+    assert aardvark_all._dct_issued_s() == "1972-01-01"
+    assert aardvark_all._dct_identifier_sm() == [
+        "EG_CAIRO_A25TOPO_1972",
+        "http://hdl.handle.net/1721.3/172443",
+        "EG_CAIRO_A25TOPO_1972.tif",
+    ]
+    assert aardvark_all._dct_language_sm() == ["eng"]
+    assert aardvark_all._dct_publisher_sm() == [
+        "LAND INFO Worldwide Mapping, LLC"
+    ]
+    rights = aardvark_all._dct_rights_sm()
+    assert len(rights) == 1
+    assert rights[0].startswith("All data is the copyrighted property")
+    assert aardvark_all._dct_spatial_sm() == ["Egypt", "Cairo"]
+    assert aardvark_all._dct_subject_sm() == [
+        "maps",
+        "topographic maps",
+        "raster",
+        "land use",
+        "imageryBaseMapsEarthCover",
+        "elevation",
+    ]
+    assert aardvark_all._dct_temporal_sm() == ["1972-01-01"]
+    assert aardvark_all._gbl_dateRange_drsim() == ["[1990 TO 1991]"]
+    assert aardvark_all._gbl_resourceType_sm() == ["Raster data"]
+    assert aardvark_all._gbl_indexYear_im() == [1972]
+
+
+def test_double_encoded_json_record_parses():
+    """records/double_encoded_json_string_record.json: the payload is a JSON
+    string containing JSON — the reference loops json.loads until a dict
+    (record.py double-decode quirk)."""
+    rec = Aardvark(
+        data=_read(f"{FIX}/records/double_encoded_json_string_record.json"),
+        identifier="double",
+        origin="ogm",
+        event="created",
+    )
+    assert isinstance(rec.parsed_data, dict)
+    assert rec.parsed_data.get("id") or rec.parsed_data
+
+
+# ---------------------------------------------------------------------------
+# MARC (conftest.py:829-860, fixtures alma/single_records/)
+# ---------------------------------------------------------------------------
+@pytest.fixture(scope="module")
+def marc_valid():
+    return MARC(
+        data=_read(f"{FIX}/alma/single_records/geospatial_valid.xml"),
+        identifier="990022897960106761",
+        origin="alma",
+        event="created",
+    )
+
+
+def test_marc_required_fields(marc_valid):
+    assert marc_valid._dct_accessRights_s() == "Public"
+    assert marc_valid._dct_title_s() == (
+        "Bahrain [cartographic material] / map & town plans produced by "
+        "Fairey Surveys Limited."
+    )
+    assert marc_valid._gbl_resourceClass_sm() == ["Maps"]
+
+
+def test_marc_bbox_point_degenerate(marc_valid):
+    # Decimal-10 precision quirk preserved: trailing zeros kept
+    assert (
+        marc_valid._dcat_bbox()
+        == "ENVELOPE(50.55, 50.55, 26.02750000, 26.02750000)"
+    )
+    assert marc_valid._locn_geometry() == "POINT(50.55, 26.02750000)"
+
+
+def test_marc_bbox_multiple_034():
+    rec = MARC(
+        data=_read(f"{FIX}/alma/single_records/geospatial_multiple_034.xml"),
+        identifier="m034",
+        origin="alma",
+        event="created",
+    )
+    assert (
+        rec._dcat_bbox()
+        == "ENVELOPE(40.55, 50.55, 26.02750000, 16.02750000)"
+    )
+    assert (
+        rec._locn_geometry()
+        == "ENVELOPE(40.55, 50.55, 26.02750000, 16.02750000)"
+    )
+
+
+def test_marc_bbox_missing_034():
+    rec = MARC(
+        data=_read(f"{FIX}/alma/single_records/geospatial_missing_034.xml"),
+        identifier="m034x",
+        origin="alma",
+        event="created",
+    )
+    assert rec._dcat_bbox() is None
+    assert rec._locn_geometry() is None
+
+
+def test_marc_optional_fields(marc_valid):
+    assert set(marc_valid._dct_creator_sm()) == {
+        "Fairey Surveys Ltd.",
+        "Falcon Publishing.",
+        "Parrish Rogers International Ltd.",
+    }
+    assert marc_valid._dct_format_s() is None
+    assert set(marc_valid._dct_publisher_sm()) == {"Fairey"}
+    assert set(marc_valid._gbl_resourceType_sm()) == {
+        "Road maps",
+        "Tourist maps",
+    }
+    assert marc_valid._dct_issued_s() == "1979"
+    assert set(marc_valid._dct_identifier_sm()) == {
+        "990022897960106761",
+        "80692167",
+        "0906358019",
+        "9780906358016",
+        "(MCM)002289796MIT01",
+        "(OCoLC)06533196",
+    }
+    assert set(marc_valid._dct_temporal_sm()) == {"1979"}
+    assert set(marc_valid._dct_language_sm()) == {"eng"}
+    assert set(marc_valid._dct_spatial_sm()) == {
+        "Manama (Bahrain)",
+        "Bahrain",
+    }
+    assert set(marc_valid._gbl_indexYear_im()) == {1979}
+
+
+def test_marc_rights_from_injected_506():
+    """test_marc.py:266-272 injects a 506$a datafield before asserting;
+    replicated by inserting the datafield into the fixture bytes."""
+    data = _read(f"{FIX}/alma/single_records/geospatial_valid.xml")
+    inject = (
+        b'<datafield ind1=" " ind2=" " tag="506">'
+        b'<subfield code="a">Free and open to the world.</subfield>'
+        b"</datafield>"
+    )
+    data = data.replace(b"</record>", inject + b"</record>")
+    rec = MARC(data=data, identifier="abc123", origin="alma", event="created")
+    assert set(rec._dct_rights_sm()) == {"Free and open to the world."}
