@@ -752,15 +752,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["source_alma_pruning"] = source_alma_pruning
 
-    def media_features(spark, sf):  # multimodal plumbing (decode stubbed)
+    def media_features(spark, sf):  # multimodal: REAL WAV/PPM decode paths
         from geoharvest_spark.multimodal import synth_media_df, with_media_features
 
         m = with_media_features(synth_media_df(spark, 60))
         return m.select(
-            "media_id", "kind", F.size("features").alias("feat_dim")
+            "media_id",
+            "kind",
+            F.size("features").alias("feat_dim"),
+            F.col("features")[0].alias("feat0"),
         ).orderBy("media_id")
 
     Q["media_features"] = media_features
+
+    def s7_time_travel(spark, sf):  # S7: deleted-row recovery from snap N-1
+        from geoharvest_spark.snapshots import deleted_payloads, synth_snapshot_df
+
+        return deleted_payloads(synth_snapshot_df(spark), 3).orderBy(
+            "identifier"
+        )
+
+    Q["s7_time_travel"] = s7_time_travel
 
     def harvest_normalize(spark, sf):  # full normalize pipeline (goldens in tests)
         from geoharvest_spark.normalize import split_failed
@@ -1254,8 +1266,22 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY 1 ORDER BY 1"
         ),
         "media_features": (
-            "SELECT media_id, kind, feat_dim FROM "
+            "SELECT media_id, kind, feat_dim, feat0 FROM "
             f"read_parquet('{stage['media']}') ORDER BY media_id"
+        ),
+        "s7_time_travel": (
+            # independent SQL re-implementation of deleted-row recovery over
+            # the staged snapshot rows (snapshots.py:deleted_payloads)
+            f"WITH t AS (SELECT * FROM read_parquet('{stage['snapshots']}')), "
+            "del AS (SELECT identifier FROM t "
+            "WHERE snap = 3 AND event = 'deleted'), "
+            "prior AS (SELECT t.* FROM t JOIN del USING (identifier) "
+            "WHERE snap < 3 AND event <> 'deleted' "
+            "AND payload IS NOT NULL) "
+            "SELECT identifier, snap AS from_snap, payload FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY identifier "
+            "ORDER BY snap DESC) AS rn FROM prior) "
+            "WHERE rn = 1 ORDER BY identifier"
         ),
         "s2_cell_counts": (
             # numpy reference S2 ids staged per event_id; inner join back to

@@ -144,5 +144,28 @@ def run_with_checkpoint(
         .partitionBy(partition_col)
         .parquet(f"{out_dir}/data")
     )
-    store.mark(job_id, snapshot_id, partition_metrics(result, partition_col))
+    # Mark EVERY attempted partition done — derived from `todo`, not from
+    # the result: a pending partition whose process() output is zero rows
+    # would otherwise never be marked and be reprocessed on every resume.
+    # Metrics come from the WRITTEN parquet (left join, zero-filled), never
+    # by re-executing the process() lineage (which could diverge if
+    # nondeterministic and costs a second full pass).
+    attempted = {
+        int(r[partition_col])
+        for r in todo.select(partition_col).distinct().collect()
+    }
+    written = dict(
+        (int(r[partition_col]), int(r["rows"]))
+        for r in spark.read.parquet(f"{out_dir}/data")
+        .where(F.col(partition_col).isin(list(attempted)))
+        .groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("rows"))
+        .collect()
+    )
+    width = max(1, len(result.columns)) * 24
+    metrics = [
+        (pid, written.get(pid, 0), written.get(pid, 0) * width)
+        for pid in sorted(attempted)
+    ]
+    store.mark(job_id, snapshot_id, metrics)
     return spark.read.parquet(f"{out_dir}/data")

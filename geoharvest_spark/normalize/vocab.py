@@ -92,30 +92,84 @@ DCAT_THEME_TERMS = [
     "property", "society", "structure", "transportation", "utilities",
 ]
 
-# ISO 639-1 (alpha2) -> ISO 639-2/T (alpha3), matching pycountry's alpha_3.
+# Complete ISO 639-1 (alpha2) -> ISO 639-3 (alpha3) mapping — the embedded
+# twin of pycountry's `languages.get(alpha_2=code).alpha_3` (utils.py:75-83;
+# the pycountry wheel is absent in this container). All 183 current 639-1
+# codes, mapped to 639-3 identifiers (which equal the 639-2/T codes).
 ISO639_2TO3 = {
-    "aa": "aar", "ab": "abk", "af": "afr", "am": "amh", "ar": "ara",
-    "az": "aze", "be": "bel", "bg": "bul", "bn": "ben", "bs": "bos",
-    "ca": "cat", "cs": "ces", "cy": "cym", "da": "dan", "de": "deu",
+    "aa": "aar", "ab": "abk", "ae": "ave", "af": "afr", "ak": "aka",
+    "am": "amh", "an": "arg", "ar": "ara", "as": "asm", "av": "ava",
+    "ay": "aym", "az": "aze", "ba": "bak", "be": "bel", "bg": "bul",
+    "bi": "bis", "bm": "bam", "bn": "ben", "bo": "bod", "br": "bre",
+    "bs": "bos", "ca": "cat", "ce": "che", "ch": "cha", "co": "cos",
+    "cr": "cre", "cs": "ces", "cu": "chu", "cv": "chv", "cy": "cym",
+    "da": "dan", "de": "deu", "dv": "div", "dz": "dzo", "ee": "ewe",
     "el": "ell", "en": "eng", "eo": "epo", "es": "spa", "et": "est",
-    "eu": "eus", "fa": "fas", "fi": "fin", "fr": "fra", "ga": "gle",
-    "gl": "glg", "he": "heb", "hi": "hin", "hr": "hrv", "hu": "hun",
-    "hy": "hye", "id": "ind", "is": "isl", "it": "ita", "ja": "jpn",
-    "ka": "kat", "kk": "kaz", "km": "khm", "ko": "kor", "la": "lat",
-    "lt": "lit", "lv": "lav", "mk": "mkd", "mn": "mon", "ms": "msa",
-    "mt": "mlt", "nb": "nob", "ne": "nep", "nl": "nld", "nn": "nno",
-    "no": "nor", "pa": "pan", "pl": "pol", "pt": "por", "ro": "ron",
-    "ru": "rus", "sk": "slk", "sl": "slv", "sq": "sqi", "sr": "srp",
-    "sv": "swe", "sw": "swa", "ta": "tam", "te": "tel", "th": "tha",
-    "tr": "tur", "uk": "ukr", "ur": "urd", "uz": "uzb", "vi": "vie",
-    "zh": "zho", "zu": "zul",
+    "eu": "eus", "fa": "fas", "ff": "ful", "fi": "fin", "fj": "fij",
+    "fo": "fao", "fr": "fra", "fy": "fry", "ga": "gle", "gd": "gla",
+    "gl": "glg", "gn": "grn", "gu": "guj", "gv": "glv", "ha": "hau",
+    "he": "heb", "hi": "hin", "ho": "hmo", "hr": "hrv", "ht": "hat",
+    "hu": "hun", "hy": "hye", "hz": "her", "ia": "ina", "id": "ind",
+    "ie": "ile", "ig": "ibo", "ii": "iii", "ik": "ipk", "io": "ido",
+    "is": "isl", "it": "ita", "iu": "iku", "ja": "jpn", "jv": "jav",
+    "ka": "kat", "kg": "kon", "ki": "kik", "kj": "kua", "kk": "kaz",
+    "kl": "kal", "km": "khm", "kn": "kan", "ko": "kor", "kr": "kau",
+    "ks": "kas", "ku": "kur", "kv": "kom", "kw": "cor", "ky": "kir",
+    "la": "lat", "lb": "ltz", "lg": "lug", "li": "lim", "ln": "lin",
+    "lo": "lao", "lt": "lit", "lu": "lub", "lv": "lav", "mg": "mlg",
+    "mh": "mah", "mi": "mri", "mk": "mkd", "ml": "mal", "mn": "mon",
+    "mr": "mar", "ms": "msa", "mt": "mlt", "my": "mya", "na": "nau",
+    "nb": "nob", "nd": "nde", "ne": "nep", "ng": "ndo", "nl": "nld",
+    "nn": "nno", "no": "nor", "nr": "nbl", "nv": "nav", "ny": "nya",
+    "oc": "oci", "oj": "oji", "om": "orm", "or": "ori", "os": "oss",
+    "pa": "pan", "pi": "pli", "pl": "pol", "ps": "pus", "pt": "por",
+    "qu": "que", "rm": "roh", "rn": "run", "ro": "ron", "ru": "rus",
+    "rw": "kin", "sa": "san", "sc": "srd", "sd": "snd", "se": "sme",
+    "sg": "sag", "si": "sin", "sk": "slk", "sl": "slv", "sm": "smo",
+    "sn": "sna", "so": "som", "sq": "sqi", "sr": "srp", "ss": "ssw",
+    "st": "sot", "su": "sun", "sv": "swe", "sw": "swa", "ta": "tam",
+    "te": "tel", "tg": "tgk", "th": "tha", "ti": "tir", "tk": "tuk",
+    "tl": "tgl", "tn": "tsn", "to": "ton", "tr": "tur", "ts": "tso",
+    "tt": "tat", "tw": "twi", "ty": "tah", "ug": "uig", "uk": "ukr",
+    "ur": "urd", "uz": "uzb", "ve": "ven", "vi": "vie", "vo": "vol",
+    "wa": "wln", "wo": "wol", "xh": "xho", "yi": "yid", "yo": "yor",
+    "za": "zha", "zh": "zho", "zu": "zul",
 }
 
-# Valid alpha-3 codes (identity mapping targets + common bibliographic codes
-# that pycountry also resolves via alpha_3).
+# Accepted alpha-3 identifiers: the 639-3 ids above plus the remaining
+# ISO 639-2/T-only codes (historic, regional, collective and special codes
+# common in library metadata). NOTE pycountry's alpha_3 index holds 639-3
+# IDENTIFIERS only — bibliographic variants ('ger','fre','cze',...) resolve
+# to None there, so they are deliberately NOT in this set (tested against
+# the reference behavior in tests/test_reference_parity.py).
 ISO639_ALPHA3 = set(ISO639_2TO3.values()) | {
-    "chi", "dut", "fre", "ger", "gre", "ice", "mac", "may", "per", "rum",
-    "slo", "sqi", "arm", "baq", "bur", "cze", "geo", "mao", "wel",
+    # historic / ancient
+    "ang", "arc", "chg", "cop", "dum", "egy", "enm", "frm", "fro", "gez",
+    "gmh", "goh", "got", "grc", "hit", "kaw", "lad", "mga", "nwc", "non",
+    "ota", "pal", "peo", "phn", "pro", "sam", "sga", "sog", "syc", "uga",
+    # regional / minority / other living languages in 639-2
+    "ace", "ach", "ada", "ady", "afh", "ain", "akk", "ale", "alt", "anp",
+    "arn", "arp", "arw", "ast", "awa", "bal", "ban", "bas", "bej", "bem",
+    "bho", "bin", "bla", "bra", "bua", "bug", "byn", "cad", "car", "ceb",
+    "chk", "chm", "chn", "cho", "chp", "chr", "chy", "crh", "csb", "dak",
+    "dar", "del", "den", "dgr", "din", "doi", "dsb", "dua", "dyu", "efi",
+    "eka", "elx", "ewo", "fan", "fat", "fil", "fon", "frr", "frs", "fur",
+    "gaa", "gay", "gba", "gil", "gon", "gor", "grb", "gsw", "gwi", "hai",
+    "haw", "hil", "hmn", "hsb", "hup", "iba", "ilo", "inh", "jbo", "jpr",
+    "jrb", "kaa", "kab", "kac", "kam", "kbd", "kha", "kho", "kmb", "kok",
+    "kos", "kpe", "krc", "krl", "kru", "kum", "kut", "lah", "lam", "lez",
+    "lol", "loz", "lua", "lui", "lun", "luo", "lus", "mad", "mag", "mai",
+    "mak", "mas", "mdf", "mdr", "men", "mic", "min", "mnc", "mni", "moh",
+    "mos", "mus", "mwl", "mwr", "myv", "nap", "nds", "new", "nia", "niu",
+    "nog", "nqo", "nso", "nym", "nyn", "nyo", "nzi", "osa", "pag", "pam",
+    "pap", "pau", "pon", "raj", "rap", "rar", "rom", "rup", "sad", "sah",
+    "sas", "sat", "scn", "sco", "sel", "shn", "sid", "sma", "smj", "smn",
+    "sms", "snk", "srn", "srr", "suk", "sus", "syr", "tem", "ter", "tet",
+    "tig", "tiv", "tkl", "tlh", "tli", "tmh", "tog", "tpi", "tsi", "tum",
+    "tvl", "tyv", "udm", "umb", "vai", "vot", "war", "was", "xal", "yao",
+    "yap", "yue", "zap", "zen", "zgh", "zun",
+    # special codes (valid 639-3 / 639-2)
+    "mis", "mul", "und", "zxx",
 }
 
 

@@ -80,18 +80,21 @@ def stage_pages(n_pages: int = 300) -> str:
 
 
 def stage_media(n: int = 60) -> str:
-    from .multimodal import FEATURE_DIM, _fake_decode_features, synth_media_pdf
+    from .multimodal import FEATURE_DIM, decode_features, synth_media_pdf
 
     m = synth_media_pdf(n)
-    feat_dim = [
-        np.int32(len(_fake_decode_features(p, FEATURE_DIM)))
-        for p in m["payload"]
+    feats = [
+        decode_features(k, p, FEATURE_DIM)
+        for k, p in zip(m["kind"], m["payload"])
     ]
     out = pd.DataFrame(
         {
             "media_id": m["media_id"],
             "kind": m["kind"],
-            "feat_dim": pd.array(feat_dim, dtype="int32"),
+            "feat_dim": pd.array([len(f) for f in feats], dtype="int32"),
+            # first feature value: REAL decoded content (WAV RMS window /
+            # PPM histogram bin), float32-exact between local and Spark
+            "feat0": pd.array([f[0] for f in feats], dtype="float32"),
         }
     )
     return _write(out, "media.parquet")
@@ -117,10 +120,19 @@ def stage_s2_cells(sf_dir: str = "/root/testdata/sf0.01", level: int = 8) -> str
     )
 
 
+def stage_snapshots() -> str:
+    from .snapshots import synth_snapshot_rows
+
+    pdf = synth_snapshot_rows()
+    pdf["snap"] = pdf["snap"].astype("int32")
+    return _write(pdf, "snapshots.parquet")
+
+
 def stage_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
         "normalized": stage_normalized(),
         "pages": stage_pages(),
         "media": stage_media(),
         "s2cells": stage_s2_cells(sf_dir),
+        "snapshots": stage_snapshots(),
     }

@@ -1,0 +1,131 @@
+"""Snapshot-versioned record store: S7 time travel (deleted-row recovery).
+
+Reference semantics (ogm.py:434-449): an incremental harvest sees a DELETED
+file; its payload no longer exists on disk, so the reference reads the
+file's prior content out of the parent git commit's tree. The Spark-first
+analog is a snapshot-partitioned table:
+
+    <root>/snap=<n>/part-*.parquet      rows: (identifier, event, payload)
+
+- every harvest appends ONE snapshot partition holding only that run's
+  changes (created/updated rows carry payloads; deleted rows carry NULL);
+- time travel = partition-pruned scan of snap <= N;
+- deleted-row recovery = for ids deleted in snap N, the payload from the
+  LATEST snap < N that carried one (window, or broadcast join when the
+  deleted set is small — it always is, relative to the corpus).
+
+At 100 TB: snapshot partitions prune at the scan (PartitionFilters), the
+deleted set per increment is tiny so the recovery join broadcasts, and the
+window never runs over the full corpus — only over the semi-joined history
+of deleted ids.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SNAPSHOT_COLS = "snap int, identifier string, event string, payload string"
+
+
+class SnapshotStore:
+    """Parquet snapshot store partitioned by `snap` (monotonic int id)."""
+
+    def __init__(self, spark: SparkSession, root: str) -> None:
+        self.spark = spark
+        self.root = root
+
+    def write_snapshot(self, df: DataFrame, snapshot_id: int) -> None:
+        """Append one snapshot partition (idempotent: replace-by-partition)."""
+        (
+            df.withColumn("snap", F.lit(snapshot_id))
+            .repartition(1)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("snap")
+            .parquet(self.root)
+        )
+
+    def table(self) -> DataFrame:
+        return self.spark.read.option("basePath", self.root).parquet(self.root)
+
+    def read_snapshot(self, snapshot_id: int) -> DataFrame:
+        """Time travel: the table AS OF snapshot_id — latest event per id
+        across snaps <= N, deleted rows dropped. Partition-pruned scan."""
+        t = self.table().where(F.col("snap") <= F.lit(snapshot_id))
+        w = Window.partitionBy("identifier").orderBy(F.col("snap").desc())
+        return (
+            t.withColumn("_rn", F.row_number().over(w))
+            .where((F.col("_rn") == 1) & (F.col("event") != "deleted"))
+            .drop("_rn")
+        )
+
+
+def deleted_payloads(
+    snapshot_table: DataFrame, snapshot_id: int
+) -> DataFrame:
+    """S7: for every id DELETED in `snapshot_id`, recover its payload from
+    the latest earlier snapshot (ogm.py:434-449 `_read_deleted_file_from_
+    commit`). Returns (identifier, from_snap, payload).
+
+    The deleted set is semi-join-reduced before the window, so the ranking
+    runs only over the deleted ids' history — never the whole table."""
+    deleted = (
+        snapshot_table.where(
+            (F.col("snap") == F.lit(snapshot_id))
+            & (F.col("event") == "deleted")
+        )
+        .select("identifier")
+    )
+    prior = (
+        snapshot_table.where(
+            (F.col("snap") < F.lit(snapshot_id))
+            & (F.col("event") != "deleted")
+            & F.col("payload").isNotNull()
+        )
+        .join(F.broadcast(deleted), "identifier", "left_semi")
+    )
+    w = Window.partitionBy("identifier").orderBy(F.col("snap").desc())
+    return (
+        prior.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "identifier",
+            F.col("snap").alias("from_snap"),
+            "payload",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic multi-snapshot scenario shared by the driver query and the
+# DuckDB oracle staging (both build the SAME rows, then implement the
+# time-travel logic independently).
+# ---------------------------------------------------------------------------
+def synth_snapshot_rows(n: int = 60) -> pd.DataFrame:
+    """3 snapshots over n records:
+    snap 1: all created with payload v1;
+    snap 2: ids %3==0 updated to payload v2 (incremental — only changes);
+    snap 3: ids %5==0 deleted (payload NULL)."""
+    import hashlib
+
+    def pay(i: int, v: int) -> str:
+        return hashlib.md5(f"rec{i}-v{v}".encode()).hexdigest()
+
+    rows = []
+    for i in range(n):
+        rows.append((1, f"rec{i:04d}", "created", pay(i, 1)))
+    for i in range(n):
+        if i % 3 == 0:
+            rows.append((2, f"rec{i:04d}", "updated", pay(i, 2)))
+    for i in range(n):
+        if i % 5 == 0:
+            rows.append((3, f"rec{i:04d}", "deleted", None))
+    return pd.DataFrame(
+        rows, columns=["snap", "identifier", "event", "payload"]
+    )
+
+
+def synth_snapshot_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(synth_snapshot_rows(), SNAPSHOT_COLS)

@@ -55,7 +55,13 @@ def main() -> None:
     n_pages = int(sys.argv[3]) if len(sys.argv) > 3 else 6000
     rep = int(sys.argv[4]) if len(sys.argv) > 4 else 4
 
-    spark = get_spark(f"scaling-{cores}", cores=cores)
+    # IDENTICAL plan + data layout in both legs: partition counts must NOT
+    # depend on `cores`, or the small leg runs 4x-bigger tasks (spilling and
+    # producing super-linear artifacts like the r1 pip_join 8.98x). A fixed
+    # task grid means only the scheduler's parallelism varies between legs —
+    # the quantity the north rule actually measures.
+    N_PART = 48
+    spark = get_spark(f"scaling-{cores}", cores=cores, shuffle_partitions=N_PART)
     seconds: dict[str, float] = {}
     rows: dict[str, int] = {}
 
@@ -73,7 +79,7 @@ def main() -> None:
               + F.col("rep") * 35742)
              % 18000 / 100.0 - 90.0).alias("lat"),
         )
-        .repartition(cores * 3)
+        .repartition(N_PART)
         .cache()
     )
     rows["points"] = pts.count()
@@ -89,7 +95,7 @@ def main() -> None:
     # ---- warm-up (untimed): spin up + import-load every python worker so
     # timed numbers measure throughput, not one-time worker cold start ----
     _noop(
-        split_failed(harvest_pages(web_pages_df(spark, 300, partitions=cores)))[0]
+        split_failed(harvest_pages(web_pages_df(spark, 300, partitions=N_PART)))[0]
         .select("url")
     )
     _noop(pip_join(pts.limit(5000), polys, res=5))
@@ -98,7 +104,7 @@ def main() -> None:
     # W1 normalize (generation + extraction + 5-format normalize, CPU-bound)
     def w1():
         ok, _failed = split_failed(
-            harvest_pages(web_pages_df(spark, n_pages, partitions=cores * 4))
+            harvest_pages(web_pages_df(spark, n_pages, partitions=N_PART))
         )
         _noop(ok.select("url", "aardvark.id", "aardvark.dcat_bbox", "error"))
 
@@ -127,7 +133,9 @@ def main() -> None:
     seconds["tiles"] = _timed_min(w3)
 
     # W4 kNN
-    q2k = query_points_df(spark, 3000)
+    # 24k queries: knn compute >> fixed overhead (r1 ran 0.89s at
+    # local[2] — too small to show scaling)
+    q2k = query_points_df(spark, 24000)
     seconds["knn"] = _timed_min(
         lambda: _noop(knn_join(q2k, pts, res=4, ring=1))
     )

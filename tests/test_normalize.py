@@ -73,6 +73,30 @@ def test_convert_lang_code():
     assert convert_lang_code("zzzz") is None
 
 
+def test_convert_lang_code_matches_pycountry():
+    """Goldens matching pycountry (reference utils.py:75-83) on codes the
+    old 72-entry map missed, plus the bibliographic-code None quirk:
+    pycountry's alpha_3 index holds ISO 639-3 ids only, so 'ger'/'fre'/'cze'
+    return None while 'deu'/'fra'/'ces' pass through."""
+    golden = {
+        # 639-1 -> 639-3 (pycountry .alpha_3)
+        "cs": "ces", "is": "isl", "bo": "bod", "cy": "cym", "ga": "gle",
+        "kw": "cor", "rw": "kin", "se": "sme", "yi": "yid", "za": "zha",
+        "gd": "gla", "gv": "glv", "ht": "hat", "lb": "ltz", "mi": "mri",
+        # 639-3 identity
+        "isl": "isl", "deu": "deu", "fra": "fra", "ces": "ces",
+        "grc": "grc", "enm": "enm", "haw": "haw", "yue": "yue",
+        "und": "und", "zxx": "zxx", "mul": "mul",
+        # bibliographic codes -> None (pycountry parity)
+        "ger": None, "fre": None, "cze": None, "dut": None, "gre": None,
+        "ice": None, "chi": None, "per": None, "arm": None, "wel": None,
+        # garbage
+        "q": None, "abcd": None, "zq": None,
+    }
+    for code, want in golden.items():
+        assert convert_lang_code(code) == want, code
+
+
 def test_marc_dms_decimal_precision10():
     # deg + min/60 + sec/3600 at Decimal precision 10 (marc.py:358-391)
     assert coordinate_string_to_decimal("W0713015") == Decimal("-71.50416667")

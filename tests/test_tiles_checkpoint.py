@@ -122,3 +122,37 @@ def test_checkpoint_last_status_wins(tmp_path, spark):
     store.mark("j", "s", [(0, 10, 10)], status="done", ts=t0 + dt.timedelta(1))
     cur = store.current().collect()
     assert len(cur) == 1 and cur[0]["status"] == "done" and cur[0]["rows"] == 10
+
+
+def test_checkpoint_zero_output_partition_marked_done(tmp_path, spark):
+    """A pending partition whose process() output is ZERO rows must still be
+    marked done — otherwise every resume reprocesses it forever (found by
+    the r1 advisor; regression-pinned here). Metrics come from the written
+    parquet, so zero-output partitions record rows=0."""
+    work = spark.range(100).withColumn(
+        "partition_id", (F.col("id") % 4).cast("int")
+    )
+    store = CheckpointStore(spark, str(tmp_path / "lineage3"))
+    calls = []
+
+    def process(df):
+        calls.append(1)
+        # partition 3 contributes NOTHING to the output
+        return df.where(F.col("partition_id") != 3).withColumn(
+            "y", F.col("id") * 2
+        )
+
+    out1 = run_with_checkpoint(
+        spark, work, process, store, "jz", "s1", str(tmp_path / "outz")
+    )
+    assert out1.count() == 75
+    # all 4 attempted partitions marked done, including the empty one
+    assert store.completed_partitions("jz", "s1").count() == 4
+    cur = store.current().toPandas().set_index("partition_id")
+    assert cur.loc[3, "rows"] == 0
+    # resume: nothing pending, process() NOT re-invoked
+    out2 = run_with_checkpoint(
+        spark, work, process, store, "jz", "s1", str(tmp_path / "outz")
+    )
+    assert out2.count() == 75
+    assert len(calls) == 1
