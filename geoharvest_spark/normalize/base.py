@@ -102,30 +102,102 @@ _ISO_DT_RE = re.compile(
 )
 
 
-def validate_aardvark(rec: dict) -> list[str]:
-    """Return list of validation error strings (empty = valid).
+# Per-field shape of the MIT/geoblacklight Aardvark schemas, authored as a
+# compact table: 's' = string, 'a' = array<string>, 'ai' = array<integer>,
+# 'b' = boolean, 'dt' = string with format date-time. Field inventory and
+# the resourceClass enum match the published OpenGeoMetadata Aardvark
+# schema + MIT's required list (validators.py:118-139).
+_AARDVARK_FIELD_KINDS: dict[str, str] = {
+    "id": "s", "dct_title_s": "s", "schema_provider_s": "s",
+    "dct_issued_s": "s", "locn_geometry": "s", "dcat_bbox": "s",
+    "dcat_centroid": "s", "dct_accessRights_s": "s", "dct_format_s": "s",
+    "gbl_fileSize_s": "s", "gbl_wxsIdentifier_s": "s",
+    "dct_references_s": "s", "gbl_mdVersion_s": "s",
+    "gbl_mdModified_dt": "dt",
+    "gbl_suppressed_b": "b", "gbl_georeferenced_b": "b",
+    "gbl_indexYear_im": "ai",
+    "dct_alternative_sm": "a", "dct_description_sm": "a",
+    "dct_language_sm": "a", "gbl_displayNote_sm": "a",
+    "dct_creator_sm": "a", "dct_publisher_sm": "a",
+    "gbl_resourceClass_sm": "a", "gbl_resourceType_sm": "a",
+    "dct_subject_sm": "a", "dcat_theme_sm": "a", "dcat_keyword_sm": "a",
+    "dct_temporal_sm": "a", "gbl_dateRange_drsim": "a",
+    "dct_spatial_sm": "a", "dct_relation_sm": "a", "pcdm_memberOf_sm": "a",
+    "dct_isPartOf_sm": "a", "dct_source_sm": "a", "dct_isVersionOf_sm": "a",
+    "dct_replaces_sm": "a", "dct_isReplacedBy_sm": "a", "dct_rights_sm": "a",
+    "dct_rightsHolder_sm": "a", "dct_license_sm": "a",
+    "dct_identifier_sm": "a",
+}
 
-    Checks the semantics enforced by mit-schema-aardvark.json +
-    geoblacklight-schema-aardvark.json: required fields present/non-empty,
-    resourceClass enum, date-time format, list element types.
+
+def _build_aardvark_jsonschema() -> dict:
+    kinds = {
+        "s": {"type": "string"},
+        "dt": {"type": "string", "format": "date-time"},
+        "b": {"type": "boolean"},
+        "a": {"type": "array", "items": {"type": "string"}},
+        "ai": {"type": "array", "items": {"type": "integer"}},
+    }
+    props: dict = {
+        name: dict(kinds[kind]) for name, kind in _AARDVARK_FIELD_KINDS.items()
+    }
+    props["gbl_resourceClass_sm"] = {
+        "type": "array",
+        "items": {"type": "string", "enum": list(GBL_RESOURCE_CLASS_ENUM)},
+    }
+    return {
+        "$schema": "https://json-schema.org/draft/2020-12/schema",
+        "type": "object",
+        "properties": props,
+        "required": list(AARDVARK_REQUIRED_FIELDS),
+    }
+
+
+try:  # full-fidelity path: real Draft 2020-12 validation (validators.py:193)
+    from jsonschema import Draft202012Validator, FormatChecker
+
+    _AARDVARK_VALIDATOR = Draft202012Validator(
+        schema=_build_aardvark_jsonschema(), format_checker=FormatChecker()
+    )
+except Exception:  # pragma: no cover — jsonschema absent
+    _AARDVARK_VALIDATOR = None
+
+
+def validate_aardvark(rec: dict) -> list[str]:
+    """Return sorted validation error strings (empty = valid).
+
+    Full parity with MITAardvarkFormatValidator.validate (validators.py:
+    178-193): the record is pre-filtered like Record.to_dict() (None values
+    and empty lists dropped, record.py:121-123), then validated with a real
+    Draft 2020-12 validator + FormatChecker against the authored schema
+    table above. Falls back to a hand-rolled subset check only if the
+    jsonschema wheel is absent.
     """
-    errors: list[str] = []
+    slim = {
+        k: v
+        for k, v in rec.items()
+        if v is not None and not (isinstance(v, (list, tuple)) and len(v) == 0)
+    }
+    if _AARDVARK_VALIDATOR is not None:
+        return sorted(
+            e.message for e in _AARDVARK_VALIDATOR.iter_errors(slim)
+        )
+    errors: list[str] = []  # degraded fallback (no jsonschema wheel)
     for f in AARDVARK_REQUIRED_FIELDS:
-        v = rec.get(f)
-        if v is None or v == "" or v == []:
+        if f not in slim:
             errors.append(f"'{f}' is a required property")
-    rc = rec.get("gbl_resourceClass_sm")
+    rc = slim.get("gbl_resourceClass_sm")
     if rc:
         for v in rc:
             if v not in GBL_RESOURCE_CLASS_ENUM:
                 errors.append(f"'{v}' is not an allowed gbl_resourceClass_sm value")
-    md = rec.get("gbl_mdModified_dt")
+    md = slim.get("gbl_mdModified_dt")
     if md and not _ISO_DT_RE.match(md):
         errors.append(f"'{md}' is not a 'date-time'")
-    iy = rec.get("gbl_indexYear_im")
+    iy = slim.get("gbl_indexYear_im")
     if iy and not all(isinstance(v, int) for v in iy):
         errors.append("gbl_indexYear_im items must be integers")
-    return errors
+    return sorted(errors)
 
 
 # ---------------------------------------------------------------------------

@@ -79,10 +79,12 @@ GBL_RESOURCE_CLASS_VALUE_MAP = {
     "web services": "Web services", "websites": "Websites",
 }
 
-GBL_RESOURCE_CLASS_ENUM = {
+# ordered list: the enum order appears verbatim in jsonschema error
+# messages, which the validator parity tests compare byte-for-byte
+GBL_RESOURCE_CLASS_ENUM = [
     "Datasets", "Maps", "Imagery", "Collections", "Websites",
     "Web services", "Other",
-}
+]
 
 # dcat_theme_sm controlled list (record.py:447-469)
 DCAT_THEME_TERMS = [

@@ -132,13 +132,23 @@ def main() -> None:
 
     seconds["tiles"] = _timed_min(w3)
 
-    # W4 kNN
-    # 24k queries: knn compute >> fixed overhead (r1 ran 0.89s at
-    # local[2] — too small to show scaling)
-    q2k = query_points_df(spark, 24000)
-    seconds["knn"] = _timed_min(
-        lambda: _noop(knn_join(q2k, pts, res=4, ring=1))
-    )
+    # W4 kNN. Two measurement fixes vs r1:
+    # - 2000 queries (not 300): ~126M candidate distances, so compute >>
+    #   fixed overhead;
+    # - a UNIQUE query frame per rep: knn_join caches its ranked frame
+    #   internally and Spark's CacheManager matches semantically-equal
+    #   plans, so identical reps silently re-read rep 1's cache and
+    #   _timed_min measured cached reads (the r1 0.89s/0.45s numbers).
+    def _knn_rep(n_extra: int):
+        qs = query_points_df(spark, 2000 + n_extra)
+        _noop(knn_join(qs, pts, res=4, ring=1))
+
+    knn_times = []
+    for i in range(3):
+        t0 = time.perf_counter()
+        _knn_rep(i)
+        knn_times.append(time.perf_counter() - t0)
+    seconds["knn"] = round(min(knn_times), 2)
 
     seconds["total"] = round(sum(seconds.values()), 2)
     print(json.dumps({"cores": cores, "seconds": seconds, "rows": rows}))

@@ -507,3 +507,96 @@ def test_marc_rights_from_injected_506():
     data = data.replace(b"</record>", inject + b"</record>")
     rec = MARC(data=data, identifier="abc123", origin="alma", event="created")
     assert set(rec._dct_rights_sm()) == {"Free and open to the world."}
+
+
+# ---------------------------------------------------------------------------
+# Validator parity: validate_aardvark vs the reference's REAL schema files
+# (validators.py:112-193) under the same jsonschema Draft 2020-12 engine.
+# ---------------------------------------------------------------------------
+def _reference_validator():
+    jsonschema = pytest.importorskip("jsonschema")
+    from jsonschema import Draft202012Validator, FormatChecker
+    from referencing import Registry, Resource
+
+    with open(
+        "/root/reference/harvester/records/schemas/mit-schema-aardvark.json"
+    ) as f:
+        mit = json.load(f)
+    with open(
+        "/root/reference/harvester/records/schemas/geoblacklight-schema-aardvark.json"
+    ) as f:
+        gbl = json.load(f)
+    registry = Registry().with_resources(
+        [
+            ("mit-schema-aardvark", Resource.from_contents(mit)),
+            ("geoblacklight-schema-aardvark", Resource.from_contents(gbl)),
+        ]
+    )
+    return Draft202012Validator(
+        schema=mit, registry=registry, format_checker=FormatChecker()
+    )
+
+
+def _record_battery() -> list[dict]:
+    """Valid + systematically-broken Aardvark records."""
+    base = {
+        "id": "gismit:ABC", "dct_title_s": "A Map",
+        "dct_accessRights_s": "Public",
+        "dct_references_s": "{\"http://schema.org/url\": \"https://x\"}",
+        "gbl_mdModified_dt": "2024-01-01T00:00:00+00:00",
+        "gbl_mdVersion_s": "Aardvark",
+        "gbl_resourceClass_sm": ["Datasets"],
+        "dct_creator_sm": ["Someone"], "gbl_indexYear_im": [2001],
+        "gbl_suppressed_b": False,
+    }
+    battery = [dict(base)]
+    for mut in (
+        {"gbl_resourceClass_sm": ["NotAClass"]},          # enum violation
+        {"gbl_mdModified_dt": "not-a-datetime"},          # format violation
+        {"gbl_mdModified_dt": "2024-13-99T99:00:00Z"},    # bad datetime parts
+        {"gbl_indexYear_im": ["2001"]},                   # int array w/ string
+        {"dct_title_s": 42},                              # wrong scalar type
+        {"dct_creator_sm": "Someone"},                    # scalar for array
+        {"gbl_suppressed_b": "false"},                    # string for boolean
+        {"dct_title_s": None},                            # required dropped
+        {"gbl_resourceClass_sm": []},                     # required empty list
+        {"dct_title_s": ""},                              # empty string PASSES
+        {"dcat_bbox": "ENVELOPE(1, 2, 3, 4)"},            # optional ok
+        {"unknown_field_x": "y"},                         # additional prop ok
+    ):
+        rec = dict(base)
+        rec.update(mut)
+        battery.append(rec)
+    return battery
+
+
+def test_validate_aardvark_verdict_parity_with_reference_schemas():
+    from geoharvest_spark.normalize.base import validate_aardvark
+
+    ref = _reference_validator()
+    agree = 0
+    for rec in _record_battery():
+        # reference validates to_dict() output: None/empty-list excluded
+        slim = {
+            k: v for k, v in rec.items()
+            if v is not None and not (isinstance(v, list) and len(v) == 0)
+        }
+        ref_errors = sorted(e.message for e in ref.iter_errors(slim))
+        mine = validate_aardvark(rec)
+        assert (len(mine) == 0) == (len(ref_errors) == 0), (rec, mine, ref_errors)
+        assert mine == ref_errors, (rec, mine, ref_errors)
+        agree += 1
+    assert agree == 13
+
+
+def test_validate_aardvark_on_normalized_reference_fixtures(
+    fgdc_all, iso_all, gbl1_all, aardvark_all, marc_valid
+):
+    """Every reference fixture, run through this engine's normalize(), must
+    produce a VALID MITAardvark record (the reference harvests these files
+    end-to-end without validation errors)."""
+    from geoharvest_spark.normalize.base import validate_aardvark
+
+    for rec in (fgdc_all, iso_all, gbl1_all, aardvark_all, marc_valid):
+        values = rec.normalize()
+        assert validate_aardvark(values) == [], rec.metadata_format
