@@ -577,18 +577,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q["cell_assign_counts"] = cell_assign_counts
 
     def tile_pyramid_counts(spark, sf):
-        pts = _points(spark, sf)
-        frames = []
-        for res in (5, 6, 7):
-            frames.append(
-                pts.withColumn("cell", ix.ghcell(F.col("lon"), F.col("lat"), res))
-                .groupBy("cell")
-                .agg(F.count(F.lit(1)).alias("n_points"))
-                .withColumn("res", F.lit(res))
-            )
-        out = frames[0]
-        for f_ in frames[1:]:
-            out = out.unionByName(f_)
+        # hierarchical rollup: ONE point-sized shuffle at the finest level,
+        # coarser levels aggregate the previous level's counts by parent
+        # cell. The oracle below stays per-level direct SQL, proving the
+        # rollup exactly equals recomputing each level from the points.
+        from geoharvest_spark.tiles import tile_pyramid_counts_rollup
+
+        out = tile_pyramid_counts_rollup(_points(spark, sf), (5, 6, 7))
         return out.select("res", "cell", "n_points").orderBy("res", "cell")
 
     Q["tile_pyramid_counts"] = tile_pyramid_counts

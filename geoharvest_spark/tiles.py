@@ -69,6 +69,52 @@ def assign_tiles(
     )
 
 
+def tile_pyramid_counts_rollup(
+    points: DataFrame,
+    resolutions: tuple[int, ...] = PYRAMID,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+) -> DataFrame:
+    """(res, cell, n_points) for every pyramid level via HIERARCHICAL
+    rollup: one full shuffle of the points at the FINEST level, then each
+    coarser level aggregates the previous level's (already tiny) counts by
+    parent cell.
+
+    Exactly equals the per-level direct computation because ghcell is
+    aperture-4 with floor semantics: floor(floor(2^k t)/2^k) == floor(t),
+    and the pole/antimeridian clamps commute with the parent map (asserted
+    in tests/test_tiles_checkpoint.py). At 100 TB this replaces
+    len(resolutions) full point shuffles (r1 plan: 5x24M rows) with ONE
+    point-sized shuffle + coarse aggregations over cell counts.
+    """
+    rs = sorted(resolutions)
+    finest = rs[-1]
+    cur = (
+        points.select(
+            ix.ghcell(F.col(lon_col), F.col(lat_col), finest).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    frames = [cur.select(F.lit(finest).alias("res"), "cell", "n_points")]
+    prev = finest
+    for r in reversed(rs[:-1]):
+        cur = (
+            cur.select(
+                ix.ghcell_parent(F.col("cell"), r, prev).alias("cell"),
+                "n_points",
+            )
+            .groupBy("cell")
+            .agg(F.sum("n_points").alias("n_points"))
+        )
+        frames.append(cur.select(F.lit(r).alias("res"), "cell", "n_points"))
+        prev = r
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out
+
+
 def tile_rollup(assigned: DataFrame) -> DataFrame:
     """Raster side: per-(res, cell) aggregate with union envelope.
 

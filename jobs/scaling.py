@@ -116,19 +116,14 @@ def main() -> None:
         lambda: _noop(pip_join(pts, polys, res=5, rows_per_task=100_000))
     )
 
-    # W3 tiles: full res 5..9 pyramid in one job (posexplode -> 5x rows ->
-    # hash agg) — one shuffle over 5*|points| rows
+    # W3 tiles: full res 5..9 pyramid via hierarchical rollup — ONE
+    # point-sized shuffle at res 9, then parent aggregation of the (small)
+    # counts per coarser level (replaces r1's 5x-exploded 24M-row shuffle;
+    # equality with the direct plan is oracle-checked by the driver)
     def w3():
-        cells = F.array(
-            *[ix.ghcell(F.col("lon"), F.col("lat"), r) for r in (5, 6, 7, 8, 9)]
-        )
-        res_arr = F.array(*[F.lit(r) for r in (5, 6, 7, 8, 9)])
-        exploded = pts.select(
-            F.posexplode(F.arrays_zip(res_arr, cells)).alias("_p", "_z")
-        ).select(F.col("_z.0").alias("res"), F.col("_z.1").alias("cell"))
-        _noop(
-            exploded.groupBy("res", "cell").agg(F.count(F.lit(1)).alias("n"))
-        )
+        from geoharvest_spark.tiles import tile_pyramid_counts_rollup
+
+        _noop(tile_pyramid_counts_rollup(pts, (5, 6, 7, 8, 9)))
 
     seconds["tiles"] = _timed_min(w3)
 

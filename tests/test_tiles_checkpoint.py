@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -156,3 +157,39 @@ def test_checkpoint_zero_output_partition_marked_done(tmp_path, spark):
     )
     assert out2.count() == 75
     assert len(calls) == 1
+
+
+def test_tile_pyramid_rollup_equals_direct(spark):
+    """Hierarchical rollup == per-level direct computation, including the
+    pole/antimeridian clamp rows (the floor-halving + clamp-commute
+    property the operator relies on)."""
+    import numpy as np
+
+    from geoharvest_spark.tiles import tile_pyramid_counts_rollup
+
+    rs = np.random.RandomState(7)
+    lon = np.concatenate([rs.uniform(-180, 180, 5000), [-180.0, 179.9999, 0.0]])
+    lat = np.concatenate([rs.uniform(-90, 90, 5000), [90.0, -90.0, 89.9999]])
+    pdf = pd.DataFrame({"lon": lon, "lat": lat})
+    pts = spark.createDataFrame(pdf)
+
+    levels = (5, 6, 7, 8, 9)
+    rolled = tile_pyramid_counts_rollup(pts, levels).toPandas()
+    direct = []
+    for r in levels:
+        d = (
+            pts.withColumn("cell", ix.ghcell(F.col("lon"), F.col("lat"), r))
+            .groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_points"))
+            .withColumn("res", F.lit(r))
+            .toPandas()
+        )
+        direct.append(d[["res", "cell", "n_points"]])
+    import pandas as _pd
+
+    direct_pdf = _pd.concat(direct, ignore_index=True)
+    key = ["res", "cell"]
+    a = rolled.sort_values(key).reset_index(drop=True)[["res", "cell", "n_points"]]
+    b = direct_pdf.sort_values(key).reset_index(drop=True)
+    assert a.shape == b.shape
+    assert (a.values == b.values).all()
