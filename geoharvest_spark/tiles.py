@@ -89,30 +89,37 @@ def tile_pyramid_counts_rollup(
     """
     rs = sorted(resolutions)
     finest = rs[-1]
-    cur = (
+    fine = (
         points.select(
             ix.ghcell(F.col(lon_col), F.col(lat_col), finest).alias("cell")
         )
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_points"))
     )
-    frames = [cur.select(F.lit(finest).alias("res"), "cell", "n_points")]
-    prev = finest
-    for r in reversed(rs[:-1]):
-        cur = (
-            cur.select(
-                ix.ghcell_parent(F.col("cell"), r, prev).alias("cell"),
-                "n_points",
+    # ONE linear plan (a per-level union would re-run the finest aggregate
+    # per branch — Spark does not reuse identical exchanges across union
+    # arms): each finest cell explodes into its (res, ancestor) chain, then
+    # a second (cell-count-sized, tiny) aggregation yields every level.
+    ancestors = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("res"),
+                (
+                    F.col("cell")
+                    if r == finest
+                    else ix.ghcell_parent(F.col("cell"), r, finest)
+                ).alias("acell"),
             )
-            .groupBy("cell")
-            .agg(F.sum("n_points").alias("n_points"))
+            for r in rs
+        ]
+    )
+    return (
+        fine.select(F.explode(ancestors).alias("_a"), "n_points")
+        .groupBy(
+            F.col("_a.res").alias("res"), F.col("_a.acell").alias("cell")
         )
-        frames.append(cur.select(F.lit(r).alias("res"), "cell", "n_points"))
-        prev = r
-    out = frames[0]
-    for f_ in frames[1:]:
-        out = out.unionByName(f_)
-    return out
+        .agg(F.sum("n_points").alias("n_points"))
+    )
 
 
 def tile_rollup(assigned: DataFrame) -> DataFrame:

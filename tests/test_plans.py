@@ -94,3 +94,54 @@ def test_partial_aggregation_before_shuffle(spark):
     # map-side partial: HashAggregate appears below AND above the exchange
     assert plan.count("HashAggregate") >= 2
     assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_tile_rollup_scans_points_once(spark):
+    """Hierarchical pyramid rollup reads the point source ONCE; the direct
+    per-level plan scans it len(levels) times."""
+    from geoharvest_spark.tiles import tile_pyramid_counts_rollup
+
+    pts = spark.read.parquet(f"{SF}/events.parquet").select(
+        (F.col("event_id") % 360 - 180.0).cast("double").alias("lon"),
+        (F.col("event_id") % 180 - 90.0).cast("double").alias("lat"),
+    )
+    rolled = tile_pyramid_counts_rollup(pts, (5, 6, 7, 8, 9))
+    assert _plan(rolled).count("events.parquet") == 1
+    # direct construction scans once per level
+    frames = None
+    from geoharvest_spark import index as ix
+
+    for r in (5, 6, 7, 8, 9):
+        d = (
+            pts.withColumn("cell", ix.ghcell(F.col("lon"), F.col("lat"), r))
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n_points"))
+            .withColumn("res", F.lit(r))
+        )
+        frames = d if frames is None else frames.unionByName(d)
+    assert _plan(frames).count("events.parquet") == 5
+
+
+def test_ngram_jaccard_has_no_blocked_self_join(spark):
+    """Candidates come from banded LSH buckets — the plan joins on
+    (band, bucket), never a block-column self-join (r1's O(block^2) risk)."""
+    from geoharvest_spark.textops import ngram_jaccard_pairs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(ngram_jaccard_pairs(d, threshold=0.8))
+    assert "band" in plan and "bucket" in plan
+    assert "blk" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_cosine_topk_never_shuffles_corpus_vectors(spark):
+    """Distributed exact top-k: the corpus streams through mapInPandas in
+    its scan stage; the only Exchange carries per-batch top-k rows (qid,
+    vec_id, cos_sim), never the embedding vectors."""
+    from geoharvest_spark.simsearch import cosine_topk
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 5)
+    plan = _plan(cosine_topk(q, e, k=5))
+    post_shuffle = plan.split("Exchange")[0]  # top of plan = after shuffle
+    assert "_cv" not in post_shuffle  # vectors never cross the exchange
+    assert "CartesianProduct" not in plan
