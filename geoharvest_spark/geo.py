@@ -199,17 +199,19 @@ def points_in_ring(lons: np.ndarray, lats: np.ndarray, ring: np.ndarray) -> np.n
     after the cell-prefilter equi-join (SURVEY.md J3) — the candidate set per
     batch is small, so the kernel is cache-friendly.
     """
-    x, y = np.asarray(lons, dtype=np.float64), np.asarray(lats, dtype=np.float64)
-    inside = np.zeros(len(x), dtype=bool)
-    n = len(ring)
-    for i in range(n):
-        x1, y1 = ring[i]
-        x2, y2 = ring[(i + 1) % n]
-        crosses = (y1 > y) != (y2 > y)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            xint = (x2 - x1) * (y - y1) / (y2 - y1) + x1
-        inside ^= crosses & (x < xint)
-    return inside
+    x = np.asarray(lons, dtype=np.float64)[:, None]
+    y = np.asarray(lats, dtype=np.float64)[:, None]
+    rx, ry = ring[:, 0], ring[:, 1]
+    x1, y1 = rx[None, :], ry[None, :]
+    x2 = np.roll(rx, -1)[None, :]
+    y2 = np.roll(ry, -1)[None, :]
+    # broadcast over (points x edges) in one shot: a python per-edge loop
+    # with errstate entered per edge cost ~40% of the whole refine kernel
+    crosses = (y1 > y) != (y2 > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+    hits = crosses & (x < xint)
+    return (hits.sum(axis=1) & 1).astype(bool)
 
 
 def points_in_polygon(

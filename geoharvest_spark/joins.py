@@ -102,18 +102,28 @@ def _refine_pip(joined: DataFrame) -> DataFrame:
             if pdf.empty:
                 yield pdf.drop(columns=["wkt"])
                 continue
-            keep = np.zeros(len(pdf), dtype=bool)
-            for wkt, grp in pdf.groupby("wkt", sort=False):
+            # factorize + stable sort -> contiguous per-polygon slices.
+            # pandas groupby + per-group index lookups cost more than the
+            # ray casting itself on realistic (many-small-group) batches.
+            codes, uniques = pd.factorize(pdf["wkt"].to_numpy())
+            order = np.argsort(codes, kind="stable")
+            bounds = np.searchsorted(
+                codes[order], np.arange(len(uniques) + 1)
+            )
+            lon = pdf["lon"].to_numpy()[order]
+            lat = pdf["lat"].to_numpy()[order]
+            keep_sorted = np.zeros(len(pdf), dtype=bool)
+            for u_i, wkt in enumerate(uniques):
                 rings = ring_cache.get(wkt)
                 if rings is None:
                     rings = parse_polygon_wkt(wkt)
                     ring_cache[wkt] = rings
                 if not rings:
                     continue
-                mask = points_in_polygon(
-                    grp["lon"].to_numpy(), grp["lat"].to_numpy(), rings
-                )
-                keep[pdf.index.get_indexer(grp.index)] = mask
+                s, e = bounds[u_i], bounds[u_i + 1]
+                keep_sorted[s:e] = points_in_polygon(lon[s:e], lat[s:e], rings)
+            keep = np.zeros(len(pdf), dtype=bool)
+            keep[order] = keep_sorted
             yield pdf.loc[keep].drop(columns=["wkt"])
 
     return joined.mapInPandas(_map, schema)
