@@ -54,6 +54,15 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
     )
+    # shuffle/spill files on tmpfs when available: shuffle-heavy operators
+    # (tile rollup, knn candidate join) are otherwise bound by the boot
+    # disk, which does not scale with cores. Production equivalent: NVMe
+    # local disks / ram-backed or push-based shuffle tiers.
+    if os.path.isdir("/dev/shm"):
+        builder = builder.config(
+            "spark.local.dir",
+            os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
