@@ -129,6 +129,54 @@ def run_last_event_stream(
     )
 
 
+def last_event_stateful(stream: DataFrame) -> DataFrame:
+    """Streaming last-event-wins as a CUSTOM STATEFUL operator
+    (applyInPandasWithState): per-url state holds the winning
+    (seq, event, event_ts); each micro-batch folds its rows into the state
+    and emits the current winner. The production-grade version of
+    run_last_event_stream's foreachBatch emulation — state lives in the
+    state store (RocksDB/HDFS-backed on a cluster), scales with keys, and
+    survives restarts via the checkpoint.
+
+    Ordering matches last_event_per_url_batch: greatest (seq, event_ts).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "url string, seq long, event string, event_ts timestamp"
+    )
+    state_schema = "seq long, event string, event_ts timestamp"
+
+    def _fold(key, pdfs, state: GroupState):
+        best = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["seq", "event_ts"]).iloc[-1]
+            cand = (int(pdf["seq"]), pdf["event"], pdf["event_ts"])
+            if best is None or (cand[0], cand[2]) > (best[0], best[2]):
+                best = cand
+        if best is not None:
+            state.update(best)
+            yield pd.DataFrame(
+                {
+                    "url": [key[0]],
+                    "seq": [best[0]],
+                    "event": [best[1]],
+                    "event_ts": [best[2]],
+                }
+            )
+
+    return stream.groupBy("url").applyInPandasWithState(
+        _fold,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def synth_event_batch(i0: int, n: int, dup_every: int = 7) -> list[dict]:
     """Deterministic synthetic event rows incl. duplicates and invalids
     (FIXTURES.md T7)."""

@@ -115,3 +115,58 @@ def test_streaming_last_event_foreachbatch(spark, stream_dir, tmp_path):
     m = out.merge(truth, on="url", suffixes=("_s", "_t"))
     assert len(m) == len(truth)
     assert (m.seq_s == m.seq_t).all()
+
+
+def test_last_event_stateful_applyinpandaswithstate(spark, tmp_path):
+    """Custom stateful operator (applyInPandasWithState): state carries the
+    winner ACROSS micro-batches — a later batch with a lower seq must not
+    displace an earlier batch's higher seq (the foreachBatch emulation and
+    the batch kernel agree)."""
+    import datetime as dt
+
+    from geoharvest_spark.streaming import last_event_stateful
+
+    d = tmp_path / "sstream"
+    d.mkdir()
+    t0 = dt.datetime(2024, 1, 1)
+    # batch 1: u1 seq 5 (deleted), u2 seq 3
+    b1 = [
+        {"message_id": "a", "event_ts": t0, "event": "created", "url": "u1", "seq": 1},
+        {"message_id": "b", "event_ts": t0, "event": "deleted", "url": "u1", "seq": 5},
+        {"message_id": "c", "event_ts": t0, "event": "created", "url": "u2", "seq": 3},
+    ]
+    # batch 2: u1 seq 4 (LOWER - must lose), u2 seq 9 (wins), u3 new
+    b2 = [
+        {"message_id": "d", "event_ts": t0, "event": "created", "url": "u1", "seq": 4},
+        {"message_id": "e", "event_ts": t0, "event": "deleted", "url": "u2", "seq": 9},
+        {"message_id": "f", "event_ts": t0, "event": "created", "url": "u3", "seq": 7},
+    ]
+    for i, rows in enumerate([b1, b2]):
+        spark.createDataFrame(pd.DataFrame(rows), EVENT_STREAM_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(str(d))
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # force >= 2 micro-batches
+        .parquet(str(d))
+    )
+    out = last_event_stateful(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stateful_last")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    res = spark.table("stateful_last").toPandas()
+    # last update per url across the whole run
+    final = (
+        res.sort_values("seq").groupby("url").last().reset_index()
+    )
+    got = {r.url: (r.seq, r.event) for r in final.itertuples()}
+    assert got["u1"] == (5, "deleted")  # batch-2 seq 4 did NOT displace
+    assert got["u2"] == (9, "deleted")
+    assert got["u3"] == (7, "created")
