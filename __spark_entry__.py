@@ -707,6 +707,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["embed_lsh_ann"] = embed_lsh_ann
 
+    def embed_ivf_ann(spark, sf):
+        # IVF ANN: deterministic spherical-kmeans coarse quantizer trained
+        # driver-side (standard IVF practice), DISTRIBUTED assignment +
+        # probed exact re-rank; the oracle re-implements assignment,
+        # probing and re-rank in SQL with the same inlined centroids
+        from geoharvest_spark.simsearch import ivf_centroids_for_dir, ivf_topk
+
+        cents = ivf_centroids_for_dir(sf, n_lists=16)
+        e = _t(spark, sf, "embeddings")
+        q = e.where(F.col("vec_id") < 20)
+        return ivf_topk(q, e, cents, k=10, n_probe=4).select(
+            "qid", "vec_id", "rank"
+        )
+
+    Q["embed_ivf_ann"] = embed_ivf_ann
+
     def sink_pooled_events(spark, sf):  # K3: last-event pooling + payload
         from geoharvest_spark.normalize import split_failed
         from geoharvest_spark.pipeline import harvest_pages_fused
@@ -915,6 +931,43 @@ def _embed_lsh_oracle_sql(n_bits: int = 8, n_tables: int = 4, dim: int = 64) -> 
         "cand AS (SELECT DISTINCT q.qid, q.qv, c.id AS cid, c.v AS cv "
         "FROM qsig q JOIN sig c ON q.tbl = c.tbl AND q.bucket = c.bucket), "
         "scored AS (SELECT qid, cid, list_cosine_similarity(qv, cv) AS cos "
+        "FROM cand) "
+        "SELECT qid, cid AS vec_id, cast(rank AS INTEGER) AS rank FROM ("
+        "SELECT qid, cid, row_number() OVER (PARTITION BY qid "
+        "ORDER BY cos DESC, cid) AS rank FROM scored) "
+        "WHERE rank <= 10 ORDER BY qid, rank"
+    )
+
+
+def _ivf_oracle_sql(n_lists: int = 16, n_probe: int = 4) -> str:
+    """Full SQL re-implementation of IVF ANN (simsearch.py ivf_topk): the
+    deterministic spherical-kmeans centroids are inlined as VALUES, then
+    assignment (argmax normalized dot, ties to lowest list id), n_probe
+    query probing and exact cosine re-rank all run in SQL. Bit-identical
+    ranks verified on the fixed sf0.01 embeddings."""
+    from geoharvest_spark.simsearch import ivf_centroids_for_dir
+
+    C = ivf_centroids_for_dir("/root/testdata/sf0.01", n_lists=n_lists)
+    cent_vals = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (j, ",".join(repr(float(x)) for x in C[j]))
+        for j in range(len(C))
+    )
+    return (
+        f"WITH cents(cid_c, cv) AS (VALUES {cent_vals}), "
+        "nrm AS (SELECT vec_id, list_transform(embedding::DOUBLE[], "
+        "x -> x / sqrt(list_dot_product(embedding::DOUBLE[], "
+        "embedding::DOUBLE[]))) AS v FROM embeddings), "
+        "asg AS (SELECT vec_id, v, cid_c AS list_id FROM ("
+        "SELECT vec_id, v, cid_c, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY list_dot_product(v, cv) DESC, cid_c) AS rn "
+        "FROM nrm, cents) WHERE rn = 1), "
+        "qprobe AS (SELECT vec_id AS qid, v AS qv, cid_c AS list_id FROM ("
+        "SELECT vec_id, v, cid_c, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY list_dot_product(v, cv) DESC, cid_c) AS rn "
+        f"FROM nrm, cents WHERE vec_id < 20) WHERE rn <= {n_probe}), "
+        "cand AS (SELECT q.qid, q.qv, a.vec_id AS cid, a.v AS cv "
+        "FROM qprobe q JOIN asg a USING (list_id)), "
+        "scored AS (SELECT qid, cid, list_dot_product(qv, cv) AS cos "
         "FROM cand) "
         "SELECT qid, cid AS vec_id, cast(rank AS INTEGER) AS rank FROM ("
         "SELECT qid, cid, row_number() OVER (PARTITION BY qid "
@@ -1197,6 +1250,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "embed_lsh_ann": _embed_lsh_oracle_sql(),
+        "embed_ivf_ann": _ivf_oracle_sql(),
         "dedup_ngram_jaccard": (
             # ALL-PAIRS oracle (no candidate pruning): proves the Spark-side
             # LSH candidate generation loses nothing at this threshold

@@ -151,6 +151,105 @@ def cosine_topk_bruteforce(
     )
 
 
+def ivf_centroids_np(
+    vectors: np.ndarray, n_lists: int = 16, iters: int = 10, seed: int = SEED
+) -> np.ndarray:
+    """Deterministic spherical k-means centroids (numpy, fixed seed/iters).
+
+    At 100 TB centroids train on a driver-side SAMPLE (standard IVF
+    practice: the coarse quantizer needs thousands of vectors, not the
+    corpus); ASSIGNMENT is the distributed part. Returns (n_lists, dim)
+    row-normalized centroids, deterministic for a fixed input."""
+    v = _normalize_rows(np.asarray(vectors, dtype=np.float64))
+    rs = np.random.RandomState(seed)
+    c = v[rs.choice(len(v), size=n_lists, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(v @ c.T, axis=1)
+        for j in range(n_lists):
+            m = v[assign == j]
+            if len(m):
+                c[j] = m.mean(axis=0)
+        c = _normalize_rows(c)
+    return c
+
+
+def ivf_assign_udf(centroids: np.ndarray):
+    """array<float> vec -> nearest-centroid list id (vectorized argmax of
+    normalized dot; ties break to the lowest id in both engines)."""
+    c = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = _normalize_rows(np.array(vecs.tolist(), dtype=np.float64))
+        return pd.Series(np.argmax(m @ c.T, axis=1).astype(np.int32))
+
+    return _assign
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: corpus partitioned into coarse lists (nearest
+    centroid), queries probe their n_probe closest lists, exact cosine
+    re-rank inside the probed lists. Shuffle O(n + queries * n_probe);
+    candidates ~ corpus * n_probe / n_lists. Returns
+    (qid, vec_id, rank, cos_sim)."""
+    c = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+    assign = ivf_assign_udf(c)
+    c_asg = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cv"),
+        assign(F.col(vec_col)).alias("list_id"),
+    )
+
+    @F.pandas_udf("array<int>")
+    def _probes(vecs: pd.Series) -> pd.Series:
+        m = _normalize_rows(np.array(vecs.tolist(), dtype=np.float64))
+        sims = m @ c.T
+        order = np.argsort(-sims, kind="stable", axis=1)[:, :n_probe]
+        return pd.Series(order.astype(np.int32).tolist())
+
+    q_asg = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        F.explode(_probes(F.col(vec_col))).alias("list_id"),
+    )
+    cand = q_asg.join(c_asg, "list_id").drop("list_id")
+
+    @F.pandas_udf("double")
+    def _cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        a = _normalize_rows(np.array(qv.tolist(), dtype=np.float64))
+        b = _normalize_rows(np.array(cv.tolist(), dtype=np.float64))
+        return pd.Series((a * b).sum(axis=1))
+
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid"))
+    return (
+        cand.withColumn("cos_sim", _cos(F.col("qv"), F.col("cv")))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("qid", F.col("cid").alias("vec_id"), "rank", "cos_sim")
+    )
+
+
+def ivf_centroids_for_dir(
+    sf_dir: str, n_lists: int = 16, max_train: int = 100_000
+) -> np.ndarray:
+    """Centroids for the embeddings table at `sf_dir` — driver-side pyarrow
+    read of (at most) a training sample, no Spark. Shared by the query and
+    the DuckDB oracle so both engines quantize with identical lists."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    v = np.array(t.column("embedding").to_pylist()[:max_train], dtype=np.float64)
+    return ivf_centroids_np(v, n_lists=n_lists)
+
+
 def _hyperplanes(dim: int, n_bits: int, seed: int = SEED) -> np.ndarray:
     rs = np.random.RandomState(seed)
     return rs.normal(size=(n_bits, dim))

@@ -250,3 +250,36 @@ def test_media_features_real_vs_stub_dispatch(spark):
         assert list(r.features) == pytest.approx(expect, abs=0)
         if r.kind == "audio":
             assert list(r.features) == pytest.approx(wav_features(r.payload), abs=0)
+
+
+def test_ivf_topk_recall_and_determinism(spark, emb):
+    """IVF ANN: deterministic centroids, recall bounded below on the
+    hardest case (near-orthogonal gaussians), and full probing (n_probe =
+    n_lists) recovers the exact answer."""
+    from geoharvest_spark.simsearch import (
+        cosine_topk_bruteforce,
+        ivf_centroids_np,
+        ivf_topk,
+    )
+
+    pdf = emb.toPandas()
+    vecs = np.array(pdf.embedding.tolist(), dtype=np.float64)
+    c1 = ivf_centroids_np(vecs, n_lists=8)
+    c2 = ivf_centroids_np(vecs, n_lists=8)
+    assert (c1 == c2).all()  # deterministic training
+
+    queries = emb.limit(10)
+    exact = cosine_topk_bruteforce(queries, emb, k=5).toPandas()
+    # full probe == exact
+    full = ivf_topk(queries, emb, c1, k=5, n_probe=8).toPandas()
+    a = exact.sort_values(["qid", "rank"])[["qid", "vec_id"]].values
+    b = full.sort_values(["qid", "rank"])[["qid", "vec_id"]].values
+    assert (a == b).all()
+    # partial probe: reasonable recall
+    part = ivf_topk(queries, emb, c1, k=5, n_probe=3).toPandas()
+    recalls = []
+    for qid in exact.qid.unique():
+        e = set(exact[exact.qid == qid].vec_id)
+        p = set(part[part.qid == qid].vec_id)
+        recalls.append(len(e & p) / len(e))
+    assert np.mean(recalls) > 0.4
