@@ -600,3 +600,46 @@ def test_validate_aardvark_on_normalized_reference_fixtures(
     for rec in (fgdc_all, iso_all, gbl1_all, aardvark_all, marc_valid):
         values = rec.normalize()
         assert validate_aardvark(values) == [], rec.metadata_format
+
+
+def test_fast_valid_never_accepts_what_jsonschema_rejects():
+    """The fast-path predicate must be a SUBSET of jsonschema acceptance:
+    fuzz record mutations and assert fast_valid -> zero jsonschema errors,
+    and that validate_aardvark output always equals pure jsonschema."""
+    import random
+
+    from geoharvest_spark.normalize.base import (
+        _AARDVARK_VALIDATOR,
+        _fast_valid,
+        validate_aardvark,
+    )
+
+    rng = random.Random(42)
+    base = {
+        "id": "gismit:ABC", "dct_title_s": "A Map",
+        "dct_accessRights_s": "Public",
+        "dct_references_s": "{\"http://schema.org/url\": \"https://x\"}",
+        "gbl_mdModified_dt": "2024-01-01T00:00:00+00:00",
+        "gbl_mdVersion_s": "Aardvark",
+        "gbl_resourceClass_sm": ["Datasets"],
+    }
+    mut_values = [
+        None, "", "x", 0, 1, True, False, 3.5, [], ["a"], [1], [True],
+        ["a", 2], {"k": "v"}, ("a",), "2024-01-01T00:00:00Z",
+        "2024-13-01T00:00:00Z", "not-a-date", ["NotAClass"], ["Maps"],
+    ]
+    fields = list(base) + ["gbl_indexYear_im", "gbl_suppressed_b",
+                           "dct_creator_sm", "dcat_bbox", "weird_extra"]
+    for _ in range(400):
+        rec = dict(base)
+        for f in rng.sample(fields, rng.randint(1, 4)):
+            rec[f] = rng.choice(mut_values)
+        slim = {
+            k: v for k, v in rec.items()
+            if v is not None
+            and not (isinstance(v, (list, tuple)) and len(v) == 0)
+        }
+        pure = sorted(e.message for e in _AARDVARK_VALIDATOR.iter_errors(slim))
+        if _fast_valid(slim):
+            assert pure == [], (slim, pure)
+        assert validate_aardvark(rec) == pure, slim
