@@ -939,7 +939,11 @@ def _embed_lsh_oracle_sql(n_bits: int = 8, n_tables: int = 4, dim: int = 64) -> 
     )
 
 
-def _ivf_oracle_sql(n_lists: int = 16, n_probe: int = 4) -> str:
+def _ivf_oracle_sql(
+    n_lists: int = 16,
+    n_probe: int = 4,
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str:
     """Full SQL re-implementation of IVF ANN (simsearch.py ivf_topk): the
     deterministic spherical-kmeans centroids are inlined as VALUES, then
     assignment (argmax normalized dot, ties to lowest list id), n_probe
@@ -947,7 +951,7 @@ def _ivf_oracle_sql(n_lists: int = 16, n_probe: int = 4) -> str:
     ranks verified on the fixed sf0.01 embeddings."""
     from geoharvest_spark.simsearch import ivf_centroids_for_dir
 
-    C = ivf_centroids_for_dir("/root/testdata/sf0.01", n_lists=n_lists)
+    C = ivf_centroids_for_dir(sf_dir, n_lists=n_lists)
     cent_vals = ", ".join(
         "(%d, [%s]::DOUBLE[])" % (j, ",".join(repr(float(x)) for x in C[j]))
         for j in range(len(C))
@@ -979,13 +983,16 @@ def _ivf_oracle_sql(n_lists: int = 16, n_probe: int = 4) -> str:
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect) — one per SQL-expressible query above
 # ---------------------------------------------------------------------------
-def oracle_sql() -> dict[str, str]:
+def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     from geoharvest_spark.oracle_stage import stage_all
 
     # Driver-side deterministic staging (pure Python/numpy, no Spark) for
     # queries whose inputs are synthetic or whose reference computation is
     # not SQL-expressible (S2 Hilbert ids). See oracle_stage.py docstring.
-    stage = stage_all()
+    # sf_dir threads through to every data-dependent oracle (IVF centroid
+    # training, staged inputs) so query and oracle always share inputs even
+    # if the gate ever runs at another scale factor.
+    stage = stage_all(sf_dir)
     cell5 = ix.ghcell_sql("lon", "lat", 5)
     dec = "cast({c} as decimal(18,2))"
     rev = (
@@ -1250,7 +1257,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_oracle_sql(),
         "dedup_simhash": _simhash_oracle_sql(),
         "embed_lsh_ann": _embed_lsh_oracle_sql(),
-        "embed_ivf_ann": _ivf_oracle_sql(),
+        "embed_ivf_ann": _ivf_oracle_sql(sf_dir=sf_dir),
         "dedup_ngram_jaccard": (
             # ALL-PAIRS oracle (no candidate pruning): proves the Spark-side
             # LSH candidate generation loses nothing at this threshold

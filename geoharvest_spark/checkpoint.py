@@ -136,6 +136,22 @@ def run_with_checkpoint(
     todo = store.pending(work, job_id, snapshot_id, partition_col)
     if todo.isEmpty():
         return spark.read.parquet(f"{out_dir}/data")
+    attempted = {
+        int(r[partition_col])
+        for r in todo.select(partition_col).distinct().collect()
+    }
+    # Dynamic overwrite only replaces partitions PRESENT in the new result:
+    # if a crashed prior attempt wrote rows for a pending partition and this
+    # run legitimately emits zero rows for it, the stale rows would survive,
+    # get counted from the read-back, and be marked done as this run's
+    # output. Drop the pending partitions' data dirs first (Iceberg's
+    # overwritePartitions does this transactionally).
+    import shutil
+
+    for pid in attempted:
+        shutil.rmtree(
+            f"{out_dir}/data/{partition_col}={pid}", ignore_errors=True
+        )
     result = process(todo)
     (
         result.repartition(F.col(partition_col))
@@ -150,10 +166,6 @@ def run_with_checkpoint(
     # Metrics come from the WRITTEN parquet (left join, zero-filled), never
     # by re-executing the process() lineage (which could diverge if
     # nondeterministic and costs a second full pass).
-    attempted = {
-        int(r[partition_col])
-        for r in todo.select(partition_col).distinct().collect()
-    }
     written = dict(
         (int(r[partition_col]), int(r["rows"]))
         for r in spark.read.parquet(f"{out_dir}/data")

@@ -199,19 +199,29 @@ def points_in_ring(lons: np.ndarray, lats: np.ndarray, ring: np.ndarray) -> np.n
     after the cell-prefilter equi-join (SURVEY.md J3) — the candidate set per
     batch is small, so the kernel is cache-friendly.
     """
-    x = np.asarray(lons, dtype=np.float64)[:, None]
-    y = np.asarray(lats, dtype=np.float64)[:, None]
+    x_all = np.asarray(lons, dtype=np.float64)
+    y_all = np.asarray(lats, dtype=np.float64)
     rx, ry = ring[:, 0], ring[:, 1]
     x1, y1 = rx[None, :], ry[None, :]
     x2 = np.roll(rx, -1)[None, :]
     y2 = np.roll(ry, -1)[None, :]
-    # broadcast over (points x edges) in one shot: a python per-edge loop
-    # with errstate entered per edge cost ~40% of the whole refine kernel
-    crosses = (y1 > y) != (y2 > y)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        xint = (x2 - x1) * (y - y1) / (y2 - y1) + x1
-    hits = crosses & (x < xint)
-    return (hits.sum(axis=1) & 1).astype(bool)
+    # broadcast over (points x edges), chunking points so the float64
+    # temporaries stay bounded (~4M cells ≈ 32 MB per temp) for huge
+    # candidate batches; a python per-edge loop with errstate entered per
+    # edge cost ~40% of the whole refine kernel. over= also ignored: tiny
+    # nonzero y2-y1 on near-horizontal edges overflows the divide, and the
+    # inf xint compares correctly (crosses is False there anyway).
+    out = np.empty(len(x_all), dtype=bool)
+    chunk = max(1, 4_000_000 // max(1, len(rx)))
+    for s in range(0, len(x_all), chunk):
+        x = x_all[s : s + chunk, None]
+        y = y_all[s : s + chunk, None]
+        crosses = (y1 > y) != (y2 > y)
+        with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+            xint = (x2 - x1) * (y - y1) / (y2 - y1) + x1
+        hits = crosses & (x < xint)
+        out[s : s + chunk] = (hits.sum(axis=1) & 1).astype(bool)
+    return out
 
 
 def points_in_polygon(

@@ -233,9 +233,14 @@ def validate_aardvark(rec: dict) -> list[str]:
     if _AARDVARK_VALIDATOR is not None:
         if _fast_valid(slim):
             return []
-        return sorted(
-            e.message for e in _AARDVARK_VALIDATOR.iter_errors(slim)
-        )
+        # reference sorts ValidationError OBJECTS by str(error) — the full
+        # repr incl. path/context — then extracts .message
+        # (validators.py:186); sorting the bare messages can reorder
+        # multi-error output, so mirror the reference exactly.
+        return [
+            e.message
+            for e in sorted(_AARDVARK_VALIDATOR.iter_errors(slim), key=str)
+        ]
     errors: list[str] = []  # degraded fallback (no jsonschema wheel)
     for f in AARDVARK_REQUIRED_FIELDS:
         if f not in slim:

@@ -73,13 +73,23 @@ def cosine_topk(
             cids = pdf["cid"].to_numpy()
             sims = mat @ c.T  # (nq, nbatch)
             kk = min(k, sims.shape[1])
-            out = []
-            for row_i in range(sims.shape[0]):
-                s = sims[row_i]
-                order = np.lexsort((cids, -s))[:kk]
-                for j in order:
-                    out.append((ids[row_i], int(cids[j]), float(s[j])))
-            yield pd.DataFrame(out, columns=["qid", "vec_id", "cos_sim"])
+            # one vectorized 2-D lexsort over (cid, -sim) — row-wise along
+            # the last axis, same (-sim, cid) tie order as the old per-query
+            # loop (so the oracle hash is unchanged), no Python per row
+            order = np.lexsort(
+                (np.broadcast_to(cids, sims.shape), -sims), axis=1
+            )[:, :kk]
+            top_i = np.take_along_axis(
+                np.broadcast_to(cids, sims.shape), order, axis=1
+            )
+            top_s = np.take_along_axis(sims, order, axis=1)
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(ids, kk),
+                    "vec_id": top_i.ravel().astype(np.int64),
+                    "cos_sim": top_s.ravel(),
+                }
+            )
 
     part = corpus.select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("_cv")

@@ -86,10 +86,15 @@ def windowed_event_counts(
 
 
 def last_event_per_url_batch(df: DataFrame) -> DataFrame:
-    """Batch kernel for last-event-wins (A4): max-seq row per url."""
+    """Batch kernel for last-event-wins (A4): max-(seq, event_ts,
+    message_id) row per url. message_id is the final tie-breaker so rows
+    with fully equal (seq, event_ts) pick a deterministic winner across
+    retriggers/retries (matches last_event_stateful's fold)."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("url").orderBy(F.col("seq").desc(), F.col("event_ts").desc())
+    w = Window.partitionBy("url").orderBy(
+        F.col("seq").desc(), F.col("event_ts").desc(), F.col("message_id").desc()
+    )
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -98,12 +103,18 @@ def last_event_per_url_batch(df: DataFrame) -> DataFrame:
 
 
 def run_last_event_stream(
-    stream: DataFrame, out_table: str, checkpoint_dir: str
+    stream: DataFrame,
+    out_table: str,
+    checkpoint_dir: str,
+    max_state_rows: int = 100_000,
 ):
-    """Streaming last-event-wins via foreachBatch MERGE emulation: each
-    micro-batch folds into an in-memory state table keyed by url — the
-    EventBridge pooling semantics (mit.py:158-242) with exactly-once
-    output per trigger. Returns the StreamingQuery.
+    """TEST-HARNESS-ONLY streaming last-event-wins via foreachBatch MERGE
+    emulation (the ``cosine_topk_bruteforce`` treatment): each micro-batch
+    re-unions and re-windows the FULL url key set, so per-epoch work grows
+    O(total distinct keys ever seen) — a scale-killer as a production path.
+    Use :func:`last_event_stateful` (incremental state store) in jobs; this
+    exists as an independently-implemented truth twin for tests. Guarded by
+    ``max_state_rows``: the fold raises past it rather than degrading.
 
     State lives in a GLOBAL temp view: foreachBatch executes in a cloned
     SparkSession, so a session-local temp view would be invisible to the
@@ -118,7 +129,13 @@ def run_last_event_stream(
             merged = last_event_per_url_batch(prev.unionByName(batch_last))
         except Exception:  # first epoch: no state yet
             merged = batch_last
-        merged.cache().count()
+        n_state = merged.cache().count()
+        if n_state > max_state_rows:
+            raise RuntimeError(
+                f"run_last_event_stream state ({n_state} keys) exceeds "
+                f"max_state_rows={max_state_rows} — this foreachBatch "
+                "emulation is test-harness-only; use last_event_stateful"
+            )
         merged.createOrReplaceGlobalTempView(state_view)
 
     return (
@@ -138,24 +155,38 @@ def last_event_stateful(stream: DataFrame) -> DataFrame:
     state store (RocksDB/HDFS-backed on a cluster), scales with keys, and
     survives restarts via the checkpoint.
 
-    Ordering matches last_event_per_url_batch: greatest (seq, event_ts).
+    Ordering matches last_event_per_url_batch: greatest
+    (seq, event_ts, message_id) — message_id is the deterministic final
+    tie-breaker so fully-equal (seq, event_ts) rows pick the same winner
+    on every retrigger (and the strict > below can never flip between
+    equal-key rows across batches).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     out_schema = (
-        "url string, seq long, event string, event_ts timestamp"
+        "url string, seq long, event string, event_ts timestamp, "
+        "message_id string"
     )
-    state_schema = "seq long, event string, event_ts timestamp"
+    state_schema = "seq long, event string, event_ts timestamp, message_id string"
 
     def _fold(key, pdfs, state: GroupState):
         best = tuple(state.get) if state.exists else None
         for pdf in pdfs:
             if pdf.empty:
                 continue
-            pdf = pdf.sort_values(["seq", "event_ts"]).iloc[-1]
-            cand = (int(pdf["seq"]), pdf["event"], pdf["event_ts"])
-            if best is None or (cand[0], cand[2]) > (best[0], best[2]):
+            pdf = pdf.sort_values(["seq", "event_ts", "message_id"]).iloc[-1]
+            cand = (
+                int(pdf["seq"]),
+                pdf["event"],
+                pdf["event_ts"],
+                str(pdf["message_id"]),
+            )
+            if best is None or (cand[0], cand[2], cand[3]) > (
+                best[0],
+                best[2],
+                best[3],
+            ):
                 best = cand
         if best is not None:
             state.update(best)
@@ -165,6 +196,7 @@ def last_event_stateful(stream: DataFrame) -> DataFrame:
                     "seq": [best[0]],
                     "event": [best[1]],
                     "event_ts": [best[2]],
+                    "message_id": [best[3]],
                 }
             )
 

@@ -21,8 +21,9 @@ sys.path.insert(0, "/root/repo")
 from geoharvest_spark.session import get_spark  # noqa: E402
 from geoharvest_spark.streaming import (  # noqa: E402
     dedupe_messages,
+    last_event_per_url_batch,
+    last_event_stateful,
     read_event_stream,
-    run_last_event_stream,
     split_invalid,
     windowed_event_counts,
 )
@@ -66,8 +67,22 @@ def main() -> None:
         .trigger(**trigger)
         .start()
     )
-    q_state = run_last_event_stream(
-        deduped, "latest", f"{args.output}/_ckpt_state"
+    # production state path: incremental state store (applyInPandasWithState)
+    # emitting a per-trigger update CHANGELOG (file sinks reject update mode,
+    # so foreachBatch appends each epoch's updates — standard CDC shape);
+    # the queryable latest_state is a compaction of the changelog.
+    changelog_dir = f"{args.output}/latest_changelog"
+
+    def _append_changelog(batch_df, epoch_id: int) -> None:
+        batch_df.write.mode("append").parquet(changelog_dir)
+
+    q_state = (
+        last_event_stateful(deduped)
+        .writeStream.foreachBatch(_append_changelog)
+        .option("checkpointLocation", f"{args.output}/_ckpt_state")
+        .outputMode("update")
+        .trigger(**trigger)
+        .start()
     )
 
     for q in (q_invalid, q_windows, q_state):
@@ -75,9 +90,12 @@ def main() -> None:
             q.processAllAvailable()
             q.stop()
     if args.once:
-        spark.table("global_temp.latest_state").write.mode("overwrite").parquet(
-            f"{args.output}/latest_state"
-        )
+        import os
+
+        if os.path.isdir(changelog_dir):
+            last_event_per_url_batch(
+                spark.read.parquet(changelog_dir)
+            ).write.mode("overwrite").parquet(f"{args.output}/latest_state")
         print("DONE once")
         spark.stop()
     else:  # pragma: no cover - long-running service mode
