@@ -800,6 +800,154 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["harvest_normalize"] = harvest_normalize
 
+    def stream_last_event(spark, sf):  # §2.9: REAL stateful streaming operator
+        """Drives 3 deterministic micro-batches (maxFilesPerTrigger=1)
+        through last_event_stateful (applyInPandasWithState) and returns
+        the FINAL per-url state — the SQS at-least-once + pooled
+        last-event-wins semantics (reference mit.py:158-242,
+        sqs.py:139-185) proven at the driver contract, not via a batch
+        analog. The fold is a commutative max over
+        (seq, event_ts, message_id), so the final state is independent of
+        micro-batch arrival order; the oracle is one batch window over the
+        identical staged rows."""
+        import tempfile
+
+        import pandas as pd
+
+        from geoharvest_spark.streaming import (
+            EVENT_STREAM_SCHEMA,
+            last_event_stateful,
+            split_invalid,
+            synth_event_batch,
+        )
+
+        base = tempfile.mkdtemp(prefix="stream_le_")
+        in_dir = f"{base}/in"
+        for i0 in (0, 120, 240):
+            pdf = pd.DataFrame(synth_event_batch(i0, 120))
+            spark.createDataFrame(pdf, EVENT_STREAM_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(in_dir)
+        stream = (
+            spark.readStream.schema(EVENT_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)  # one file per micro-batch
+            .parquet(in_dir)
+        )
+        valid, _ = split_invalid(stream)
+        sink = "stream_last_event_sink"
+        spark.catalog.dropTempView(sink)
+        q = (
+            last_event_stateful(valid)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        # per-epoch updates are running maxima per url, so the max update
+        # per url IS the final state (batch-order independent)
+        w = Window.partitionBy("url").orderBy(
+            F.col("seq").desc(),
+            F.col("event_ts").desc(),
+            F.col("message_id").desc(),
+        )
+        return (
+            spark.table(sink)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select(
+                "url",
+                "seq",
+                "event",
+                F.col("event_ts").cast("timestamp").cast("long").alias("ts_epoch"),
+                "message_id",
+            )
+            .orderBy("url")
+        )
+
+    Q["stream_last_event"] = stream_last_event
+
+    def checkpoint_resume(spark, sf):  # K4: crash-resume idempotency proof
+        """Contract-surface resume proof (reference ack semantics
+        mit.py:251-263; overwrite-by-deterministic-name record.py:172-197):
+        phase A completes partitions 0-2 and "crashes" leaving unmarked
+        stale rows in partition 5; phase B resumes over the full input and
+        legitimately emits ZERO rows for partition 5. The output
+        hash-fails if resume double-processes a done partition (its
+        attempt tag would flip to 'resumed'), drops a zero-row partition
+        (status/rows_logged for 5 would be absent), or counts the stale
+        crashed-attempt rows (rows_logged for 5 would be nonzero)."""
+        import tempfile
+
+        from geoharvest_spark.checkpoint import (
+            CheckpointStore,
+            run_with_checkpoint,
+        )
+
+        base = tempfile.mkdtemp(prefix="ckpt_resume_")
+        store = CheckpointStore(spark, f"{base}/lineage")
+        out_dir = f"{base}/out"
+        work = _t(spark, sf, "events").select(
+            "event_id", (F.col("event_id") % 8).cast("int").alias("partition_id")
+        )
+        run_with_checkpoint(
+            spark,
+            work.where(F.col("partition_id") <= 2),
+            lambda df: df.withColumn("attempt", F.lit("first")),
+            store,
+            "resume_job",
+            "snap1",
+            out_dir,
+        )
+        # crashed attempt: partition 5 wrote rows but was never marked done
+        (
+            work.where(F.col("partition_id") == 5)
+            .limit(10)
+            .withColumn("attempt", F.lit("stale"))
+            .drop("partition_id")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/data/partition_id=5")
+        )
+        final = run_with_checkpoint(
+            spark,
+            work,
+            lambda df: df.where(F.col("partition_id") != 5).withColumn(
+                "attempt", F.lit("resumed")
+            ),
+            store,
+            "resume_job",
+            "snap1",
+            out_dir,
+        )
+        agg = final.groupBy("partition_id", "attempt").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("event_id").alias("sum_val"),
+        )
+        status = (
+            store.current()
+            .where(
+                (F.col("job_id") == "resume_job")
+                & (F.col("snapshot_id") == "snap1")
+            )
+            .select("partition_id", "status", F.col("rows").alias("rows_logged"))
+        )
+        return (
+            status.join(agg, "partition_id", "left")
+            .select(
+                F.col("partition_id").cast("long").alias("partition_id"),
+                "status",
+                "rows_logged",
+                F.coalesce(F.col("attempt"), F.lit("none")).alias("attempt"),
+                F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
+                F.coalesce(F.col("sum_val"), F.lit(0)).alias("sum_val"),
+            )
+            .orderBy("partition_id")
+        )
+
+    Q["checkpoint_resume"] = checkpoint_resume
+
     return Q
 
 
@@ -1345,5 +1493,36 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "SELECT s.s2_cell, count(*) AS n_points FROM events e "
             f"JOIN read_parquet('{stage['s2cells']}') s USING (event_id) "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "stream_last_event": (
+            # final state of the stateful streaming operator == one batch
+            # window over the identical staged event rows (the fold is a
+            # commutative max over (seq, event_ts, message_id))
+            "SELECT url, seq, event, "
+            "CAST(epoch(event_ts) AS BIGINT) AS ts_epoch, message_id FROM ("
+            "SELECT url, seq, event, event_ts, message_id, "
+            "row_number() OVER (PARTITION BY url ORDER BY seq DESC, "
+            "event_ts DESC, message_id DESC) AS rn "
+            f"FROM read_parquet('{stage['stream_events']}') "
+            "WHERE event IN ('created','deleted') AND url IS NOT NULL) "
+            "WHERE rn = 1 ORDER BY url"
+        ),
+        "checkpoint_resume": (
+            # straight-through truth for the crash/resume run: partitions
+            # 0-2 keep phase A's tag, 3/4/6/7 are resumed, 5 is done with
+            # zero rows (stale crashed-attempt rows purged)
+            "WITH w AS (SELECT event_id, event_id % 8 AS pid FROM events), "
+            "agg AS (SELECT pid, count(*) AS cnt, "
+            "CAST(sum(event_id) AS BIGINT) AS sv FROM w GROUP BY pid) "
+            "SELECT CAST(pid AS BIGINT) AS partition_id, 'done' AS status, "
+            "CAST(CASE WHEN pid = 5 THEN 0 ELSE cnt END AS BIGINT) "
+            "AS rows_logged, "
+            "CASE WHEN pid = 5 THEN 'none' WHEN pid <= 2 THEN 'first' "
+            "ELSE 'resumed' END AS attempt, "
+            "CAST(CASE WHEN pid = 5 THEN 0 ELSE cnt END AS BIGINT) "
+            "AS n_rows, "
+            "CAST(CASE WHEN pid = 5 THEN 0 ELSE sv END AS BIGINT) "
+            "AS sum_val "
+            "FROM agg ORDER BY partition_id"
         ),
     }

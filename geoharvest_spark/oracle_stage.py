@@ -128,6 +128,19 @@ def stage_snapshots() -> str:
     return _write(pdf, "snapshots.parquet")
 
 
+def stage_stream_events() -> str:
+    """The stream_last_event query's exact input: 3 deterministic
+    micro-batches of synthetic events (dups + invalids), flattened. The
+    oracle re-derives the final stateful-operator state with one batch
+    window over these rows."""
+    from .streaming import synth_event_batch
+
+    rows = []
+    for i0 in (0, 120, 240):
+        rows.extend(synth_event_batch(i0, 120))
+    return _write(pd.DataFrame(rows), "stream_events.parquet")
+
+
 def stage_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
         "normalized": stage_normalized(),
@@ -135,4 +148,5 @@ def stage_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "media": stage_media(),
         "s2cells": stage_s2_cells(sf_dir),
         "snapshots": stage_snapshots(),
+        "stream_events": stage_stream_events(),
     }

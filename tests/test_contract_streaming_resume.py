@@ -1,0 +1,99 @@
+"""Driver-contract tests for the round-3 queries: the REAL stateful
+streaming operator (stream_last_event) and crash-resume idempotency
+(checkpoint_resume) — VERDICT r2 "Next round" items 2 and 3."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, "/root/repo")
+
+from tests.conftest import SF001
+
+
+@pytest.fixture(scope="module")
+def entrymod():
+    import __spark_entry__ as E
+
+    return E
+
+
+def test_stream_last_event_matches_batch_window(spark, entrymod):
+    """The stateful operator's final state equals one batch window over
+    the same staged rows (the oracle's computation, here in pandas)."""
+    import pandas as pd
+
+    from geoharvest_spark.streaming import synth_event_batch
+
+    out = entrymod.queries()["stream_last_event"](spark, SF001).toPandas()
+    rows = []
+    for i0 in (0, 120, 240):
+        rows.extend(synth_event_batch(i0, 120))
+    pdf = pd.DataFrame(rows)
+    valid = pdf[pdf.event.isin(["created", "deleted"]) & pdf.url.notna()]
+    truth = (
+        valid.sort_values(["seq", "event_ts", "message_id"])
+        .groupby("url")
+        .last()
+        .reset_index()
+    )
+    assert len(out) == len(truth)
+    m = out.merge(truth, on="url", suffixes=("_got", "_want"))
+    assert (m.seq_got == m.seq_want).all()
+    assert (m.event_got == m.event_want).all()
+    assert (m.message_id_got == m.message_id_want).all()
+
+
+def test_checkpoint_resume_idempotent(spark, entrymod):
+    """Resume must not double-process done partitions (attempt stays
+    'first'), must mark the zero-row partition done with zero logged rows,
+    and must purge stale crashed-attempt rows."""
+    out = (
+        entrymod.queries()["checkpoint_resume"](spark, SF001)
+        .toPandas()
+        .set_index("partition_id")
+    )
+    assert sorted(out.index) == list(range(8))
+    assert (out.status == "done").all()
+    for pid in (0, 1, 2):
+        assert out.loc[pid, "attempt"] == "first"
+    for pid in (3, 4, 6, 7):
+        assert out.loc[pid, "attempt"] == "resumed"
+    # partition 5: zero rows emitted, stale rows purged, still marked done
+    assert out.loc[5, "attempt"] == "none"
+    assert out.loc[5, "rows_logged"] == 0
+    assert out.loc[5, "n_rows"] == 0
+    # non-empty partitions logged exactly what was written
+    nz = out.drop(index=5)
+    assert (nz.rows_logged == nz.n_rows).all()
+    assert (nz.n_rows > 0).all()
+
+
+def test_checkpoint_resume_third_run_noop(spark, entrymod):
+    """A third run over the same lineage is a no-op: run_with_checkpoint
+    short-circuits when nothing is pending (isEmpty branch)."""
+    import tempfile
+
+    from geoharvest_spark.checkpoint import CheckpointStore, run_with_checkpoint
+
+    base = tempfile.mkdtemp(prefix="ckpt_noop_")
+    store = CheckpointStore(spark, f"{base}/lineage")
+    work = spark.read.parquet(f"{SF001}/events.parquet").select(
+        "event_id", (F.col("event_id") % 4).cast("int").alias("partition_id")
+    )
+    calls = []
+
+    def proc(df):
+        calls.append(1)
+        return df
+
+    out_dir = f"{base}/out"
+    run_with_checkpoint(spark, work, proc, store, "j", "s", out_dir)
+    n1 = spark.read.parquet(f"{out_dir}/data").count()
+    run_with_checkpoint(spark, work, proc, store, "j", "s", out_dir)
+    n2 = spark.read.parquet(f"{out_dir}/data").count()
+    assert n1 == n2 == work.count()
+    assert len(calls) == 1  # second run never invoked process()
