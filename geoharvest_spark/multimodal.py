@@ -139,10 +139,19 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return arr.reshape(h, w, 3)
 
 
-def ppm_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
-    """Real image features: 16-bin luminance histogram + per-channel mean
-    and std + normalized w/h, zero-padded to `dim`."""
-    img = decode_ppm(payload).astype(np.float64)
+def _image_features(img: np.ndarray, dim: int = FEATURE_DIM) -> list[float]:
+    """Shared pixel-array features: 16-bin luminance histogram +
+    per-channel mean/std + normalized w/h, zero-padded to `dim`.
+    Accepts (h, w), (h, w, 1), (h, w, 3) or (h, w, 4) uint8 arrays
+    (gray replicated to RGB; alpha dropped)."""
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    elif img.shape[2] == 4:
+        img = img[:, :, :3]
+    img = img.astype(np.float64)
     h, w, _ = img.shape
     lum = img @ np.array([0.299, 0.587, 0.114])
     hist, _ = np.histogram(lum, bins=16, range=(0, 256))
@@ -155,6 +164,163 @@ def ppm_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return out.astype(np.float32).tolist()
 
 
+def ppm_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real image features over a decoded PPM."""
+    return _image_features(decode_ppm(payload), dim)
+
+
+# PNG color type -> samples per pixel (before palette expansion)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter +
+    numpy): supports 8-bit non-interlaced grayscale (0), RGB (2),
+    palette (3), gray+alpha (4) and RGBA (6). Returns (h, w, channels)
+    uint8. Interlaced or 16-bit PNGs raise NotImplementedError — honest
+    gates, like the other codec stubs."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # skip CRC
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"{depth}-bit PNG not supported (8 only)")
+    if interlace != 0:
+        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    if color not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color} not supported")
+    ch = _PNG_CHANNELS[color]
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    raw = raw.reshape(h, stride + 1)
+    filters = raw[:, 0]
+    rows = raw[:, 1:].astype(np.int32)
+    out = np.zeros((h, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        f = int(filters[y])
+        r = rows[y]
+        if f == 0:  # None
+            rec = r & 0xFF
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-ch] — cumsum per lane
+            rec = (np.cumsum(r.reshape(-1, ch), axis=0) & 0xFF).reshape(-1)
+        elif f == 2:  # Up
+            rec = (r + prev) & 0xFF
+        elif f == 3:  # Average (sequential left-dependency)
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - ch] if x >= ch else 0
+                rec[x] = (r[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth (sequential left-dependency)
+            rec = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - ch] if x >= ch else 0
+                b = prev[x]
+                c = prev[x - ch] if x >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                rec[x] = (r[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec
+        prev = rec
+    img = out.astype(np.uint8).reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        img = plte[img[:, :, 0]]
+    return img
+
+
+def png_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real image features over a decoded PNG."""
+    return _image_features(decode_png(payload), dim)
+
+
+def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
+    """Minimal PNG encoder (stdlib struct+zlib): 8-bit gray/RGB/RGBA,
+    non-interlaced. `filters` optionally forces a filter type per row
+    (cycling) so tests can exercise every unfilter path; default None."""
+    import struct
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    lines = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)] if filters else 0
+        r = flat[y]
+        if f == 0:
+            enc = r
+        elif f == 1:
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), r[:-ch]])
+            enc = (r - left) & 0xFF
+        elif f == 2:
+            enc = (r - prev) & 0xFF
+        elif f == 3:
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), r[:-ch]])
+            enc = (r - ((left + prev) >> 1)) & 0xFF
+        elif f == 4:
+            left = np.concatenate([np.zeros(ch, dtype=np.int32), r[:-ch]])
+            ul = np.concatenate([np.zeros(ch, dtype=np.int32), prev[:-ch]])
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul)
+            )
+            enc = (r - pred) & 0xFF
+        else:
+            raise ValueError(f"bad filter {f}")
+        lines.append(f)
+        lines.extend(enc.astype(np.uint8).tobytes())
+        prev = r
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_features(
     kind: str | None, payload: bytes | None, dim: int = FEATURE_DIM
 ) -> list[float]:
@@ -165,12 +331,15 @@ def decode_features(
             return wav_features(payload, dim)
         if kind == "image" and payload[:2] == b"P6":
             return ppm_features(payload, dim)
+        if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return png_features(payload, dim)
     return _fake_decode_features(payload, dim)
 
 
 def decode_image(payload: bytes) -> np.ndarray:  # pragma: no cover
-    """Compressed image decode — requires a codec library (PPM decodes via
-    decode_ppm without one)."""
+    """Other compressed image formats (JPEG, WebP, ...) — require a codec
+    library. PPM decodes via decode_ppm and PNG via decode_png with no
+    codec wheels."""
     if not HAVE_PIL:
         raise NotImplementedError(
             "image decode requires PIL/pillow, not present in this container"
@@ -256,6 +425,14 @@ def synth_ppm(i: int, w: int = 32, h: int = 24) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + img.tobytes()
 
 
+def synth_png(i: int, w: int = 32, h: int = 24) -> bytes:
+    """Deterministic PNG — a REAL compressed image, encoded with cycling
+    scanline filters so decoding exercises every unfilter path."""
+    rs = np.random.RandomState(3000 + i)
+    img = rs.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    return encode_png(img, filters=[0, 1, 2, 3, 4])
+
+
 def synth_media_pdf(n: int = 50) -> pd.DataFrame:
     """Deterministic media rows (pandas) — shared by the Spark table builder
     and the driver-side oracle staging path. Audio rows are REAL WAVs and
@@ -267,9 +444,12 @@ def synth_media_pdf(n: int = 50) -> pd.DataFrame:
         if kind == "audio":
             payload = synth_wav(i)
         elif kind == "image":
-            payload = synth_ppm(i)
+            # alternate REAL PPM and REAL PNG payloads: both decode
+            # without codec wheels, so the image column runs end-to-end
+            payload = synth_ppm(i) if (i // 3) % 2 == 0 else synth_png(i)
         else:
             payload = hashlib.md5(f"media{i}".encode()).digest() * 8
+        is_png = kind == "image" and (i // 3) % 2 == 1
         rows.append(
             {
                 "media_id": f"m{i:04d}",
@@ -279,8 +459,11 @@ def synth_media_pdf(n: int = 50) -> pd.DataFrame:
                     "width": 640 if kind == "image" else None,
                     "height": 480 if kind == "image" else None,
                     "duration_ms": 5000 + 1000 * (i % 7) if kind != "image" else None,
-                    "mime": {"image": "image/png", "audio": "audio/wav",
-                             "video": "video/mp4"}[kind],
+                    "mime": {
+                        "image": "image/png" if is_png else "image/x-portable-pixmap",
+                        "audio": "audio/wav",
+                        "video": "video/mp4",
+                    }[kind],
                 },
             }
         )
