@@ -38,6 +38,55 @@ DEFAULT_MD_MODIFIED = "2024-06-01T00:00:00+00:00"
 
 CDN_ROOT = "https://cdn.example.test/geo"  # engine-local stand-in for config
 
+# entity refs that are neither predefined XML entities nor numeric
+_UNDEFINED_ENTITY = re.compile(rb"&(?!amp;|lt;|gt;|quot;|apos;|#)(\w+);")
+_XML_DECL = re.compile(rb"^\s*<\?xml[^>]*\?>", re.S)
+_DECL_ENCODING = re.compile(rb'encoding=["\']([A-Za-z0-9._-]+)["\']')
+
+
+def tolerant_fromstring(data: bytes) -> "ET.Element":
+    """lxml-recover analog for harvested real-web XML (the reference parses
+    arbitrary harvested blobs with lxml defaults, record.py:502-511, which
+    tolerate hostilities stdlib expat rejects). Recovery ladder, applied
+    only after a clean parse fails:
+
+    1. strip junk/BOM before the first ``<`` and trailing NULs;
+    2. drop undefined entity references (lxml recover does the same);
+    3. on encoding-mismatch failures, re-decode permissively — declared
+       encoding, then utf-8, then latin-1 (which cannot fail), each with
+       the (now lying) declaration stripped.
+
+    Still raises ET.ParseError when nothing salvageable remains; callers
+    route that to the error channel (F7) so one bad blob never kills a
+    batch (normalize_record, below)."""
+    try:
+        return ET.fromstring(data)
+    except ET.ParseError as first_err:
+        last_err: Exception = first_err
+    i = data.find(b"<")
+    if i < 0:
+        raise ET.ParseError("no markup found")
+    cleaned = _UNDEFINED_ENTITY.sub(b"", data[i:].rstrip(b"\x00 \t\r\n"))
+    try:
+        return ET.fromstring(cleaned)
+    except ET.ParseError as exc:
+        last_err = exc
+    decl = _DECL_ENCODING.search(cleaned[:200])
+    encodings = ["utf-8", "latin-1"]
+    if decl:
+        declared = decl.group(1).decode("ascii", "ignore").lower()
+        if declared in ("utf8", "utf-8"):
+            pass  # already first in the ladder
+        else:
+            encodings.insert(0, declared)
+    body = _XML_DECL.sub(b"", cleaned)
+    for enc in encodings:
+        try:
+            return ET.fromstring(body.decode(enc, errors="replace"))
+        except (ET.ParseError, LookupError) as exc:
+            last_err = exc
+    raise ET.ParseError(f"unrecoverable XML: {last_err}")
+
 
 # ---------------------------------------------------------------------------
 # Cleanup / scalar utilities (X1-X5, D1 — exact reference semantics)
@@ -467,7 +516,7 @@ class XmlNormalizer(BaseNormalizer):
     @property
     def root(self) -> ET.Element:
         if self._root is None:
-            self._root = ET.fromstring(self.data)
+            self._root = tolerant_fromstring(self.data)
         return self._root
 
     def findall(self, path: str) -> list[ET.Element]:

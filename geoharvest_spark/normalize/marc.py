@@ -42,7 +42,9 @@ class MarcRecord:
     """Minimal MARC-XML record model (marcalyx stand-in)."""
 
     def __init__(self, data: bytes | ET.Element) -> None:
-        root = data if isinstance(data, ET.Element) else ET.fromstring(data)
+        from .base import tolerant_fromstring
+
+        root = data if isinstance(data, ET.Element) else tolerant_fromstring(data)
         if _local(root.tag) != "record":
             found = root.find(".//{*}record")
             if found is None:
