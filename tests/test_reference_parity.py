@@ -643,3 +643,121 @@ def test_fast_valid_never_accepts_what_jsonschema_rejects():
         if _fast_valid(slim):
             assert pure == [], (slim, pure)
         assert validate_aardvark(rec) == pure, slim
+
+
+# ---------------------------------------------------------------------------
+# Quirk corners (VERDICT r2 item 9) — literal goldens over crafted fixtures
+# ---------------------------------------------------------------------------
+def test_iso19139_parse_time_position_goldens():
+    """Reference test_iso19139.py:288-307 literals + the attribute-wins
+    branch (iso19139.py:595-606: indeterminatePosition is checked BEFORE
+    text, so it wins when both exist)."""
+    from xml.etree.ElementTree import Element
+
+    f = ISO19139._parse_time_position
+    assert f(None) is None
+    el = Element("timePosition")
+    el.attrib["indeterminatePosition"] = "2023"
+    assert f(el) == "2023"
+    el2 = Element("timePosition")
+    el2.text = "  2023-10-10  "
+    assert f(el2) == "2023-10-10"  # text path strips
+    el3 = Element("timePosition")
+    assert f(el3) is None  # empty element
+    el4 = Element("timePosition")
+    el4.attrib["indeterminatePosition"] = "now"
+    el4.text = "1999-01-01"
+    assert f(el4) == "now"  # attribute wins over text
+
+
+_ISO_TEMPORAL = b"""<gmd:MD_Metadata
+ xmlns:gmd="http://www.isotc211.org/2005/gmd"
+ xmlns:gco="http://www.isotc211.org/2005/gco"
+ xmlns:gml="http://www.opengis.net/gml/3.2">
+ <gmd:identificationInfo><gmd:MD_DataIdentification><gmd:extent>
+  <gmd:EX_Extent><gmd:temporalElement><gmd:EX_TemporalExtent><gmd:extent>
+   <gml:TimePeriod>
+    <gml:beginPosition indeterminatePosition="1990"/>
+    <gml:endPosition>2000-01-01</gml:endPosition>
+   </gml:TimePeriod>
+  </gmd:extent></gmd:EX_TemporalExtent></gmd:temporalElement></gmd:EX_Extent>
+ </gmd:extent></gmd:MD_DataIdentification></gmd:identificationInfo>
+</gmd:MD_Metadata>"""
+
+
+def test_iso19139_indeterminate_period_field_level():
+    """A period whose begin is ONLY an indeterminatePosition year flows
+    through dct_temporal_sm / gbl_dateRange_drsim / gbl_indexYear_im like
+    a parsed date (reference parses the attribute string with dateutil)."""
+    rec = ISO19139(
+        data=_ISO_TEMPORAL, identifier="t", origin="mit", event="created"
+    )
+    assert rec._dct_temporal_sm() == ["1990-2000"]
+    assert rec._gbl_dateRange_drsim() == ["1990 TO 2000"]
+    assert rec._gbl_indexYear_im() == [1990, 2000]
+
+
+def _marc(fields: bytes, f008: bytes = b"") -> bytes:
+    ctl = (
+        b'<controlfield tag="008">' + f008 + b"</controlfield>" if f008 else b""
+    )
+    return (
+        b'<record xmlns="http://www.loc.gov/MARC21/slim">'
+        b"<leader>01234cem a2200000 a 4500</leader>"
+        b'<controlfield tag="001">1</controlfield>' + ctl +
+        b'<datafield tag="245" ind1="1" ind2="0">'
+        b'<subfield code="a">T</subfield></datafield>' + fields + b"</record>"
+    )
+
+
+def test_marc_language_008_short_field_drops_silently():
+    """008 shorter than 38 chars: [35:38] yields a <3-char slice and the
+    reference's `.{3}` findall silently drops it (marc.py:198-215 — no
+    error, no partial code); 041 still contributes."""
+    xml = _marc(
+        b'<datafield tag="041" ind1=" " ind2=" ">'
+        b'<subfield code="a">ger</subfield></datafield>',
+        f008=b"120523s1990    mau",  # 18 chars: slice [35:38] is ''
+    )
+    rec = MARC(xml, identifier="1", origin="alma")
+    assert rec._dct_language_sm() == ["ger"]
+
+
+def test_marc_language_remainder_dropped_and_subfield_sweep():
+    """`.{3}` findall drops a trailing remainder: 'engfr' -> ['eng'] ('fr'
+    silently lost — reference quirk reproduced); codes sweep subfields
+    a,b,d..n of EVERY 041 occurrence in document order after the 008."""
+    xml = _marc(
+        b'<datafield tag="041" ind1=" " ind2=" ">'
+        b'<subfield code="a">engfr</subfield>'
+        b'<subfield code="b">ita</subfield></datafield>'
+        b'<datafield tag="041" ind1=" " ind2=" ">'
+        b'<subfield code="d">spapor</subfield></datafield>',
+        f008=b"120523s1990    mau           000 0 fre d",
+    )
+    rec = MARC(xml, identifier="1", origin="alma")
+    assert rec._dct_language_sm() == ["fre", "eng", "ita", "spa", "por"]
+
+
+def test_fgdc_bbox_whitespace_compares_before_strip():
+    """min/max run on the RAW strings and .strip() applies AFTER
+    (fgdc.py:115-122): a leading space (0x20 < '-' 0x2D) makes ' -5.0'
+    the string-min west even though -74.0 is further west."""
+    body = (
+        "<citation><citeinfo><title>T</title></citeinfo></citation>"
+        "<spdom>"
+        "<bounding><westbc> -5.0</westbc><eastbc>10.0</eastbc>"
+        "<northbc>42.0</northbc><southbc>5.0</southbc></bounding>"
+        "<bounding><westbc>-74.0</westbc><eastbc>9.5</eastbc>"
+        "<northbc>8.0</northbc><southbc>-10.0</southbc></bounding>"
+        "</spdom>"
+    )
+    rec = FGDC(
+        f"<metadata><idinfo>{body}</idinfo></metadata>".encode(),
+        identifier="x",
+        origin="mit",
+    )
+    # west: min(' -5.0','-74.0') = ' -5.0' -> strips to '-5.0' (not -74.0!)
+    # east: max('10.0','9.5') = '9.5' (string '9' > '1')
+    # north: max('42.0','8.0') = '8.0'; south: min('5.0','-10.0') = '-10.0'
+    assert rec._dcat_bbox() == "ENVELOPE(-5.0, 9.5, 8.0, -10.0)"
