@@ -948,6 +948,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["checkpoint_resume"] = checkpoint_resume
 
+    def dedup_embed_cosine(spark, sf):
+        """Embedding-cosine near-dup (the remaining dedup family): the
+        sf embeddings are near-orthogonal (max pairwise cos 0.51), so the
+        query PLANTS near-duplicates deterministically — even-id vectors
+        get an integer-derived perturbation computed identically in the
+        SQL oracle (exact int arithmetic, then one double divide, so the
+        corpus is bit-identical in both engines). Candidates via
+        hyperplane-LSH self-join, exact cosine >= 0.9 re-check; the
+        oracle is ALL-PAIRS, proving the LSH candidate set loses nothing
+        at this threshold. Output is id pairs only (no float column) for
+        hash safety; planted pairs sit at cos ~0.999 vs threshold 0.9, so
+        last-ulp dot-product differences cannot flip membership."""
+        from geoharvest_spark.simsearch import cosine_near_dup_pairs
+
+        e = _t(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        delta = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                F.element_at(F.col("embedding"), j + F.lit(1))
+                + (
+                    (F.col("vec_id") * (F.lit(31) + j) + F.lit(7) * j) % 97
+                )
+                / F.lit(10000.0)
+            ),
+        )
+        pert = e.where(F.col("vec_id") % 2 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            delta.alias("embedding"),
+        )
+        corpus = e.unionByName(pert)
+        return cosine_near_dup_pairs(
+            corpus, dim=64, threshold=0.9, n_bits=10, n_tables=8
+        ).orderBy("id_a", "id_b")
+
+    Q["dedup_embed_cosine"] = dedup_embed_cosine
+
     return Q
 
 
@@ -1506,6 +1544,25 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             f"FROM read_parquet('{stage['stream_events']}') "
             "WHERE event IN ('created','deleted') AND url IS NOT NULL) "
             "WHERE rn = 1 ORDER BY url"
+        ),
+        "dedup_embed_cosine": (
+            # ALL-PAIRS oracle (no candidate pruning): proves the LSH
+            # self-join candidate generation loses nothing at cos >= 0.9.
+            # The planted perturbation repeats the Spark query's integer
+            # arithmetic exactly; only id pairs are emitted.
+            "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v "
+            "FROM embeddings), "
+            "pert AS (SELECT vec_id + 100000 AS vec_id, "
+            "list_transform(range(64), j -> v[j+1] + "
+            "((vec_id*(31+j) + 7*j) % 97)/10000.0) AS v "
+            "FROM base WHERE vec_id % 2 = 0), "
+            "corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert), "
+            "nrm AS (SELECT vec_id, list_transform(v, "
+            "x -> x / sqrt(list_dot_product(v, v))) AS u FROM corpus) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id "
+            "WHERE list_dot_product(a.u, b.u) >= 0.9 "
+            "ORDER BY id_a, id_b"
         ),
         "checkpoint_resume": (
             # straight-through truth for the crash/resume run: partitions

@@ -161,6 +161,53 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_bits: int = 10,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b) with
+    cos(a, b) >= threshold and id_a < id_b.
+
+    The dedup sibling of lsh_topk: candidates come from a hyperplane-LSH
+    self-join (same (table, bucket) in ANY of n_tables independent
+    tables), exact cosine re-check inside candidates only — shuffle
+    O(n * tables), never O(n^2). Miss probability per true pair is
+    (1 - (1 - theta/pi)^n_bits)^n_tables — at threshold 0.9
+    (theta <= 0.144*pi) and 10 bits x 8 tables that is < 2e-5; size
+    n_tables up for tighter guarantees. Emits only id pairs (no float
+    column) so the result hashes identically across engines."""
+    sig = lsh_signatures(df, dim, n_bits, n_tables, id_col, vec_col)
+    a = sig.select(
+        F.col("id").alias("id_a"), F.col("v").alias("va"), "table", "bucket"
+    )
+    b = sig.select(
+        F.col("id").alias("id_b"), F.col("v").alias("vb"), "table", "bucket"
+    )
+    cand = (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .drop("table", "bucket")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    @F.pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        x = _normalize_rows(np.array(va.tolist(), dtype=np.float64))
+        y = _normalize_rows(np.array(vb.tolist(), dtype=np.float64))
+        return pd.Series((x * y).sum(axis=1))
+
+    return (
+        cand.withColumn("cos_sim", _cos(F.col("va"), F.col("vb")))
+        .where(F.col("cos_sim") >= F.lit(threshold))
+        .select("id_a", "id_b")
+    )
+
+
 def ivf_centroids_np(
     vectors: np.ndarray, n_lists: int = 16, iters: int = 10, seed: int = SEED
 ) -> np.ndarray:

@@ -283,3 +283,36 @@ def test_ivf_topk_recall_and_determinism(spark, emb):
         p = set(part[part.qid == qid].vec_id)
         recalls.append(len(e & p) / len(e))
     assert np.mean(recalls) > 0.4
+
+
+def test_cosine_near_dup_pairs_matches_bruteforce(spark):
+    """LSH-candidate near-dup pairs == all-pairs truth at threshold 0.9
+    on a corpus with planted near-duplicates (miss prob < 2e-5/pair)."""
+    import numpy as np
+    import pandas as pd
+
+    from geoharvest_spark.simsearch import _normalize_rows, cosine_near_dup_pairs
+
+    rs = np.random.RandomState(42)
+    base = rs.normal(size=(120, 64))
+    pert = base[::2] + rs.normal(scale=0.02, size=base[::2].shape)
+    vecs = np.vstack([base, pert])
+    ids = list(range(120)) + [1000 + i for i in range(0, 120, 2)]
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": [list(map(float, v)) for v in vecs]})
+    df = spark.createDataFrame(pdf)
+    got = (
+        cosine_near_dup_pairs(df, dim=64, threshold=0.9)
+        .toPandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+    u = _normalize_rows(vecs)
+    S = u @ u.T
+    want = sorted(
+        (min(ids[i], ids[j]), max(ids[i], ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if S[i, j] >= 0.9
+    )
+    assert len(want) >= 60  # the planted pairs are really there
+    assert list(map(tuple, got.values)) == want
