@@ -986,6 +986,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["dedup_embed_cosine"] = dedup_embed_cosine
 
+    def stream_windowed_counts(spark, sf):
+        """§2.9 event-time windows through a REAL stream: the staged 3
+        micro-batches drive windowed_event_counts in COMPLETE mode (the
+        sink snapshot is the full aggregation after every trigger, so the
+        final table is independent of file/trigger order); oracle = batch
+        tumbling-window SQL over the identical staged rows. Window starts
+        are emitted as epoch seconds (floor(ts/300)*300) on both sides."""
+        import tempfile
+
+        import pandas as pd
+
+        from geoharvest_spark.streaming import (
+            EVENT_STREAM_SCHEMA,
+            split_invalid,
+            synth_event_batch,
+            windowed_event_counts,
+        )
+
+        base = tempfile.mkdtemp(prefix="stream_wc_")
+        in_dir = f"{base}/in"
+        for i0 in (0, 120, 240):
+            pdf = pd.DataFrame(synth_event_batch(i0, 120))
+            spark.createDataFrame(pdf, EVENT_STREAM_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(in_dir)
+        stream = (
+            spark.readStream.schema(EVENT_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        valid, _ = split_invalid(stream)
+        sink = "stream_windowed_counts_sink"
+        spark.catalog.dropTempView(sink)
+        q = (
+            windowed_event_counts(valid, window="5 minutes")
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return (
+            spark.table(sink)
+            .select(
+                F.col("win_start").cast("timestamp").cast("long").alias("win_start_epoch"),
+                "event",
+                "n",
+            )
+            .orderBy("win_start_epoch", "event")
+        )
+
+    Q["stream_windowed_counts"] = stream_windowed_counts
+
     return Q
 
 
@@ -1563,6 +1618,15 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id "
             "WHERE list_dot_product(a.u, b.u) >= 0.9 "
             "ORDER BY id_a, id_b"
+        ),
+        "stream_windowed_counts": (
+            # batch tumbling-window truth over the staged stream rows;
+            # complete-mode sink snapshot == full aggregation
+            "SELECT (CAST(epoch(event_ts) AS BIGINT) // 300) * 300 "
+            "AS win_start_epoch, event, count(*) AS n "
+            f"FROM read_parquet('{stage['stream_events']}') "
+            "WHERE event IN ('created','deleted') AND url IS NOT NULL "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "checkpoint_resume": (
             # straight-through truth for the crash/resume run: partitions

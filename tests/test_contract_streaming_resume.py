@@ -97,3 +97,30 @@ def test_checkpoint_resume_third_run_noop(spark, entrymod):
     n2 = spark.read.parquet(f"{out_dir}/data").count()
     assert n1 == n2 == work.count()
     assert len(calls) == 1  # second run never invoked process()
+
+
+def test_stream_windowed_counts_matches_batch(spark, entrymod):
+    """Complete-mode windowed counts through the real stream equal the
+    batch tumbling-window aggregation (pandas recomputation)."""
+    import pandas as pd
+
+    from geoharvest_spark.streaming import synth_event_batch
+
+    out = entrymod.queries()["stream_windowed_counts"](spark, SF001).toPandas()
+    rows = []
+    for i0 in (0, 120, 240):
+        rows.extend(synth_event_batch(i0, 120))
+    pdf = pd.DataFrame(rows)
+    valid = pdf[pdf.event.isin(["created", "deleted"]) & pdf.url.notna()].copy()
+    valid["win"] = (
+        valid.event_ts.astype("int64") // 10**9 // 300 * 300
+    )
+    truth = (
+        valid.groupby(["win", "event"]).size().rename("n").reset_index()
+    )
+    assert len(out) == len(truth)
+    m = out.merge(
+        truth, left_on=["win_start_epoch", "event"], right_on=["win", "event"]
+    )
+    assert len(m) == len(truth)
+    assert (m.n_x == m.n_y).all()
