@@ -180,7 +180,13 @@ def cosine_near_dup_pairs(
     (1 - (1 - theta/pi)^n_bits)^n_tables — at threshold 0.9
     (theta <= 0.144*pi) and 10 bits x 8 tables that is < 2e-5; size
     n_tables up for tighter guarantees. Emits only id pairs (no float
-    column) so the result hashes identically across engines."""
+    column) so the result hashes identically across engines.
+
+    Scale sizing: within-bucket work is quadratic in bucket size, so
+    n_bits must GROW with the corpus — n_bits ≈ log2(n) - 10 keeps
+    expected bucket size ~1k rows (1B vectors -> 20 bits), the same knob
+    MinHash banding turns (textops.py). AQE skew-join splitting
+    backstops residual hot buckets."""
     sig = lsh_signatures(df, dim, n_bits, n_tables, id_col, vec_col)
     a = sig.select(
         F.col("id").alias("id_a"), F.col("v").alias("va"), "table", "bucket"

@@ -145,3 +145,31 @@ def test_cosine_topk_never_shuffles_corpus_vectors(spark):
     post_shuffle = plan.split("Exchange")[0]  # top of plan = after shuffle
     assert "_cv" not in post_shuffle  # vectors never cross the exchange
     assert "CartesianProduct" not in plan
+
+
+def test_cosine_near_dup_join_is_bucketed(spark):
+    """Embedding near-dup candidates come from the (table, bucket)
+    equi-join — never a cartesian/broadcast-nested-loop all-pairs."""
+    from geoharvest_spark.simsearch import cosine_near_dup_pairs
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(cosine_near_dup_pairs(e, dim=64, threshold=0.9))
+    assert "bucket" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_checkpoint_pending_is_anti_join(spark, tmp_path):
+    """Resume filtering is a distributed left-anti join against the
+    lineage table — completed partitions never collect to the driver."""
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.checkpoint import CheckpointStore
+
+    store = CheckpointStore(spark, str(tmp_path / "lineage"))
+    store.mark("j", "s", [(1, 10, 100), (2, 5, 50)])
+    work = spark.range(100).select(
+        F.col("id").alias("event_id"), (F.col("id") % 8).cast("int").alias("partition_id")
+    )
+    plan = _plan(store.pending(work, "j", "s"))
+    assert "LeftAnti" in plan
