@@ -151,6 +151,8 @@ def _image_features(img: np.ndarray, dim: int = FEATURE_DIM) -> list[float]:
         img = np.repeat(img, 3, axis=2)
     elif img.shape[2] == 4:
         img = img[:, :, :3]
+    if img.dtype == np.uint16:  # 16-bit samples -> 0..255 domain
+        img = img.astype(np.float64) / 257.0
     img = img.astype(np.float64)
     h, w, _ = img.shape
     lum = img @ np.array([0.299, 0.587, 0.114])
@@ -175,10 +177,12 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 def decode_png(payload: bytes) -> np.ndarray:
     """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter +
-    numpy): supports 8-bit non-interlaced grayscale (0), RGB (2),
-    palette (3), gray+alpha (4) and RGBA (6). Returns (h, w, channels)
-    uint8. Interlaced or 16-bit PNGs raise NotImplementedError — honest
-    gates, like the other codec stubs."""
+    numpy): supports 8- and 16-bit non-interlaced grayscale (0), RGB (2),
+    8-bit palette (3), gray+alpha (4) and RGBA (6). Returns
+    (h, w, channels) uint8 or uint16 (big-endian samples per the spec).
+    PNG filters operate on BYTES with a bpp stride of channels*depth/8,
+    so the same unfilter kernels cover both depths. Interlaced (Adam7)
+    PNGs raise NotImplementedError — an honest gate, like the JPEG stub."""
     import struct
     import zlib
 
@@ -204,15 +208,16 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth != 8:
-        raise NotImplementedError(f"{depth}-bit PNG not supported (8 only)")
+    if depth not in (8, 16) or (depth == 16 and color == 3):
+        raise NotImplementedError(f"{depth}-bit color-type-{color} PNG not supported")
     if interlace != 0:
         raise NotImplementedError("interlaced (Adam7) PNG not supported")
     if color not in _PNG_CHANNELS:
         raise NotImplementedError(f"PNG color type {color} not supported")
     ch = _PNG_CHANNELS[color]
+    bpp = ch * (depth // 8)  # filter stride is in BYTES per pixel
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = w * ch
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
     raw = raw.reshape(h, stride + 1)
@@ -225,21 +230,21 @@ def decode_png(payload: bytes) -> np.ndarray:
         r = rows[y]
         if f == 0:  # None
             rec = r & 0xFF
-        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-ch] — cumsum per lane
-            rec = (np.cumsum(r.reshape(-1, ch), axis=0) & 0xFF).reshape(-1)
+        elif f == 1:  # Sub: recon[x] = raw[x] + recon[x-bpp] — cumsum per lane
+            rec = (np.cumsum(r.reshape(-1, bpp), axis=0) & 0xFF).reshape(-1)
         elif f == 2:  # Up
             rec = (r + prev) & 0xFF
         elif f == 3:  # Average (sequential left-dependency)
             rec = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
-                left = rec[x - ch] if x >= ch else 0
+                left = rec[x - bpp] if x >= bpp else 0
                 rec[x] = (r[x] + ((left + prev[x]) >> 1)) & 0xFF
         elif f == 4:  # Paeth (sequential left-dependency)
             rec = np.zeros(stride, dtype=np.int32)
             for x in range(stride):
-                a = rec[x - ch] if x >= ch else 0
+                a = rec[x - bpp] if x >= bpp else 0
                 b = prev[x]
-                c = prev[x - ch] if x >= ch else 0
+                c = prev[x - bpp] if x >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -248,7 +253,14 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = rec
         prev = rec
-    img = out.astype(np.uint8).reshape(h, w, ch)
+    flat = out.astype(np.uint8)
+    if depth == 16:  # big-endian sample pairs per the spec
+        img = (
+            flat.reshape(h, w, ch, 2).astype(np.uint16)[:, :, :, 0] * 256
+            + flat.reshape(h, w, ch, 2)[:, :, :, 1]
+        ).astype(np.uint16)
+    else:
+        img = flat.reshape(h, w, ch)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -262,17 +274,21 @@ def png_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 
 def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
-    """Minimal PNG encoder (stdlib struct+zlib): 8-bit gray/RGB/RGBA,
-    non-interlaced. `filters` optionally forces a filter type per row
-    (cycling) so tests can exercise every unfilter path; default None."""
+    """Minimal PNG encoder (stdlib struct+zlib): 8-bit (uint8) or 16-bit
+    (uint16, big-endian samples) gray/RGB/RGBA, non-interlaced. `filters`
+    optionally forces a filter type per row (cycling) so tests can
+    exercise every unfilter path; default None."""
     import struct
     import zlib
 
-    img = np.asarray(img, dtype=np.uint8)
+    img = np.asarray(img)
+    depth = 16 if img.dtype == np.uint16 else 8
+    img = img.astype(">u2") if depth == 16 else img.astype(np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, ch = img.shape
     color = {1: 0, 3: 2, 4: 6}[ch]
+    bpp = ch * (depth // 8)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         return (
@@ -282,25 +298,28 @@ def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    flat = img.reshape(h, w * ch).astype(np.int32)
+    # filters run over BYTES (bpp stride), identical for 8/16-bit
+    flat = (
+        img.reshape(h, w * ch).view(np.uint8).reshape(h, w * bpp)
+    ).astype(np.int32)
     lines = bytearray()
-    prev = np.zeros(w * ch, dtype=np.int32)
+    prev = np.zeros(w * bpp, dtype=np.int32)
     for y in range(h):
         f = filters[y % len(filters)] if filters else 0
         r = flat[y]
         if f == 0:
             enc = r
         elif f == 1:
-            left = np.concatenate([np.zeros(ch, dtype=np.int32), r[:-ch]])
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), r[:-bpp]])
             enc = (r - left) & 0xFF
         elif f == 2:
             enc = (r - prev) & 0xFF
         elif f == 3:
-            left = np.concatenate([np.zeros(ch, dtype=np.int32), r[:-ch]])
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), r[:-bpp]])
             enc = (r - ((left + prev) >> 1)) & 0xFF
         elif f == 4:
-            left = np.concatenate([np.zeros(ch, dtype=np.int32), r[:-ch]])
-            ul = np.concatenate([np.zeros(ch, dtype=np.int32), prev[:-ch]])
+            left = np.concatenate([np.zeros(bpp, dtype=np.int32), r[:-bpp]])
+            ul = np.concatenate([np.zeros(bpp, dtype=np.int32), prev[:-bpp]])
             p = left + prev - ul
             pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
             pred = np.where(
@@ -312,7 +331,7 @@ def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
         lines.append(f)
         lines.extend(enc.astype(np.uint8).tobytes())
         prev = r
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

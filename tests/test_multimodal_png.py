@@ -87,9 +87,9 @@ def test_png_unsupported_gates():
     # not a PNG
     with pytest.raises(ValueError):
         decode_png(b"JUNK" + good[4:])
-    # 16-bit: patch IHDR depth byte (offset 8+4+4+8 = IHDR data byte 8)
+    # sub-byte depth: patch IHDR depth byte (offset 8+4+4+8 = data byte 8)
     deep = bytearray(good)
-    deep[24] = 16
+    deep[24] = 4
     with pytest.raises(NotImplementedError):
         decode_png(bytes(deep))
     # interlaced: IHDR interlace byte is IHDR data byte 12
@@ -97,6 +97,26 @@ def test_png_unsupported_gates():
     inter[28] = 1
     with pytest.raises(NotImplementedError):
         decode_png(bytes(inter))
+
+
+@pytest.mark.parametrize("ch", [1, 3, 4])
+def test_png_16bit_roundtrip(ch):
+    rs = np.random.RandomState(90 + ch)
+    a = rs.randint(0, 65536, size=(7, 9, ch), dtype=np.uint16)
+    img = a[:, :, 0] if ch == 1 else a
+    out = decode_png(encode_png(img, filters=[0, 1, 2, 3, 4]))
+    want = img[:, :, None] if ch == 1 else img
+    assert out.dtype == np.uint16
+    assert (out == want).all()
+
+
+def test_png_16bit_features_scale_to_8bit_domain():
+    rs = np.random.RandomState(5)
+    img8 = rs.randint(0, 256, size=(10, 12, 3), dtype=np.uint8)
+    img16 = (img8.astype(np.uint16) * 257)  # exact 8->16 bit expansion
+    f8 = _image_features(img8)
+    f16 = _image_features(img16)
+    assert f8 == pytest.approx(f16, abs=1e-6)
 
 
 def test_png_features_dispatch_real_not_stub():
