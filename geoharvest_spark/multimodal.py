@@ -174,55 +174,17 @@ def ppm_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 # PNG color type -> samples per pixel (before palette expansion)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
+# Adam7 interlace passes: (x0, y0, dx, dy)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter +
-    numpy): supports 8- and 16-bit non-interlaced grayscale (0), RGB (2),
-    8-bit palette (3), gray+alpha (4) and RGBA (6). Returns
-    (h, w, channels) uint8 or uint16 (big-endian samples per the spec).
-    PNG filters operate on BYTES with a bpp stride of channels*depth/8,
-    so the same unfilter kernels cover both depths. Interlaced (Adam7)
-    PNGs raise NotImplementedError — an honest gate, like the JPEG stub."""
-    import struct
-    import zlib
 
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG signature")
-    pos = 8
-    ihdr = None
-    plte = None
-    idat = bytearray()
-    while pos + 8 <= len(payload):
-        (length,) = struct.unpack(">I", payload[pos : pos + 4])
-        ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + length]
-        pos += 12 + length  # skip CRC
-        if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
-        elif ctype == b"PLTE":
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat.extend(data)
-        elif ctype == b"IEND":
-            break
-    if ihdr is None:
-        raise ValueError("PNG missing IHDR")
-    w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth not in (8, 16) or (depth == 16 and color == 3):
-        raise NotImplementedError(f"{depth}-bit color-type-{color} PNG not supported")
-    if interlace != 0:
-        raise NotImplementedError("interlaced (Adam7) PNG not supported")
-    if color not in _PNG_CHANNELS:
-        raise NotImplementedError(f"PNG color type {color} not supported")
-    ch = _PNG_CHANNELS[color]
-    bpp = ch * (depth // 8)  # filter stride is in BYTES per pixel
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    stride = w * bpp
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG data length mismatch")
-    raw = raw.reshape(h, stride + 1)
-    filters = raw[:, 0]
-    rows = raw[:, 1:].astype(np.int32)
+def _png_unfilter(rows: np.ndarray, filters: np.ndarray, bpp: int) -> np.ndarray:
+    """Reconstruct (h, stride) scanline BYTES from filtered rows — the
+    five PNG filters; stride/bpp are in bytes so 8- and 16-bit share it."""
+    h, stride = rows.shape
     out = np.zeros((h, stride), dtype=np.int32)
     prev = np.zeros(stride, dtype=np.int32)
     for y in range(h):
@@ -253,14 +215,79 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"bad PNG filter {f}")
         out[y] = rec
         prev = rec
-    flat = out.astype(np.uint8)
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure-stdlib PNG decode (zlib inflate + per-scanline unfilter +
+    numpy): supports 8- and 16-bit non-interlaced grayscale (0), RGB (2),
+    8-bit palette (3), gray+alpha (4) and RGBA (6). Returns
+    (h, w, channels) uint8 or uint16 (big-endian samples per the spec).
+    PNG filters operate on BYTES with a bpp stride of channels*depth/8,
+    so the same unfilter kernel covers both depths; Adam7 interlacing is
+    handled as 7 independently-filtered sub-images scattered onto the
+    canvas. Sub-byte depths raise NotImplementedError (JPEG-stub style)."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG signature")
+    pos = 8
+    ihdr = None
+    plte = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # skip CRC
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.extend(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth not in (8, 16) or (depth == 16 and color == 3):
+        raise NotImplementedError(f"{depth}-bit color-type-{color} PNG not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad PNG interlace {interlace}")
+    if color not in _PNG_CHANNELS:
+        raise NotImplementedError(f"PNG color type {color} not supported")
+    ch = _PNG_CHANNELS[color]
+    bpp = ch * (depth // 8)  # filter stride is in BYTES per pixel
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    canvas = np.zeros((h, w, bpp), dtype=np.uint8)
+    passes = (
+        [(0, 0, 1, 1)] if interlace == 0 else list(_ADAM7)
+    )
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        wp = max(0, -(-(w - x0) // dx))  # ceil((w - x0) / dx)
+        hp = max(0, -(-(h - y0) // dy))
+        if wp == 0 or hp == 0:
+            continue  # empty pass contributes no scanlines at all
+        stride = wp * bpp
+        need = hp * (stride + 1)
+        if pos + need > len(raw):
+            raise ValueError("PNG data length mismatch")
+        block = raw[pos : pos + need].reshape(hp, stride + 1)
+        pos += need
+        rec = _png_unfilter(block[:, 1:].astype(np.int32), block[:, 0], bpp)
+        canvas[y0:h:dy, x0:w:dx] = rec.reshape(hp, wp, bpp)
+    if pos != len(raw):
+        raise ValueError("PNG data length mismatch")
     if depth == 16:  # big-endian sample pairs per the spec
         img = (
-            flat.reshape(h, w, ch, 2).astype(np.uint16)[:, :, :, 0] * 256
-            + flat.reshape(h, w, ch, 2)[:, :, :, 1]
+            canvas.reshape(h, w, ch, 2).astype(np.uint16)[:, :, :, 0] * 256
+            + canvas.reshape(h, w, ch, 2)[:, :, :, 1]
         ).astype(np.uint16)
     else:
-        img = flat.reshape(h, w, ch)
+        img = canvas.reshape(h, w, ch)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -273,38 +300,13 @@ def png_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return _image_features(decode_png(payload), dim)
 
 
-def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
-    """Minimal PNG encoder (stdlib struct+zlib): 8-bit (uint8) or 16-bit
-    (uint16, big-endian samples) gray/RGB/RGBA, non-interlaced. `filters`
-    optionally forces a filter type per row (cycling) so tests can
-    exercise every unfilter path; default None."""
-    import struct
-    import zlib
-
-    img = np.asarray(img)
-    depth = 16 if img.dtype == np.uint16 else 8
-    img = img.astype(">u2") if depth == 16 else img.astype(np.uint8)
-    if img.ndim == 2:
-        img = img[:, :, None]
-    h, w, ch = img.shape
-    color = {1: 0, 3: 2, 4: 6}[ch]
-    bpp = ch * (depth // 8)
-
-    def chunk(ctype: bytes, data: bytes) -> bytes:
-        return (
-            struct.pack(">I", len(data))
-            + ctype
-            + data
-            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
-        )
-
-    # filters run over BYTES (bpp stride), identical for 8/16-bit
-    flat = (
-        img.reshape(h, w * ch).view(np.uint8).reshape(h, w * bpp)
-    ).astype(np.int32)
+def _png_filter_rows(
+    flat: np.ndarray, bpp: int, filters: list[int] | None
+) -> bytearray:
+    """Apply PNG filters to (h, stride) scanline BYTES; cycles `filters`."""
     lines = bytearray()
-    prev = np.zeros(w * bpp, dtype=np.int32)
-    for y in range(h):
+    prev = np.zeros(flat.shape[1], dtype=np.int32)
+    for y in range(flat.shape[0]):
         f = filters[y % len(filters)] if filters else 0
         r = flat[y]
         if f == 0:
@@ -331,7 +333,55 @@ def encode_png(img: np.ndarray, filters: list[int] | None = None) -> bytes:
         lines.append(f)
         lines.extend(enc.astype(np.uint8).tobytes())
         prev = r
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+    return lines
+
+
+def encode_png(
+    img: np.ndarray,
+    filters: list[int] | None = None,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal PNG encoder (stdlib struct+zlib): 8-bit (uint8) or 16-bit
+    (uint16, big-endian samples) gray/RGB/RGBA, optionally Adam7
+    interlaced. `filters` optionally forces a filter type per row
+    (cycling) so tests can exercise every unfilter path; default None."""
+    import struct
+    import zlib
+
+    img = np.asarray(img)
+    depth = 16 if img.dtype == np.uint16 else 8
+    img = img.astype(">u2") if depth == 16 else img.astype(np.uint8)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h, w, ch = img.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    bpp = ch * (depth // 8)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # filters run over BYTES (bpp stride), identical for 8/16-bit
+    canvas = img.reshape(h, w * ch).view(np.uint8).reshape(h, w, bpp)
+    lines = bytearray()
+    passes = list(_ADAM7) if interlace else [(0, 0, 1, 1)]
+    for x0, y0, dx, dy in passes:
+        sub = canvas[y0:h:dy, x0:w:dx]
+        hp, wp = sub.shape[0], sub.shape[1]
+        if hp == 0 or wp == 0:
+            continue
+        lines.extend(
+            _png_filter_rows(
+                sub.reshape(hp, wp * bpp).astype(np.int32), bpp, filters
+            )
+        )
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, depth, color, 0, 0, 1 if interlace else 0
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

@@ -92,11 +92,38 @@ def test_png_unsupported_gates():
     deep[24] = 4
     with pytest.raises(NotImplementedError):
         decode_png(bytes(deep))
-    # interlaced: IHDR interlace byte is IHDR data byte 12
+    # interlace byte lying about the layout -> data-length mismatch error
     inter = bytearray(good)
     inter[28] = 1
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_png(bytes(inter))
+
+
+@pytest.mark.parametrize("shape", [(24, 32), (13, 17), (7, 5), (1, 1), (2, 9)])
+def test_png_adam7_roundtrip(shape):
+    """Adam7 interlaced round-trip at shapes that exercise empty and
+    partial passes (1x1 leaves only pass 1; odd dims hit ceil paths)."""
+    h, w = shape
+    img = _rand_img(h * 100 + w, h, w, 3)
+    out = decode_png(encode_png(img, filters=[0, 1, 2, 3, 4], interlace=True))
+    assert (out == img).all()
+
+
+def test_png_adam7_16bit_and_rgba():
+    rs = np.random.RandomState(77)
+    img16 = rs.randint(0, 65536, size=(11, 14), dtype=np.uint16)
+    out16 = decode_png(encode_png(img16, filters=[4, 3, 2, 1, 0], interlace=True))
+    assert (out16[:, :, 0] == img16).all()
+    rgba = rs.randint(0, 256, size=(9, 6, 4), dtype=np.uint8)
+    out = decode_png(encode_png(rgba, filters=[2, 4], interlace=True))
+    assert (out == rgba).all()
+
+
+def test_png_adam7_matches_noninterlaced():
+    img = _rand_img(123, 16, 16, 3)
+    a = decode_png(encode_png(img, interlace=True))
+    b = decode_png(encode_png(img, interlace=False))
+    assert (a == b).all()
 
 
 @pytest.mark.parametrize("ch", [1, 3, 4])
