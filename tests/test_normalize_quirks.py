@@ -228,6 +228,16 @@ def test_format_variant_rules_order():
     assert fmt_of("multiple formats") == "Mixed"
     assert fmt_of("jpg") == "JPEG"
     assert fmt_of("unknown thing") is None
+    # the reference's exact parametrize list (test_record.py,
+    # test_controlled_format_variant_matches + direct/miss cases)
+    assert fmt_of("shp") == "Shapefile"
+    assert fmt_of("geotiff") == "GeoTIFF"
+    assert fmt_of("tiff") == "TIFF"
+    assert fmt_of("jpeg2000") == "JPEG2000"
+    assert fmt_of("tiff/jpeg") == "Mixed"
+    assert fmt_of("multiple") == "Mixed"
+    assert fmt_of("tabular") == "Tabular"
+    assert fmt_of("watermleon") is None
 
 
 def test_resource_type_variants_and_dedupe():
