@@ -1041,6 +1041,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["stream_windowed_counts"] = stream_windowed_counts
 
+    def session_window_native(spark, sf):
+        """Spark's NATIVE session_window operator (gap-merged event-time
+        sessions — the engine's manual lag+cumsum twin is
+        w_sessionization): per-user sessions with a 1h gap, verified
+        against a gap-cumsum SQL oracle including Spark's half-open
+        boundary convention (an event exactly gap seconds after the last
+        one starts a NEW session; session end = last event + gap)."""
+        ev = _t(spark, sf, "events")
+        return (
+            ev.groupBy("user_id", F.session_window(F.col("ts"), "1 hour"))
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start")
+                .cast("timestamp")
+                .cast("long")
+                .alias("sess_start"),
+                F.col("session_window.end")
+                .cast("timestamp")
+                .cast("long")
+                .alias("sess_end"),
+                "n_events",
+            )
+            .orderBy("user_id", "sess_start")
+        )
+
+    Q["session_window_native"] = session_window_native
+
     return Q
 
 
@@ -1618,6 +1646,24 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id "
             "WHERE list_dot_product(a.u, b.u) >= 0.9 "
             "ORDER BY id_a, id_b"
+        ),
+        "session_window_native": (
+            # gap-cumsum sessionization with Spark's half-open convention:
+            # diff >= gap starts a new session; end = last event + gap.
+            # All arithmetic in integer MICROSECONDS (epoch_us): Spark
+            # sessionizes at microsecond precision, and its cast-to-long
+            # FLOORS fractional seconds while DuckDB's epoch() rounds.
+            "WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events), "
+            "m AS (SELECT user_id, t, CASE WHEN t - lag(t) OVER ("
+            "PARTITION BY user_id ORDER BY t) >= 3600000000 THEN 1 ELSE 0 "
+            "END AS new_sess FROM e), "
+            "s AS (SELECT user_id, t, sum(new_sess) OVER ("
+            "PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) "
+            "AS sid FROM m) "
+            "SELECT user_id, min(t) // 1000000 AS sess_start, "
+            "(max(t) + 3600000000) // 1000000 AS sess_end, "
+            "count(*) AS n_events "
+            "FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start"
         ),
         "stream_windowed_counts": (
             # batch tumbling-window truth over the staged stream rows;

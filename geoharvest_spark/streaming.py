@@ -209,6 +209,76 @@ def last_event_stateful(stream: DataFrame) -> DataFrame:
     )
 
 
+def sessionize_stateful(stream: DataFrame, gap_seconds: int = 60) -> DataFrame:
+    """Streaming event-time sessionization as a custom stateful operator
+    (applyInPandasWithState + EventTimeTimeout): per-url state holds the
+    open session (start, last, n); arriving rows either extend it or
+    close it (gap exceeded) and open the next one; the EVENT-TIME TIMEOUT
+    closes idle sessions once the watermark passes last + gap — so state
+    size is bounded by ACTIVE keys, not all keys ever seen. Emits CLOSED
+    sessions (url, sess_start, sess_end, n_events) in append mode.
+
+    The input stream must already carry a watermark on event_ts. Batch
+    twin for tests: w_sessionization's gap-cumsum (same >gap convention:
+    a row exactly gap seconds after the last one EXTENDS the session,
+    matching the manual kernel, not session_window's half-open rule).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "url string, sess_start timestamp, sess_end timestamp, n_events long"
+    )
+    state_schema = "start timestamp, last timestamp, n long"
+    gap = pd.Timedelta(seconds=gap_seconds)
+
+    def _fold(key, pdfs, state: GroupState):
+        closed = []
+        if state.hasTimedOut:
+            start, last, n = state.get
+            closed.append((key[0], start, last, int(n)))
+            state.remove()
+        else:
+            rows = [pdf for pdf in pdfs if not pdf.empty]
+            if rows:
+                ts = (
+                    pd.concat(rows)["event_ts"]
+                    .sort_values()
+                    .reset_index(drop=True)
+                )
+                if state.exists:
+                    start, last, n = state.get
+                    start, last, n = pd.Timestamp(start), pd.Timestamp(last), int(n)
+                else:
+                    start, last, n = ts[0], ts[0], 0
+                    ts = ts[0:]  # first row still counts below
+                for t in ts:
+                    if t - last > gap:
+                        closed.append((key[0], start, last, n))
+                        start, last, n = t, t, 1
+                    else:
+                        last = max(last, t)
+                        n += 1
+                state.update((start, last, n))
+                # close the open session once the watermark passes last+gap
+                timeout_ms = int(last.value // 10**6) + gap_seconds * 1000
+                state.setTimeoutTimestamp(
+                    max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+                )
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=["url", "sess_start", "sess_end", "n_events"]
+            )
+
+    return stream.groupBy("url").applyInPandasWithState(
+        _fold,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def synth_event_batch(i0: int, n: int, dup_every: int = 7) -> list[dict]:
     """Deterministic synthetic event rows incl. duplicates and invalids
     (FIXTURES.md T7)."""

@@ -170,3 +170,65 @@ def test_last_event_stateful_applyinpandaswithstate(spark, tmp_path):
     assert got["u1"] == (5, "deleted")  # batch-2 seq 4 did NOT displace
     assert got["u2"] == (9, "deleted")
     assert got["u3"] == (7, "created")
+
+
+def test_sessionize_stateful_event_time_timeout(spark, tmp_path):
+    """Custom stateful sessionization (applyInPandasWithState +
+    EventTimeTimeout): gap-exceeding rows close sessions inline, and an
+    IDLE key's open session is closed by the event-time timeout once the
+    watermark passes last+gap — proving bounded state eviction."""
+    import datetime as dt
+
+    from geoharvest_spark.streaming import sessionize_stateful
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def row(mid, url, sec):
+        return {
+            "message_id": mid,
+            "event_ts": t0 + dt.timedelta(seconds=sec),
+            "event": "created",
+            "url": url,
+            "seq": sec,
+        }
+
+    batches = [
+        [row("a1", "a", 0), row("a2", "a", 10), row("a3", "a", 20),
+         row("i1", "idle", 5)],
+        [row("a4", "a", 200)],   # closes a:[0,20] (gap 60 exceeded)
+        [row("a5", "a", 10000)],  # closes a:[200,200]; watermark passes
+                                  # idle's 5+60 -> timeout fires
+    ]
+    d = tmp_path / "sess_stream"
+    d.mkdir()
+    for rows in batches:
+        spark.createDataFrame(pd.DataFrame(rows), EVENT_STREAM_SCHEMA).coalesce(
+            1
+        ).write.mode("append").parquet(str(d))
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+        .withWatermark("event_ts", "10 seconds")
+    )
+    q = (
+        sessionize_stateful(stream, gap_seconds=60)
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    out = spark.table("sess_out").toPandas()
+    got = {
+        (r.url, r.sess_start.second + r.sess_start.minute * 60,
+         (r.sess_end - r.sess_start).total_seconds(), r.n_events)
+        for r in out.itertuples()
+    }
+    assert ("a", 0, 20.0, 3) in got       # closed inline by the 200s row
+    assert ("a", 200, 0.0, 1) in got      # closed inline by the 10000s row
+    assert any(u == "idle" and n == 1 for (u, _s, _d, n) in got)  # TIMEOUT
+    # the final open session (a @ 10000s) must NOT be emitted
+    assert len(out) == 3
