@@ -1069,6 +1069,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["session_window_native"] = session_window_native
 
+    def media_resize(spark, sf):
+        """REAL distributed image resize: PPM/PNG payloads decode, NN-
+        resize and re-encode as PNG inside mapInPandas; the oracle is a
+        single-process run of the same kernel, compared by md5 of the
+        re-encoded bytes (deterministic: pure numpy indexing + the
+        engine's own PNG encoder + zlib at the default level)."""
+        from geoharvest_spark.multimodal import (
+            synth_media_df,
+            with_resized_images,
+        )
+
+        m = synth_media_df(spark, 60)
+        r = with_resized_images(m, out_h=12, out_w=16)
+        return (
+            r.where(F.col("resized").isNotNull())
+            .select(
+                "media_id",
+                "out_w",
+                "out_h",
+                F.md5(F.col("resized")).alias("resized_md5"),
+            )
+            .orderBy("media_id")
+        )
+
+    Q["media_resize"] = media_resize
+
+    def media_frame_plan(spark, sf):
+        """Video frame-sampling plumbing (multimodal.frame_sample_plan):
+        one row per planned frame timestamp from meta.duration_ms; the
+        oracle re-derives the plan arithmetically (synth duration rule is
+        closed-form in the media_id index)."""
+        from geoharvest_spark.multimodal import (
+            frame_sample_plan,
+            synth_media_df,
+        )
+
+        m = synth_media_df(spark, 60)
+        return (
+            frame_sample_plan(m, every_ms=1000)
+            .select(
+                "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+            )
+            .orderBy("media_id", "frame_ts_ms")
+        )
+
+    Q["media_frame_plan"] = media_frame_plan
+
     return Q
 
 
@@ -1646,6 +1693,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "FROM nrm a JOIN nrm b ON a.vec_id < b.vec_id "
             "WHERE list_dot_product(a.u, b.u) >= 0.9 "
             "ORDER BY id_a, id_b"
+        ),
+        "media_resize": (
+            # single-process resize twin staged driver-side; md5 of the
+            # re-encoded PNG bytes proves bit-identical pixels AND encoder
+            f"SELECT media_id, out_w, out_h, resized_md5 "
+            f"FROM read_parquet('{stage['media_resize']}') ORDER BY media_id"
+        ),
+        "media_frame_plan": (
+            # closed-form frame plan: video rows are i%3==2, duration_ms =
+            # 5000 + 1000*(i%7), every_ms=1000 -> frames k*1000 for
+            # k in [0, 4 + i%7]
+            "SELECT 'm' || lpad(CAST(i AS VARCHAR), 4, '0') AS media_id, "
+            "CAST(k * 1000 AS BIGINT) AS frame_ts_ms "
+            "FROM range(0, 60) t(i), range(0, 11) s(k) "
+            "WHERE i % 3 = 2 AND k <= 4 + (i % 7) "
+            "ORDER BY media_id, frame_ts_ms"
         ),
         "session_window_native": (
             # gap-cumsum sessionization with Spark's half-open convention:

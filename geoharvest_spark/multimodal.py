@@ -442,6 +442,59 @@ def with_media_features(
     return df.mapInPandas(_map, schema)
 
 
+def resize_image(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Deterministic nearest-neighbor resize (numpy index mapping —
+    src index = floor(dst * src/dst), the classic NN rule)."""
+    img = np.asarray(img)
+    h, w = img.shape[0], img.shape[1]
+    ys = (np.arange(out_h) * h // out_h).astype(np.int64)
+    xs = (np.arange(out_w) * w // out_w).astype(np.int64)
+    return img[ys][:, xs]
+
+
+def with_resized_images(
+    df: DataFrame,
+    out_h: int = 12,
+    out_w: int = 16,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """REAL image resize as a mapInPandas stage: decodable image payloads
+    (PPM/PNG) are decoded, nearest-neighbor resized and re-encoded as
+    PNG; non-images and undecodable payloads pass through with a null
+    resized column. Output adds (resized: binary, out_w: int, out_h: int).
+    """
+    fields = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
+    schema = ", ".join(fields + ["resized binary", "out_w int", "out_h int"])
+
+    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            out = []
+            for kind, payload in zip(pdf["kind"], pdf[payload_col]):
+                img = None
+                if kind == "image" and payload:
+                    p = bytes(payload)
+                    try:
+                        if p[:2] == b"P6":
+                            img = decode_ppm(p)
+                        elif p[:8] == b"\x89PNG\r\n\x1a\n":
+                            img = decode_png(p)
+                    except (ValueError, NotImplementedError):
+                        img = None  # undecodable -> pass-through row
+                if img is None:
+                    out.append((None, None, None))
+                else:
+                    out.append(
+                        (encode_png(resize_image(img, out_h, out_w)), out_w, out_h)
+                    )
+            pdf["resized"] = [o[0] for o in out]
+            pdf["out_w"] = pd.array([o[1] for o in out], dtype="Int32")
+            pdf["out_h"] = pd.array([o[2] for o in out], dtype="Int32")
+            yield pdf
+
+    return df.mapInPandas(_map, schema)
+
+
 def frame_sample_plan(
     df: DataFrame, every_ms: int = 1000
 ) -> DataFrame:

@@ -141,6 +141,41 @@ def stage_stream_events() -> str:
     return _write(pd.DataFrame(rows), "stream_events.parquet")
 
 
+def stage_media_resize(out_h: int = 12, out_w: int = 16, n: int = 60) -> str:
+    """Driver-side twin of the distributed resize: same decode -> NN
+    resize -> PNG re-encode -> md5, single-process."""
+    import hashlib as _hl
+
+    from .multimodal import (
+        decode_png,
+        decode_ppm,
+        encode_png,
+        resize_image,
+        synth_media_pdf,
+    )
+
+    m = synth_media_pdf(n)
+    rows = []
+    for mid, kind, payload in zip(m["media_id"], m["kind"], m["payload"]):
+        if kind != "image":
+            continue
+        p = bytes(payload)
+        img = decode_ppm(p) if p[:2] == b"P6" else decode_png(p)
+        enc = encode_png(resize_image(img, out_h, out_w))
+        rows.append(
+            {
+                "media_id": mid,
+                "out_w": out_w,
+                "out_h": out_h,
+                "resized_md5": _hl.md5(enc).hexdigest(),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+    pdf["out_w"] = pdf["out_w"].astype("int32")
+    pdf["out_h"] = pdf["out_h"].astype("int32")
+    return _write(pdf, "media_resize.parquet")
+
+
 def stage_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
         "normalized": stage_normalized(),
@@ -149,4 +184,5 @@ def stage_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "s2cells": stage_s2_cells(sf_dir),
         "snapshots": stage_snapshots(),
         "stream_events": stage_stream_events(),
+        "media_resize": stage_media_resize(),
     }

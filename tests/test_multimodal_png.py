@@ -166,3 +166,33 @@ def test_media_table_runs_png_end_to_end(spark):
         assert list(r.features) == pytest.approx(
             png_features(bytes(r.payload), FEATURE_DIM)
         )
+
+
+def test_resize_image_nearest_neighbor_rule():
+    from geoharvest_spark.multimodal import resize_image
+
+    img = np.arange(8 * 6 * 3, dtype=np.uint8).reshape(8, 6, 3)
+    out = resize_image(img, 4, 3)
+    assert out.shape == (4, 3, 3)
+    # src index = floor(dst * src/dst): rows 0,2,4,6; cols 0,2,4
+    assert (out == img[[0, 2, 4, 6]][:, [0, 2, 4]]).all()
+    up = resize_image(img, 16, 12)  # upscale duplicates pixels
+    assert up.shape == (16, 12, 3)
+    assert (up[0::2, 0::2] == img).all()
+
+
+def test_with_resized_images_plumbing(spark):
+    from geoharvest_spark.multimodal import (
+        decode_png,
+        synth_media_df,
+        with_resized_images,
+    )
+
+    out = with_resized_images(synth_media_df(spark, 12), 12, 16).toPandas()
+    imgs = out[out.kind == "image"]
+    others = out[out.kind != "image"]
+    assert imgs.resized.notna().all()  # every PPM/PNG row resized
+    assert others.resized.isna().all()  # pass-through rows untouched
+    for r in imgs.itertuples():
+        dec = decode_png(bytes(r.resized))
+        assert dec.shape == (12, 16, 3)
