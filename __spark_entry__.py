@@ -34,6 +34,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch(prefix: str) -> str:
+    """Fresh temp dir under ONE session-scoped root that is removed at
+    interpreter exit. The streaming/checkpoint contract queries stage
+    parquet inputs + streaming checkpoints; per-call ``tempfile.mkdtemp``
+    leaked those across repeated gate/bench invocations. Results that the
+    driver collects AFTER a query function returns (checkpoint_resume's
+    out_dir parquet) stay readable until exit; mkdtemp-per-call keeps
+    in-process reruns collision-free."""
+    global _SCRATCH_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="ghs_entry_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, True)
+    return tempfile.mkdtemp(prefix=prefix, dir=_SCRATCH_ROOT)
+
+
 # ---------------------------------------------------------------------------
 # Deterministic derived geometries shared by Spark and the DuckDB oracle:
 # pure integer arithmetic -> bit-identical doubles in both engines.
@@ -810,8 +832,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         (seq, event_ts, message_id), so the final state is independent of
         micro-batch arrival order; the oracle is one batch window over the
         identical staged rows."""
-        import tempfile
-
         import pandas as pd
 
         from geoharvest_spark.streaming import (
@@ -821,7 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             synth_event_batch,
         )
 
-        base = tempfile.mkdtemp(prefix="stream_le_")
+        base = _scratch("stream_le_")
         in_dir = f"{base}/in"
         for i0 in (0, 120, 240):
             pdf = pd.DataFrame(synth_event_batch(i0, 120))
@@ -879,14 +899,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         attempt tag would flip to 'resumed'), drops a zero-row partition
         (status/rows_logged for 5 would be absent), or counts the stale
         crashed-attempt rows (rows_logged for 5 would be nonzero)."""
-        import tempfile
-
         from geoharvest_spark.checkpoint import (
             CheckpointStore,
             run_with_checkpoint,
         )
 
-        base = tempfile.mkdtemp(prefix="ckpt_resume_")
+        base = _scratch("ckpt_resume_")
         store = CheckpointStore(spark, f"{base}/lineage")
         out_dir = f"{base}/out"
         work = _t(spark, sf, "events").select(
@@ -993,8 +1011,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         final table is independent of file/trigger order); oracle = batch
         tumbling-window SQL over the identical staged rows. Window starts
         are emitted as epoch seconds (floor(ts/300)*300) on both sides."""
-        import tempfile
-
         import pandas as pd
 
         from geoharvest_spark.streaming import (
@@ -1004,7 +1020,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             windowed_event_counts,
         )
 
-        base = tempfile.mkdtemp(prefix="stream_wc_")
+        base = _scratch("stream_wc_")
         in_dir = f"{base}/in"
         for i0 in (0, 120, 240):
             pdf = pd.DataFrame(synth_event_batch(i0, 120))

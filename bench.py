@@ -104,6 +104,10 @@ def main() -> None:
     # synthetic generation must not count against harvest throughput.
     n_cores = int(cpus) if str(cpus).isdigit() else (os.cpu_count() or 8)
     pages_dir = tempfile.mkdtemp(prefix="bench_pages_")
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, pages_dir, True)
     web_pages_df(spark, N_BENCH_PAGES, partitions=n_cores * 4).write.mode(
         "overwrite"
     ).parquet(pages_dir)
@@ -116,7 +120,8 @@ def main() -> None:
     workloads["harvest_normalize_fused"] = lambda: harvest_pages_fused(pages)
 
     # --- timed loop: alternating cycles, min per (workload, cycle) -----
-    cycles = int(os.environ.get("SPARK_GRAFT_BENCH_CYCLES", "3"))
+    # clamp: cycles <= 0 would leave timings at inf -> invalid JSON
+    cycles = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CYCLES", "3")))
     timings = {name: float("inf") for name in workloads}
     t_total0 = time.perf_counter()
     for _cycle in range(cycles):

@@ -145,13 +145,23 @@ def run_with_checkpoint(
     # run legitimately emits zero rows for it, the stale rows would survive,
     # get counted from the read-back, and be marked done as this run's
     # output. Drop the pending partitions' data dirs first (Iceberg's
-    # overwritePartitions does this transactionally).
+    # overwritePartitions does this transactionally). shutil can only
+    # address the LOCAL filesystem — on any other scheme a silent no-op
+    # here would revive the stale-row bug, so refuse loudly; an Iceberg
+    # deployment replaces this block with overwritePartitions.
     import shutil
 
-    for pid in attempted:
-        shutil.rmtree(
-            f"{out_dir}/data/{partition_col}={pid}", ignore_errors=True
+    if "://" in out_dir and not out_dir.startswith("file://"):
+        raise ValueError(
+            f"run_with_checkpoint requires a local-filesystem out_dir for "
+            f"the stale-partition purge; got {out_dir!r} (use Iceberg "
+            "overwritePartitions for object-store/HDFS outputs)"
         )
+    for pid in attempted:
+        try:
+            shutil.rmtree(f"{out_dir}/data/{partition_col}={pid}")
+        except FileNotFoundError:
+            pass  # partition never written — nothing stale to purge
     result = process(todo)
     (
         result.repartition(F.col(partition_col))

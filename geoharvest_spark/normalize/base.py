@@ -45,10 +45,14 @@ _DECL_ENCODING = re.compile(rb'encoding=["\']([A-Za-z0-9._-]+)["\']')
 
 
 def tolerant_fromstring(data: bytes) -> "ET.Element":
-    """lxml-recover analog for harvested real-web XML (the reference parses
-    arbitrary harvested blobs with lxml defaults, record.py:502-511, which
-    tolerate hostilities stdlib expat rejects). Recovery ladder, applied
-    only after a clean parse fails:
+    """Tolerant XML parse for harvested real-web blobs — intentionally MORE
+    permissive than the reference. The reference parses with lxml's strict
+    defaults (recover=False, record.py:502-511), which RAISE on undefined
+    entities and leading junk, routing such blobs to its failure channel;
+    this engine instead behaves like lxml recover=True and salvages them,
+    diverting only the truly unparseable (a deliberate divergence: at
+    web-harvest scale a recoverable blob is data, not an error). Recovery
+    ladder, applied only after the clean strict parse fails:
 
     1. strip junk/BOM before the first ``<`` and trailing NULs;
     2. drop undefined entity references (lxml recover does the same);

@@ -222,6 +222,12 @@ def sessionize_stateful(stream: DataFrame, gap_seconds: int = 60) -> DataFrame:
     twin for tests: w_sessionization's gap-cumsum (same >gap convention:
     a row exactly gap seconds after the last one EXTENDS the session,
     matching the manual kernel, not session_window's half-open rule).
+
+    Out-of-order rows above the watermark but earlier than the open
+    session's start are attributed to the CURRENT session (start moves
+    back to min(start, t)): sessions already emitted closed are immutable
+    in append mode, so the open session is the only consistent home. Rows
+    below the watermark never reach the fold (Spark drops them).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -257,6 +263,12 @@ def sessionize_stateful(stream: DataFrame, gap_seconds: int = 60) -> DataFrame:
                         closed.append((key[0], start, last, n))
                         start, last, n = t, t, 1
                     else:
+                        # out-of-order row above the watermark but earlier
+                        # than the open session's start: attribute it to the
+                        # CURRENT session and extend the session backwards
+                        # (already-emitted closed sessions are immutable in
+                        # append mode, so this is the only consistent home)
+                        start = min(start, t)
                         last = max(last, t)
                         n += 1
                 state.update((start, last, n))
