@@ -1085,6 +1085,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["session_window_native"] = session_window_native
 
+    def stream_sessionize_timeout(spark, sf):
+        """sessionize_stateful's EVENT-TIME TIMEOUT path at the contract
+        surface (reference event-time semantics F1, mit.py:272-284): batch
+        1 carries all data rows; batches 2 and 3 carry only far-future
+        flush rows whose sole job is to advance the watermark past every
+        data session's last+gap, so the open sessions close via
+        state-eviction timeout (hasTimedOut), not via a successor row —
+        the behavior that bounds state size at 100 TB. Emission is
+        exactly-once per closed session whether it closes on the gap path
+        or on whichever later batch first sees the watermark above its
+        timeout, so the final append-mode sink is batch-order independent.
+        Oracle = the batch gap-cumsum twin (same strict ``> gap``
+        convention as w_sessionization) over the identical staged data
+        rows; flush urls are filtered out (their final session never
+        closes)."""
+        import datetime as dt
+
+        import pandas as pd
+
+        from geoharvest_spark.streaming import (
+            EVENT_STREAM_SCHEMA,
+            sessionize_stateful,
+            synth_session_rows,
+        )
+
+        base = _scratch("stream_sess_")
+        in_dir = f"{base}/in"
+
+        def _flush_row(seq: int, day: int) -> dict:
+            return {
+                "message_id": f"flush{seq}",
+                "event_ts": dt.datetime(2024, 1, day),
+                "event": "created",
+                "url": "https://cdn.mit.test/gis/zzflush.zip",
+                "seq": 10_000 + seq,
+            }
+
+        for batch in (
+            synth_session_rows(),
+            [_flush_row(0, 2)],
+            [_flush_row(1, 3)],
+        ):
+            spark.createDataFrame(
+                pd.DataFrame(batch), EVENT_STREAM_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+        stream = (
+            spark.readStream.schema(EVENT_STREAM_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        sink = "stream_sessionize_timeout_sink"
+        spark.catalog.dropTempView(sink)
+        q = (
+            sessionize_stateful(
+                stream.withWatermark("event_ts", "10 seconds"), gap_seconds=60
+            )
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return (
+            spark.table(sink)
+            .where(~F.col("url").contains("zzflush"))
+            .select(
+                "url",
+                F.col("sess_start").cast("timestamp").cast("long").alias("sess_start"),
+                F.col("sess_end").cast("timestamp").cast("long").alias("sess_end"),
+                "n_events",
+            )
+            .orderBy("url", "sess_start")
+        )
+
+    Q["stream_sessionize_timeout"] = stream_sessionize_timeout
+
     def media_resize(spark, sf):
         """REAL distributed image resize: PPM/PNG payloads decode, NN-
         resize and re-encode as PNG inside mapInPandas; the oracle is a
@@ -1743,6 +1821,23 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "(max(t) + 3600000000) // 1000000 AS sess_end, "
             "count(*) AS n_events "
             "FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start"
+        ),
+        "stream_sessionize_timeout": (
+            # batch gap-cumsum twin of the stateful timeout operator (same
+            # strict >gap convention): every data session must appear
+            # exactly once — the last session per url only closes via the
+            # EventTimeTimeout eviction the query exists to exercise
+            "WITH e AS (SELECT url, CAST(epoch(event_ts) AS BIGINT) AS t "
+            f"FROM read_parquet('{stage['session_events']}')), "
+            "m AS (SELECT url, t, CASE WHEN t - lag(t) OVER ("
+            "PARTITION BY url ORDER BY t) > 60 THEN 1 ELSE 0 END "
+            "AS new_sess FROM e), "
+            "s AS (SELECT url, t, sum(new_sess) OVER ("
+            "PARTITION BY url ORDER BY t ROWS UNBOUNDED PRECEDING) "
+            "AS sid FROM m) "
+            "SELECT url, min(t) AS sess_start, max(t) AS sess_end, "
+            "count(*) AS n_events "
+            "FROM s GROUP BY url, sid ORDER BY url, sess_start"
         ),
         "stream_windowed_counts": (
             # batch tumbling-window truth over the staged stream rows;

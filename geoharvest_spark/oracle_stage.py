@@ -141,6 +141,15 @@ def stage_stream_events() -> str:
     return _write(pd.DataFrame(rows), "stream_events.parquet")
 
 
+def stage_session_events() -> str:
+    """The stream_sessionize_timeout query's exact data rows (flush rows
+    excluded — they exist only to advance the watermark). The oracle
+    re-derives the closed sessions with the batch gap-cumsum twin."""
+    from .streaming import synth_session_rows
+
+    return _write(pd.DataFrame(synth_session_rows()), "session_events.parquet")
+
+
 def stage_media_resize(out_h: int = 12, out_w: int = 16, n: int = 60) -> str:
     """Driver-side twin of the distributed resize: same decode -> NN
     resize -> PNG re-encode -> md5, single-process."""
@@ -184,5 +193,6 @@ def stage_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "s2cells": stage_s2_cells(sf_dir),
         "snapshots": stage_snapshots(),
         "stream_events": stage_stream_events(),
+        "session_events": stage_session_events(),
         "media_resize": stage_media_resize(),
     }

@@ -291,6 +291,38 @@ def sessionize_stateful(stream: DataFrame, gap_seconds: int = 60) -> DataFrame:
     )
 
 
+def synth_session_rows() -> list[dict]:
+    """Deterministic session-shaped rows for the sessionize_stateful
+    contract query: urls sess_00..sess_09 with 2-4 sessions each, 1-4
+    events per session. Within-session spacing 37s (<= gap 60s, extends);
+    between-session spacing 900s (> gap, closes via the gap path when the
+    successor arrives). Each url's LAST session has no successor row and
+    can only close via EventTimeTimeout — the path the contract query
+    exists to exercise. All timestamps are integer seconds so Spark's
+    cast-to-long and DuckDB's epoch() agree exactly."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    seq = 0
+    for u in range(10):
+        url = f"https://cdn.mit.test/gis/sess_{u:02d}.zip"
+        for s in range(2 + u % 3):
+            t0 = base + dt.timedelta(seconds=u * 97 + s * 900)
+            for k in range(1 + (u + s) % 4):
+                rows.append(
+                    {
+                        "message_id": f"sess{seq}",
+                        "event_ts": t0 + dt.timedelta(seconds=k * 37),
+                        "event": "created",
+                        "url": url,
+                        "seq": seq,
+                    }
+                )
+                seq += 1
+    return rows
+
+
 def synth_event_batch(i0: int, n: int, dup_every: int = 7) -> list[dict]:
     """Deterministic synthetic event rows incl. duplicates and invalids
     (FIXTURES.md T7)."""

@@ -99,6 +99,107 @@ def test_checkpoint_resume_third_run_noop(spark, entrymod):
     assert len(calls) == 1  # second run never invoked process()
 
 
+def _sessionize_to_parquet(spark, in_dir, out_dir, ckpt_dir):
+    """Start sessionize_stateful over a file-source stream, writing closed
+    sessions to a parquet FILE sink (append mode, exactly-once via the
+    file-sink log) — the restartable deployment shape."""
+    from geoharvest_spark.streaming import (
+        EVENT_STREAM_SCHEMA,
+        sessionize_stateful,
+    )
+
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    return (
+        sessionize_stateful(
+            stream.withWatermark("event_ts", "10 seconds"), gap_seconds=60
+        )
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
+def test_stream_restart_from_checkpoint(spark, tmp_path):
+    """Kill/restart across the same checkpointLocation: stop the stateful
+    sessionization after the first micro-batch, write more input, restart
+    — the recovered run's final output must equal an uninterrupted run
+    over the identical input (state-store recovery + file-sink
+    exactly-once, the at-least-once resume behavior the reference's ack
+    loop provides, mit.py:251-263)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from geoharvest_spark.streaming import (
+        EVENT_STREAM_SCHEMA,
+        synth_session_rows,
+    )
+
+    def _flush(seq, day):
+        return {
+            "message_id": f"flush{seq}",
+            "event_ts": dt.datetime(2024, 1, day),
+            "event": "created",
+            "url": "https://cdn.mit.test/gis/zzflush.zip",
+            "seq": 10_000 + seq,
+        }
+
+    batches = [synth_session_rows(), [_flush(0, 2)], [_flush(1, 3)]]
+
+    def _write_batch(in_dir, rows):
+        spark.createDataFrame(
+            pd.DataFrame(rows), EVENT_STREAM_SCHEMA
+        ).coalesce(1).write.mode("append").parquet(in_dir)
+
+    # interrupted run: batch 1, STOP, batches 2-3, restart from checkpoint
+    in_a = str(tmp_path / "in_a")
+    out_a = str(tmp_path / "out_a")
+    ckpt_a = str(tmp_path / "ckpt_a")
+    _write_batch(in_a, batches[0])
+    q = _sessionize_to_parquet(spark, in_a, out_a, ckpt_a)
+    q.processAllAvailable()
+    q.stop()  # "crash" between micro-batches
+    for rows in batches[1:]:
+        _write_batch(in_a, rows)
+    q = _sessionize_to_parquet(spark, in_a, out_a, ckpt_a)
+    q.processAllAvailable()
+    q.stop()
+
+    # uninterrupted twin: same three files, fresh checkpoint, one run
+    in_b = str(tmp_path / "in_b")
+    out_b = str(tmp_path / "out_b")
+    for rows in batches:
+        _write_batch(in_b, rows)
+    q = _sessionize_to_parquet(spark, in_b, out_b, str(tmp_path / "ckpt_b"))
+    q.processAllAvailable()
+    q.stop()
+
+    cols = ["url", "sess_start", "sess_end", "n_events"]
+    got = (
+        spark.read.parquet(out_a)
+        .toPandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    want = (
+        spark.read.parquet(out_b)
+        .toPandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(want) > 0
+    assert got.equals(want)
+    # and both equal the batch gap-cumsum truth row count: every data
+    # session closed exactly once (10 urls, 2-4 sessions each)
+    assert len(want[~want.url.str.contains("zzflush")]) == 29
+
+
 def test_stream_windowed_counts_matches_batch(spark, entrymod):
     """Complete-mode windowed counts through the real stream equal the
     batch tumbling-window aggregation (pandas recomputation)."""
