@@ -1,10 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
-The container has no image/audio codecs, so the DECODE step is stubbed
-(deterministic fake features behind an import-try; a clearly-marked
-NotImplementedError for real codec paths) — but the Spark-side plumbing is
-real and tested: schema, Arrow batch shape, mapInPandas signatures,
-partitioning, and the feature pipeline around the stub.
+The container has no codec wheels, so this module carries its OWN pure
+stdlib+numpy decoders: PCM WAV (wave), binary PPM, full PNG (all five
+filters, gray/RGB/RGBA/palette, 8/16-bit, Adam7) and baseline JFIF JPEG
+(Huffman + dequant + IDCT + 4:2:0 upsample + restart markers). Formats
+beyond those (video containers, WebP, progressive JPEG) are honest gates:
+deterministic fake features or NotImplementedError behind real, tested
+Spark plumbing — schema, Arrow batch shape, mapInPandas signatures,
+partitioning.
 
 At 100 TB the pattern is: binary column scans stay columnar (parquet reads
 only the projected struct fields), decode/resize/frame-sample run as
@@ -390,11 +393,571 @@ def encode_png(
     )
 
 
+# ---------------------------------------------------------------------------
+# Baseline JFIF JPEG codec (stdlib struct + numpy — no codec wheels).
+# Decoder: SOI/APP/DQT/SOF0-1/DHT/DRI/SOS parse, Huffman decode, dequant,
+# de-zigzag, float IDCT, chroma upsample (incl. 4:2:0), YCbCr->RGB.
+# Progressive (SOF2) and arithmetic/lossless frames raise
+# NotImplementedError — the honest-gate pattern (reference has no image
+# code at all; this mirrors the PNG treatment from round 3).
+# Encoder exists so tests/synth can produce REAL compressed payloads.
+# ---------------------------------------------------------------------------
+
+# natural (raster) index of the k-th coefficient in zigzag order
+_ZZ = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# ITU-T T.81 Annex K base quantization tables (natural order)
+_QT_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.float64,
+)
+_QT_CHR = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32,
+    dtype=np.float64,
+)
+
+# Annex K typical Huffman tables as (bits[1..16], values). The DECODER
+# never uses these (it builds tables from the file's own DHT segments);
+# the encoder embeds them, so even an off-spec value ordering would stay
+# self-consistent. Validity (sum(bits) == len(vals)) asserted at build.
+_HUFF_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_HUFF_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II basis: FDCT = C @ f @ C.T, IDCT = C.T @ F @ C."""
+    u = np.arange(8).reshape(8, 1)
+    x = np.arange(8).reshape(1, 8)
+    c = np.cos((2 * x + 1) * u * np.pi / 16)
+    c[0] *= np.sqrt(1 / 8)
+    c[1:] *= np.sqrt(2 / 8)
+    return c
+
+
+_DCT_C = _dct_matrix()
+
+
+def _huff_decode_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical JPEG Huffman: {(code_len, code): symbol}."""
+    if sum(bits) != len(vals):
+        raise ValueError("invalid Huffman table (counts != values)")
+    table = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits: list[int], vals: list[int]) -> dict:
+    """Canonical JPEG Huffman: {symbol: (code, code_len)}."""
+    dec = _huff_decode_table(bits, vals)
+    return {sym: (code, ln) for (ln, code), sym in dec.items()}
+
+
+def _read_huff(bitarr: np.ndarray, pos: int, table: dict) -> tuple[int, int]:
+    code = 0
+    for ln in range(1, 17):
+        if pos >= len(bitarr):
+            raise ValueError("JPEG bitstream exhausted mid-symbol")
+        code = (code << 1) | int(bitarr[pos])
+        pos += 1
+        sym = table.get((ln, code))
+        if sym is not None:
+            return sym, pos
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _receive_extend(bitarr: np.ndarray, pos: int, s: int) -> tuple[int, int]:
+    """Read an s-bit magnitude and sign-extend per T.81 F.2.2.1."""
+    if s == 0:
+        return 0, pos
+    if pos + s > len(bitarr):
+        raise ValueError("JPEG bitstream exhausted mid-magnitude")
+    v = 0
+    for _ in range(s):
+        v = (v << 1) | int(bitarr[pos])
+        pos += 1
+    if v < (1 << (s - 1)):
+        v -= (1 << s) - 1
+    return v, pos
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline JFIF JPEG decode, pure stdlib+numpy: Huffman-decoded
+    entropy scan, dequantization, de-zigzag, float IDCT, chroma upsample
+    (4:4:4 / 4:2:2 / 4:2:0 by sample replication), YCbCr->RGB. Supports
+    8-bit sequential frames (SOF0/SOF1), 1 or 3 components, restart
+    markers (DRI/RSTn). Progressive and other frame types raise
+    NotImplementedError. Returns (h, w) or (h, w, 3) uint8."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    scan_comps = None
+    scan_start = None
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        data = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(data):
+                prec, tq = data[i] >> 4, data[i] & 0x0F
+                i += 1
+                if prec == 0:
+                    qts[tq] = np.frombuffer(
+                        data[i : i + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    i += 64
+                else:  # 16-bit table
+                    qts[tq] = np.frombuffer(
+                        data[i : i + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    i += 128
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0x0F
+                bits = list(data[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(data[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + n
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            prec, h, w, nc = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError("progressive JPEG not supported")
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError("non-sequential JPEG frame type")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:  # SOS
+            ns = data[0]
+            scan_comps = [
+                (data[1 + 2 * j], data[2 + 2 * j] >> 4, data[2 + 2 * j] & 0x0F)
+                for j in range(ns)
+            ]
+            scan_start = pos + seglen
+            break
+        pos += seglen
+    if frame is None or scan_comps is None or scan_start is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    h, w, comps = frame
+
+    # entropy-coded segments: unstuff 0xFF00, split at RST markers
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = scan_start
+    while p < len(payload):
+        b = payload[p]
+        if b == 0xFF:
+            nxt = payload[p + 1] if p + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                p += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                p += 2
+            else:
+                break
+        else:
+            cur.append(b)
+            p += 1
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    planes = {}
+    order = []  # per-MCU block layout: (cid, hc, vc, qt, plane)
+    for cid, hc, vc, tq in comps:
+        planes[cid] = np.zeros((mcus_y * vc * 8, mcus_x * hc * 8), dtype=np.float64)
+        dc_id = next(j for j in scan_comps if j[0] == cid)
+        order.append((cid, hc, vc, qts[tq], huff[(0, dc_id[1])], huff[(1, dc_id[2])]))
+
+    n_mcus = mcus_x * mcus_y
+    per_seg = restart_interval if restart_interval else n_mcus
+    mcu = 0
+    coef = np.zeros(64, dtype=np.float64)
+    for seg in segments:
+        if mcu >= n_mcus:
+            break
+        bitarr = np.unpackbits(np.frombuffer(seg, dtype=np.uint8))
+        bpos = 0
+        preds = {cid: 0 for cid, *_ in order}
+        for _ in range(min(per_seg, n_mcus - mcu)):
+            my, mx = divmod(mcu, mcus_x)
+            for cid, hc, vc, qt, dct, act in order:
+                for by in range(vc):
+                    for bx in range(hc):
+                        coef[:] = 0.0
+                        s, bpos = _read_huff(bitarr, bpos, dct)
+                        diff, bpos = _receive_extend(bitarr, bpos, s)
+                        preds[cid] += diff
+                        coef[_ZZ[0]] = preds[cid] * qt[0]
+                        k = 1
+                        while k < 64:
+                            rs, bpos = _read_huff(bitarr, bpos, act)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            v, bpos = _receive_extend(bitarr, bpos, s)
+                            coef[_ZZ[k]] = v * qt[k]
+                            k += 1
+                        blk = _DCT_C.T @ coef.reshape(8, 8) @ _DCT_C
+                        y0 = (my * vc + by) * 8
+                        x0 = (mx * hc + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = blk
+            mcu += 1
+    if mcu != n_mcus:
+        raise ValueError("JPEG truncated: missing MCUs")
+
+    out_planes = []
+    for cid, hc, vc, *_ in order:
+        pl = planes[cid]
+        if hc != hmax or vc != vmax:
+            pl = pl.repeat(vmax // vc, axis=0).repeat(hmax // hc, axis=1)
+        out_planes.append(pl[:h, :w] + 128.0)
+    if len(out_planes) == 1:
+        return np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG 0xFF byte stuffing."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> None:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling of the Annex K base tables."""
+    q = min(100, max(1, quality))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    lum = np.clip((_QT_LUM * scale + 50) // 100, 1, 255).astype(np.int64)
+    chr_ = np.clip((_QT_CHR * scale + 50) // 100, 1, 255).astype(np.int64)
+    return lum, chr_
+
+
+def _encode_block(
+    blk: np.ndarray,
+    qt_nat: np.ndarray,
+    pred: int,
+    dc_tab: dict,
+    ac_tab: dict,
+    bw: _BitWriter,
+) -> int:
+    """FDCT + quantize + Huffman-encode one 8x8 block; returns new DC pred."""
+    coef = _DCT_C @ (blk - 128.0) @ _DCT_C.T
+    q = np.rint(coef.reshape(-1) / qt_nat).astype(np.int64)
+    zz = q[_ZZ]
+
+    def _mag(v: int) -> tuple[int, int]:
+        s = int(abs(v)).bit_length()
+        bits = v if v >= 0 else v + (1 << s) - 1
+        return s, bits
+
+    s, bits = _mag(int(zz[0]) - pred)
+    code, ln = dc_tab[s]
+    bw.write(code, ln)
+    if s:
+        bw.write(bits, s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_tab[0xF0]  # ZRL
+            bw.write(code, ln)
+            run -= 16
+        s, bits = _mag(v)
+        code, ln = ac_tab[(run << 4) | s]
+        bw.write(code, ln)
+        bw.write(bits, s)
+        run = 0
+    if last < 63:
+        code, ln = ac_tab[0x00]  # EOB
+        bw.write(code, ln)
+    return int(zz[0])
+
+
+def _pad_to(plane: np.ndarray, mult_h: int, mult_w: int) -> np.ndarray:
+    """Edge-replicate pad to multiples of (mult_h, mult_w)."""
+    h, w = plane.shape
+    ph = (-h) % mult_h
+    pw = (-w) % mult_w
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_jpeg(
+    img: np.ndarray,
+    quality: int = 90,
+    subsample: str = "420",
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal baseline JFIF encoder (stdlib struct + numpy): 8-bit gray
+    or RGB, 4:4:4 or 4:2:0, Annex K tables scaled by IJG quality,
+    optional restart markers (so tests exercise the decoder's RST path).
+    Exists to synthesize REAL compressed payloads for the decoder and the
+    media pipeline — not a rate-optimized codec."""
+    import struct
+
+    img = np.asarray(img)
+    gray = img.ndim == 2 or img.shape[2] == 1
+    if gray:
+        y = img.reshape(img.shape[0], img.shape[1]).astype(np.float64)
+        planes = [y]
+    else:
+        rgb = img[:, :, :3].astype(np.float64)
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        planes = [y, cb, cr]
+    h, w = planes[0].shape
+    # scaled tables are in NATURAL order (the base tables are); the DQT
+    # wire format wants zigzag, emitted as qt[_ZZ] below
+    qt_l_nat, qt_c_nat = _quality_tables(quality)
+
+    sub420 = (not gray) and subsample == "420"
+    if sub420:
+        for i in (1, 2):
+            p = _pad_to(planes[i], 2, 2)
+            planes[i] = (
+                p.reshape(p.shape[0] // 2, 2, p.shape[1] // 2, 2).mean(axis=(1, 3))
+            )
+        samp = [(2, 2), (1, 1), (1, 1)]
+        planes[0] = _pad_to(planes[0], 16, 16)
+        planes[1] = _pad_to(planes[1], 8, 8)
+        planes[2] = _pad_to(planes[2], 8, 8)
+    else:
+        samp = [(1, 1)] * len(planes)
+        planes = [_pad_to(p, 8, 8) for p in planes]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    dc_l = _huff_encode_table(*_HUFF_DC_LUM)
+    ac_l = _huff_encode_table(*_HUFF_AC_LUM)
+    dc_c = _huff_encode_table(*_HUFF_DC_CHR)
+    ac_c = _huff_encode_table(*_HUFF_AC_CHR)
+    tabs = [(dc_l, ac_l, qt_l_nat)] + [(dc_c, ac_c, qt_c_nat)] * (len(planes) - 1)
+
+    body = bytearray()
+    bw = _BitWriter()
+    preds = [0] * len(planes)
+    rst = 0
+    n_mcus = mcus_x * mcus_y
+    for mcu in range(n_mcus):
+        my, mx = divmod(mcu, mcus_x)
+        for ci, ((hc, vc), (dct, act, qt)) in enumerate(zip(samp, tabs)):
+            for by in range(vc):
+                for bx in range(hc):
+                    y0 = (my * vc + by) * 8
+                    x0 = (mx * hc + bx) * 8
+                    blk = planes[ci][y0 : y0 + 8, x0 : x0 + 8]
+                    preds[ci] = _encode_block(blk, qt, preds[ci], dct, act, bw)
+        if (
+            restart_interval
+            and (mcu + 1) % restart_interval == 0
+            and mcu + 1 < n_mcus
+        ):
+            bw.flush()
+            body.extend(bw.out)
+            body.extend(bytes([0xFF, 0xD0 + rst]))
+            rst = (rst + 1) % 8
+            bw = _BitWriter()
+            preds = [0] * len(planes)
+    bw.flush()
+    body.extend(bw.out)
+
+    def seg(marker: int, data: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(data) + 2) + data
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
+    out += seg(0xDB, bytes([0x00]) + bytes(qt_l_nat[_ZZ].astype(np.uint8)))
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes(qt_c_nat[_ZZ].astype(np.uint8)))
+    nc = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for ci, (hc, vc) in enumerate(samp):
+        sof += bytes([ci + 1, (hc << 4) | vc, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    for tc, th, (bits, vals) in (
+        (0, 0, _HUFF_DC_LUM),
+        (1, 0, _HUFF_AC_LUM),
+        (0, 1, _HUFF_DC_CHR),
+        (1, 1, _HUFF_AC_CHR),
+    ):
+        if gray and th == 1:
+            continue
+        out += seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Real image features over a decoded baseline JPEG."""
+    return _image_features(decode_jpeg(payload), dim)
+
+
 def decode_features(
     kind: str | None, payload: bytes | None, dim: int = FEATURE_DIM
 ) -> list[float]:
-    """Dispatch: REAL decode for WAV audio and PPM images; deterministic
-    stub for formats whose codecs are absent in this container."""
+    """Dispatch: REAL decode for WAV audio and PPM/PNG/JPEG images;
+    deterministic stub for formats whose codecs are absent in this
+    container (video, WebP, ...)."""
     if payload:
         if kind == "audio" and payload[:4] == b"RIFF":
             return wav_features(payload, dim)
@@ -402,20 +965,41 @@ def decode_features(
             return ppm_features(payload, dim)
         if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
             return png_features(payload, dim)
+        if kind == "image" and payload[:2] == b"\xff\xd8":
+            return jpeg_features(payload, dim)
     return _fake_decode_features(payload, dim)
 
 
-def decode_image(payload: bytes) -> np.ndarray:  # pragma: no cover
-    """Other compressed image formats (JPEG, WebP, ...) — require a codec
-    library. PPM decodes via decode_ppm and PNG via decode_png with no
-    codec wheels."""
-    if not HAVE_PIL:
-        raise NotImplementedError(
-            "image decode requires PIL/pillow, not present in this container"
-        )
-    import io
+def _sniff_decode_image(payload: bytes) -> np.ndarray | None:
+    """Decode any natively-supported image payload (PPM/PNG/baseline
+    JPEG) by magic bytes; None when the format is not one of ours."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return decode_jpeg(payload)
+    return None
 
-    return np.asarray(Image.open(io.BytesIO(payload)))
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Image decode: PPM, PNG, and baseline JPEG decode natively (pure
+    stdlib+numpy, above); remaining formats (WebP, TIFF, progressive
+    JPEG, ...) fall through to PIL when present, else the honest gate."""
+    img = None
+    try:
+        img = _sniff_decode_image(payload)
+    except NotImplementedError:
+        img = None  # e.g. progressive JPEG -> try PIL below
+    if img is not None:
+        return img
+    if not HAVE_PIL:  # pragma: no cover
+        raise NotImplementedError(
+            "this image format requires PIL/pillow, not present in this container"
+        )
+    import io  # pragma: no cover
+
+    return np.asarray(Image.open(io.BytesIO(payload)))  # pragma: no cover
 
 
 def with_media_features(
@@ -459,9 +1043,10 @@ def with_resized_images(
     payload_col: str = "payload",
 ) -> DataFrame:
     """REAL image resize as a mapInPandas stage: decodable image payloads
-    (PPM/PNG) are decoded, nearest-neighbor resized and re-encoded as
-    PNG; non-images and undecodable payloads pass through with a null
-    resized column. Output adds (resized: binary, out_w: int, out_h: int).
+    (PPM/PNG/baseline JPEG) are decoded, nearest-neighbor resized and
+    re-encoded as PNG; non-images and undecodable payloads pass through
+    with a null resized column. Output adds (resized: binary,
+    out_w: int, out_h: int).
     """
     fields = [f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields]
     schema = ", ".join(fields + ["resized binary", "out_w int", "out_h int"])
@@ -473,12 +1058,8 @@ def with_resized_images(
             for kind, payload in zip(pdf["kind"], pdf[payload_col]):
                 img = None
                 if kind == "image" and payload:
-                    p = bytes(payload)
                     try:
-                        if p[:2] == b"P6":
-                            img = decode_ppm(p)
-                        elif p[:8] == b"\x89PNG\r\n\x1a\n":
-                            img = decode_png(p)
+                        img = _sniff_decode_image(bytes(payload))
                     except (ValueError, NotImplementedError):
                         img = None  # undecodable -> pass-through row
                 if img is None:
@@ -555,23 +1136,43 @@ def synth_png(i: int, w: int = 32, h: int = 24) -> bytes:
     return encode_png(img, filters=[0, 1, 2, 3, 4])
 
 
+def synth_jpeg(i: int, w: int = 32, h: int = 24) -> bytes:
+    """Deterministic baseline JPEG — a REAL lossy-compressed image.
+    Smooth per-image gradients (not noise) so the 4:2:0 path is realistic;
+    every third JPEG carries restart markers to exercise the RST path."""
+    yy, xx = np.mgrid[0:h, 0:w]
+    img = np.stack(
+        [
+            (yy * (3 + i % 5) + 17 * i) % 256,
+            (xx * (2 + i % 7) + 31 * i) % 256,
+            ((yy + xx) * (1 + i % 3) + 53 * i) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+    return encode_jpeg(
+        img,
+        quality=90,
+        subsample="420" if i % 2 == 0 else "444",
+        restart_interval=2 if i % 3 == 0 else 0,
+    )
+
+
 def synth_media_pdf(n: int = 50) -> pd.DataFrame:
     """Deterministic media rows (pandas) — shared by the Spark table builder
-    and the driver-side oracle staging path. Audio rows are REAL WAVs and
-    image rows REAL PPMs (both decode without codec wheels); video payloads
-    are opaque bytes exercising the stubbed path."""
+    and the driver-side oracle staging path. Audio rows are REAL WAVs;
+    image rows rotate REAL PPM/PNG/JPEG payloads (all three decode without
+    codec wheels); video payloads are opaque bytes exercising the stubbed
+    path."""
+    img_mimes = ("image/x-portable-pixmap", "image/png", "image/jpeg")
     rows = []
     for i in range(n):
         kind = ["image", "audio", "video"][i % 3]
         if kind == "audio":
             payload = synth_wav(i)
         elif kind == "image":
-            # alternate REAL PPM and REAL PNG payloads: both decode
-            # without codec wheels, so the image column runs end-to-end
-            payload = synth_ppm(i) if (i // 3) % 2 == 0 else synth_png(i)
+            payload = (synth_ppm, synth_png, synth_jpeg)[(i // 3) % 3](i)
         else:
             payload = hashlib.md5(f"media{i}".encode()).digest() * 8
-        is_png = kind == "image" and (i // 3) % 2 == 1
         rows.append(
             {
                 "media_id": f"m{i:04d}",
@@ -582,7 +1183,7 @@ def synth_media_pdf(n: int = 50) -> pd.DataFrame:
                     "height": 480 if kind == "image" else None,
                     "duration_ms": 5000 + 1000 * (i % 7) if kind != "image" else None,
                     "mime": {
-                        "image": "image/png" if is_png else "image/x-portable-pixmap",
+                        "image": img_mimes[(i // 3) % 3],
                         "audio": "audio/wav",
                         "video": "video/mp4",
                     }[kind],

@@ -156,8 +156,7 @@ def stage_media_resize(out_h: int = 12, out_w: int = 16, n: int = 60) -> str:
     import hashlib as _hl
 
     from .multimodal import (
-        decode_png,
-        decode_ppm,
+        _sniff_decode_image,
         encode_png,
         resize_image,
         synth_media_pdf,
@@ -168,8 +167,7 @@ def stage_media_resize(out_h: int = 12, out_w: int = 16, n: int = 60) -> str:
     for mid, kind, payload in zip(m["media_id"], m["kind"], m["payload"]):
         if kind != "image":
             continue
-        p = bytes(payload)
-        img = decode_ppm(p) if p[:2] == b"P6" else decode_png(p)
+        img = _sniff_decode_image(bytes(payload))
         enc = encode_png(resize_image(img, out_h, out_w))
         rows.append(
             {

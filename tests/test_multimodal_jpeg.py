@@ -1,0 +1,177 @@
+"""Baseline JPEG codec tests (VERDICT r3 item 2 — the last modality stub).
+
+The decoder builds its Huffman/quant tables from the file's own DHT/DQT
+segments, so these round-trips prove the full chain: marker parse ->
+entropy decode -> dequant -> de-zigzag -> IDCT -> upsample -> color
+convert. Pixel goldens use closed-form cases (flat blocks are DC-only,
+so quality-90 tables reproduce them exactly or within one quant step).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from geoharvest_spark.multimodal import (
+    _HUFF_AC_CHR,
+    _HUFF_AC_LUM,
+    _HUFF_DC_CHR,
+    _HUFF_DC_LUM,
+    _huff_decode_table,
+    decode_image,
+    decode_jpeg,
+    encode_jpeg,
+    jpeg_features,
+    resize_image,
+    synth_jpeg,
+    synth_media_pdf,
+)
+
+
+def _gradient(h, w, seed=0):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [(yy * 3 + seed) % 256, (xx * 2 + 80) % 256, ((yy + xx) * 2) % 256],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_huffman_tables_valid():
+    """Each embedded table must be a consistent canonical prefix code."""
+    for bits, vals in (_HUFF_DC_LUM, _HUFF_DC_CHR, _HUFF_AC_LUM, _HUFF_AC_CHR):
+        table = _huff_decode_table(bits, vals)
+        assert len(table) == len(vals)
+        # prefix property: no code is a prefix of a longer code
+        codes = sorted((ln, code) for (ln, code) in table)
+        for i, (ln1, c1) in enumerate(codes):
+            for ln2, c2 in codes[i + 1 :]:
+                if ln2 > ln1:
+                    assert (c2 >> (ln2 - ln1)) != c1
+
+
+def test_uniform_gray_128_exact():
+    """DC of a 128-flat block is 0 after level shift: exact round trip."""
+    img = np.full((24, 32), 128, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsample="444"))
+    assert out.shape == (24, 32) and out.dtype == np.uint8
+    assert np.array_equal(out, img)
+
+
+def test_flat_color_within_one_quant_step():
+    """Flat color = DC-only blocks; error bounded by DC quantization."""
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:] = (200, 90, 30)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsample="444"))
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_closed_form_single_coefficient():
+    """Pixel golden from first principles: craft a block equal to
+    q*C.T@E00@C + 128 (a pure DC pattern) and check the decoded DC
+    amplitude survives quantize->dequantize exactly when q divides it."""
+    from geoharvest_spark.multimodal import _DCT_C, _quality_tables
+
+    qt, _ = _quality_tables(90)
+    dc_q = qt[0]  # DC quant step at quality 90
+    amp = dc_q * 4  # exactly 4 quant steps
+    coef = np.zeros((8, 8))
+    coef[0, 0] = amp
+    block = _DCT_C.T @ coef @ _DCT_C + 128.0  # flat block at 128 + amp/8
+    img = np.clip(np.rint(block), 0, 255).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsample="444"))
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+@pytest.mark.parametrize("sub", ["444", "420"])
+@pytest.mark.parametrize("dims", [(16, 16), (37, 53), (8, 8), (9, 17)])
+def test_gradient_roundtrip_all_shapes(sub, dims):
+    """Smooth gradients survive q92 within a small error bound at any
+    (odd, non-MCU-multiple) size — exercises edge padding and crop."""
+    h, w = dims
+    img = _gradient(h, w)
+    out = decode_jpeg(encode_jpeg(img, quality=92, subsample=sub))
+    assert out.shape == (h, w, 3)
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert int(err.max()) <= 12 and float(err.mean()) <= 3.0
+
+
+def test_restart_markers_roundtrip():
+    """DRI/RSTn segments decode identically to the unsegmented stream."""
+    img = _gradient(37, 53)
+    plain = decode_jpeg(encode_jpeg(img, quality=92, subsample="420"))
+    rst = decode_jpeg(
+        encode_jpeg(img, quality=92, subsample="420", restart_interval=2)
+    )
+    assert np.array_equal(plain, rst)
+
+
+def test_gray_roundtrip():
+    img = (np.outer(np.arange(24), np.ones(32)) * 9 % 256).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=92, subsample="444"))
+    assert out.shape == (24, 32)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 8
+
+
+def test_progressive_raises():
+    buf = bytearray(encode_jpeg(_gradient(16, 16)))
+    i = buf.find(b"\xff\xc0")
+    buf[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(buf))
+
+
+def test_truncated_raises():
+    enc = encode_jpeg(_gradient(16, 16))
+    with pytest.raises(ValueError):
+        decode_jpeg(enc[: len(enc) // 2])
+
+
+def test_not_a_jpeg_raises():
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"P6\n1 1\n255\n\x00\x00\x00")
+
+
+def test_encode_deterministic():
+    a = hashlib.md5(encode_jpeg(_gradient(24, 32), 90, "420")).hexdigest()
+    b = hashlib.md5(encode_jpeg(_gradient(24, 32), 90, "420")).hexdigest()
+    assert a == b
+
+
+def test_synth_jpeg_decodes_and_features():
+    for i in (2, 5, 6, 11):  # mix of 420/444 and RST/no-RST
+        p = synth_jpeg(i)
+        img = decode_jpeg(p)
+        assert img.shape == (24, 32, 3)
+        f = jpeg_features(p)
+        assert len(f) == 64 and f[16] >= 0  # real histogram features
+
+    # decode_image dispatches JPEG natively (no PIL in this container)
+    assert decode_image(synth_jpeg(3)).shape == (24, 32, 3)
+
+
+def test_resize_jpeg_pipeline_kernel():
+    """The resize kernel consumes decoded JPEG frames like any image."""
+    img = decode_jpeg(synth_jpeg(8))
+    small = resize_image(img, 12, 16)
+    assert small.shape == (12, 16, 3)
+    # NN rule: out[y,x] = in[y*h//12, x*w//16]
+    assert small[3, 5].tolist() == img[3 * 24 // 12, 5 * 32 // 16].tolist()
+
+
+def test_synth_media_rotation_includes_jpeg():
+    m = synth_media_pdf(60)
+    imgs = m[m.kind == "image"]
+    mimes = set(imgs.apply(lambda r: r["meta"]["mime"], axis=1))
+    assert mimes == {
+        "image/x-portable-pixmap",
+        "image/png",
+        "image/jpeg",
+    }
+    jpeg_rows = imgs[
+        imgs.apply(lambda r: r["meta"]["mime"] == "image/jpeg", axis=1)
+    ]
+    assert len(jpeg_rows) > 0
+    for p in jpeg_rows.payload:
+        assert bytes(p)[:2] == b"\xff\xd8"
