@@ -1189,6 +1189,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["media_resize"] = media_resize
 
+    def media_resize_pixels(spark, sf):
+        """INDEPENDENT pixel-math check for the resize kernel (closing the
+        r3 same-kernel-twin gap): the distributed path decodes PPM and
+        NN-resizes with the engine kernels, emitting raw pixel VALUES; the
+        oracle re-implements PPM byte addressing AND the NN index rule
+        (src = (dst*src_dim)//out_dim) entirely in SQL over the staged
+        payload blobs — it imports no decode/resize code. media_resize's
+        md5 twin still covers PNG/JPEG inputs + the re-encoder."""
+        import pandas as pd
+
+        from geoharvest_spark.multimodal import (
+            decode_ppm,
+            resize_image,
+            synth_media_df,
+        )
+
+        out_h, out_w = 12, 16
+        m = synth_media_df(spark, 60).where(
+            F.col("meta.mime") == "image/x-portable-pixmap"
+        )
+        schema = "media_id string, y long, x long, r long, g long, b long"
+
+        def _map(batches):
+            for pdf in batches:
+                rows = []
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    img = resize_image(
+                        decode_ppm(bytes(payload)), out_h, out_w
+                    ).astype(int)
+                    for y in range(out_h):
+                        for x in range(out_w):
+                            rows.append(
+                                (mid, y, x, *(int(v) for v in img[y, x]))
+                            )
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "y", "x", "r", "g", "b"]
+                )
+
+        return m.mapInPandas(_map, schema).orderBy("media_id", "y", "x")
+
+    Q["media_resize_pixels"] = media_resize_pixels
+
     def media_frame_plan(spark, sf):
         """Video frame-sampling plumbing (multimodal.frame_sample_plan):
         one row per planned frame timestamp from meta.duration_ms; the
@@ -1793,6 +1835,26 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             # re-encoded PNG bytes proves bit-identical pixels AND encoder
             f"SELECT media_id, out_w, out_h, resized_md5 "
             f"FROM read_parquet('{stage['media_resize']}') ORDER BY media_id"
+        ),
+        "media_resize_pixels": (
+            # closed-form NN-resize pixel math, NO kernel import: synth
+            # PPMs are 32x24 P6/maxval-255 blobs, header length =
+            # octet_length - 32*24*3; src pixel for out (y,x) at 12x16 is
+            # ((y*24)//12, (x*32)//16); byte k of the blob is hex-string
+            # substring(hex, 2k+1, 2) parsed as 0x.. (DuckDB has no blob
+            # slicing)
+            "WITH m AS (SELECT media_id, hex(payload) AS hx, "
+            "octet_length(payload) - 32*24*3 AS hdr "
+            f"FROM read_parquet('{stage['media_payloads']}')), "
+            "g AS (SELECT media_id, hx, "
+            "hdr + (((y.i*24)//12)*32 + (x.i*32)//16)*3 AS off, "
+            "y.i AS y, x.i AS x "
+            "FROM m, range(0,12) y(i), range(0,16) x(i)) "
+            "SELECT media_id, y, x, "
+            "('0x'||substring(hx, off*2+1, 2))::BIGINT AS r, "
+            "('0x'||substring(hx, off*2+3, 2))::BIGINT AS g, "
+            "('0x'||substring(hx, off*2+5, 2))::BIGINT AS b "
+            "FROM g ORDER BY media_id, y, x"
         ),
         "media_frame_plan": (
             # closed-form frame plan: video rows are i%3==2, duration_ms =

@@ -150,6 +150,27 @@ def stage_session_events() -> str:
     return _write(pd.DataFrame(synth_session_rows()), "session_events.parquet")
 
 
+def stage_media_payloads(n: int = 60) -> str:
+    """Raw PPM payload BYTES (media_id, payload) — synth data only, NO
+    decode/resize kernel import: the media_resize_pixels oracle
+    re-implements PPM byte addressing and the NN-resize index rule
+    entirely in SQL over these blobs."""
+    from .multimodal import synth_media_pdf
+
+    m = synth_media_pdf(n)
+    ppm = m[
+        m.apply(
+            lambda r: r["kind"] == "image"
+            and bytes(r["payload"])[:2] == b"P6",
+            axis=1,
+        )
+    ]
+    return _write(
+        ppm[["media_id", "payload"]].reset_index(drop=True),
+        "media_payloads.parquet",
+    )
+
+
 def stage_media_resize(out_h: int = 12, out_w: int = 16, n: int = 60) -> str:
     """Driver-side twin of the distributed resize: same decode -> NN
     resize -> PNG re-encode -> md5, single-process."""
@@ -193,4 +214,5 @@ def stage_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "stream_events": stage_stream_events(),
         "session_events": stage_session_events(),
         "media_resize": stage_media_resize(),
+        "media_payloads": stage_media_payloads(),
     }
