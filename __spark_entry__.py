@@ -103,6 +103,60 @@ def _nation_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Skew-stress PIP fixtures: 50% of points land in ONE res-5 cell (the
+# -71.0..-70.9 x 42.2..42.3 patch); rect bounds end in 5e-5 while point
+# coords are multiples of 1e-4 (hot) / 1e-2 (cold), so no point ever sits
+# on a boundary and ray-cast refine == closed-bounds SQL exactly.
+_SKEW_RECTS = [
+    ("rect_hot", -71.00005, 42.19995, -70.89995, 42.30005),
+    ("rect_half", -120.00005, -60.00005, 60.00005, 60.00005),
+    ("rect_ne", 0.00005, 0.00005, 45.00005, 30.00005),
+    ("rect_sw", -10.00005, -20.00005, -0.00005, -5.00005),
+    ("rect_empty", 150.00005, -80.00005, 150.10005, -79.90005),
+]
+
+_SKEW_POINTS_SQL = (
+    "SELECT event_id AS point_id, "
+    "CASE WHEN event_id % 2 = 0 THEN -71.0 + (event_id % 997) / 10000.0 "
+    "ELSE (event_id * 7919 % 36000) / 100.0 - 180.0 END AS lon, "
+    "CASE WHEN event_id % 2 = 0 THEN 42.2 + (event_id % 991) / 10000.0 "
+    "ELSE (event_id * 104729 % 18000) / 100.0 - 90.0 END AS lat "
+    "FROM events"
+)
+
+
+def _skew_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    hot = F.col("event_id") % 2 == 0
+    return ev.select(
+        F.col("event_id").alias("point_id"),
+        F.when(hot, F.lit(-71.0) + (F.col("event_id") % 997) / 10000.0)
+        .otherwise((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0)
+        .alias("lon"),
+        F.when(hot, F.lit(42.2) + (F.col("event_id") % 991) / 10000.0)
+        .otherwise((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0)
+        .alias("lat"),
+    )
+
+
+def _skew_rects_df(spark: SparkSession) -> DataFrame:
+    import pandas as pd
+
+    from geoharvest_spark.schema import POLYGONS_SCHEMA
+
+    rows = [
+        {
+            "poly_id": pid,
+            "wkt": (
+                f"POLYGON (({w} {s}, {e} {s}, {e} {n}, {w} {n}, {w} {s}))"
+            ),
+            "bbox": {"w": w, "e": e, "n": n, "s": s},
+        }
+        for pid, w, s, e, n in _SKEW_RECTS
+    ]
+    return spark.createDataFrame(pd.DataFrame(rows), schema=POLYGONS_SCHEMA)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: spatial cell-count pipeline (pages + derived event points)."""
     sf_dir = "/root/testdata/sf0.001"
@@ -1163,6 +1217,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["stream_sessionize_timeout"] = stream_sessionize_timeout
 
+    def pip_skew_hot_cell(spark, sf):
+        """Skew-stress for the salted PIP join (J3 under a pathological
+        distribution): 50% of all points land in ONE res-5 cell, so the
+        census (joins.py:151-157, index.py:289-343) must assign the hot
+        cell salt_k ~ hot_count/rows_per_task and fan the build side out
+        accordingly — the unsalted plan would put half the probe table in
+        one task. rows_per_task=500 forces salt_k >= 10 at sf0.01. The
+        full operator runs (census, deterministic xxhash64 salt,
+        shuffle_hash equi-join, codegen bbox prefilter, ray-cast refine);
+        the oracle is a plain closed-bounds rectangle join — exact
+        because no point sits within 5e-5 of any rect boundary. The
+        max-task bound itself is asserted in tests/test_skew.py."""
+        from geoharvest_spark.joins import pip_join
+
+        out = pip_join(
+            _skew_points(spark, sf),
+            _skew_rects_df(spark),
+            res=5,
+            rows_per_task=500,
+            salted=True,
+        )
+        return out.select("point_id", "poly_id").orderBy("point_id", "poly_id")
+
+    Q["pip_skew_hot_cell"] = pip_skew_hot_cell
+
     def media_resize(spark, sf):
         """REAL distributed image resize: PPM/PNG payloads decode, NN-
         resize and re-encode as PNG inside mapInPandas; the oracle is a
@@ -1883,6 +1962,21 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "(max(t) + 3600000000) // 1000000 AS sess_end, "
             "count(*) AS n_events "
             "FROM s GROUP BY user_id, sid ORDER BY user_id, sess_start"
+        ),
+        "pip_skew_hot_cell": (
+            # closed-bounds rectangle join over the identical derived
+            # points — exact twin of cover+bbox-prefilter+ray-cast because
+            # no point lies on a rect boundary (5e-5 guard)
+            f"WITH p AS ({_SKEW_POINTS_SQL}), "
+            "r(poly_id, w, s, e, n) AS (VALUES "
+            + ", ".join(
+                f"('{pid}', {w}, {s}, {e}, {n})"
+                for pid, w, s, e, n in _SKEW_RECTS
+            )
+            + ") SELECT point_id, poly_id FROM p JOIN r "
+            "ON p.lon >= r.w AND p.lon <= r.e "
+            "AND p.lat >= r.s AND p.lat <= r.n "
+            "ORDER BY point_id, poly_id"
         ),
         "stream_sessionize_timeout": (
             # batch gap-cumsum twin of the stateful timeout operator (same

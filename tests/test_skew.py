@@ -83,6 +83,63 @@ def test_skewed_pip_exact_vs_unsalted(spark, skewed_points):
     assert a == b and len(a) > 0
 
 
+def test_contract_skew_census_bounds_max_task(spark):
+    """The pip_skew_hot_cell contract input (50% of events in one res-5
+    cell): the census must flag the hot cell AND the salted bucket sizes
+    must stay within ~2x rows_per_task — the property that bounds the max
+    task at 100 TB (xxhash64 imbalance stays far below 2x at these
+    counts)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+    from tests.conftest import SF001
+
+    target = 50  # SF001 events are 10x smaller than sf0.01
+    pts = E._skew_points(spark, SF001).withColumn(
+        "cell", ix.ghcell(F.col("lon"), F.col("lat"), 5)
+    )
+    n_hot = (
+        pts.groupBy("cell").count().agg(F.max("count")).first()[0]
+    )
+    assert n_hot >= pts.count() * 0.4  # the pathology is real
+    factors = ix.salt_factors(pts, rows_per_task=target)
+    assert (
+        factors.agg(F.max("salt_k")).first()[0] >= n_hot // target
+    )  # census flagged the hot cell
+    salted = ix.with_salt(pts, factors, key_col="point_id")
+    bucket_max = (
+        salted.groupBy("cell", "salt").count().agg(F.max("count")).first()[0]
+    )
+    assert bucket_max <= 2 * target
+
+
+def test_contract_skew_join_parity_vs_unsalted(spark):
+    """The contract query's full operator output equals the unsalted run
+    on the same pathological input (salting never changes results)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as E
+    from tests.conftest import SF001
+
+    pts = E._skew_points(spark, SF001)
+    polys = E._skew_rects_df(spark)
+    a = {
+        (r.point_id, r.poly_id)
+        for r in pip_join(pts, polys, res=5, rows_per_task=50, salted=True)
+        .select("point_id", "poly_id")
+        .collect()
+    }
+    b = {
+        (r.point_id, r.poly_id)
+        for r in pip_join(pts, polys, res=5, salted=False)
+        .select("point_id", "poly_id")
+        .collect()
+    }
+    assert a == b and len(a) > 0
+
+
 def test_sampled_census_still_exact(spark, skewed_points):
     polys = spark.createDataFrame(polygons_pdf(80))
     exact = {
