@@ -183,22 +183,39 @@ def cosine_near_dup_pairs(
     column) so the result hashes identically across engines.
 
     Scale sizing: within-bucket work is quadratic in bucket size, so
-    n_bits must GROW with the corpus — n_bits ≈ log2(n) - 10 keeps
-    expected bucket size ~1k rows (1B vectors -> 20 bits), the same knob
-    MinHash banding turns (textops.py). AQE skew-join splitting
-    backstops residual hot buckets."""
-    sig = lsh_signatures(df, dim, n_bits, n_tables, id_col, vec_col)
-    a = sig.select(
-        F.col("id").alias("id_a"), F.col("v").alias("va"), "table", "bucket"
+    n_bits must GROW with the corpus — for a SELF-join size buckets to a
+    handful of rows (n_bits ≈ log2(n) - 2), since candidate volume is
+    n * bucket/2 * tables. High n_bits costs recall near the threshold
+    (per-table retention (1 - theta/pi)^n_bits); genuine near-dups
+    (cos >= 0.99, theta <= 0.045*pi) survive 19 bits x 8 tables with
+    miss < 1e-6, while threshold-0.9 edge pairs need more tables —
+    the same recall/volume dial every LSH deployment turns. AQE
+    skew-join splitting backstops residual hot buckets.
+
+    Shuffle layout (round-4 headroom finding): the self-join and the
+    pair dedupe move IDS ONLY (24 B/row); vectors re-attach afterwards
+    by two id equi-joins. Carrying both vectors through the candidate
+    stream (the round-3 layout) multiplies every candidate row by
+    ~2*dim doubles — at 2M vectors x 8 tables that is tens of GB of
+    shuffle for work the ids-only plan does in hundreds of MB."""
+    sig = lsh_signatures(df, dim, n_bits, n_tables, id_col, vec_col).select(
+        "id", "table", "bucket"
     )
-    b = sig.select(
-        F.col("id").alias("id_b"), F.col("v").alias("vb"), "table", "bucket"
-    )
+    a = sig.select(F.col("id").alias("id_a"), "table", "bucket")
+    b = sig.select(F.col("id").alias("id_b"), "table", "bucket")
     cand = (
         a.join(b, ["table", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .drop("table", "bucket")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"))
+    pairs = cand.join(
+        vecs.select(F.col("_vid").alias("id_a"), F.col("_vv").alias("va")),
+        "id_a",
+    ).join(
+        vecs.select(F.col("_vid").alias("id_b"), F.col("_vv").alias("vb")),
+        "id_b",
     )
 
     @F.pandas_udf("double")
@@ -208,7 +225,7 @@ def cosine_near_dup_pairs(
         return pd.Series((x * y).sum(axis=1))
 
     return (
-        cand.withColumn("cos_sim", _cos(F.col("va"), F.col("vb")))
+        pairs.withColumn("cos_sim", _cos(F.col("va"), F.col("vb")))
         .where(F.col("cos_sim") >= F.lit(threshold))
         .select("id_a", "id_b")
     )

@@ -43,10 +43,165 @@ def synth_embeddings(spark, n: int, dim: int = 64):
     return df.select("vec_id", arr.alias("embedding"))
 
 
+def synth_embeddings_iid(spark, n: int, dim: int = 64):
+    """Uncorrelated vectors via xxhash64 per (row, dim) — LSH self-joins
+    MUST NOT be benchmarked on structured (congruential) synth: correlated
+    rows collapse into few buckets and the quadratic within-bucket work
+    reports a misleadingly slow number (round-3 finding, BASELINE.md)."""
+    df = spark.range(0, n, 1, 128).withColumnRenamed("id", "vec_id")
+    arr = F.array(
+        *[
+            (
+                F.pmod(F.xxhash64(F.col("vec_id"), F.lit(j)), F.lit(1000003))
+                / 1000003.0
+                - 0.5
+            )
+            for j in range(dim)
+        ]
+    )
+    return df.select("vec_id", arr.alias("embedding"))
+
+
+def near_dup_corpus(spark, n: int, dim: int = 64):
+    """iid corpus + planted near-dups (every 10th vector perturbed by
+    ~0.03% of its norm, copied to id+n): the only pairs at cos >= 0.9."""
+    base = synth_embeddings_iid(spark, n, dim)
+    delta = F.transform(
+        F.col("embedding"),
+        lambda x, j: x
+        + ((F.col("vec_id") * (F.lit(31) + j) + F.lit(7) * j) % 97)
+        / F.lit(100000.0),
+    )
+    pert = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + n).alias("vec_id"), delta.alias("embedding")
+    )
+    # float32 like a real embedding corpus — halves every join/shuffle byte
+    both = base.unionByName(pert).select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    return both, n // 10
+
+
+def stream_state_leg(spark, n_keys: int, batch2_rows: int = 5_000) -> dict:
+    """last_event_stateful with state >> batch: batch 1 seeds n_keys state
+    rows, batch 2 folds batch2_rows updates into that state. Per-batch
+    cost must track BATCH size, not state size (the state store loads
+    only touched groups; Python sees only groups with data)."""
+    import json as _json
+    import shutil
+    import tempfile
+
+    from geoharvest_spark.streaming import (
+        EVENT_STREAM_SCHEMA,
+        last_event_stateful,
+    )
+
+    base = tempfile.mkdtemp(prefix=f"hd_state_{n_keys}_")
+    in_dir = f"{base}/in"
+
+    def cols(key_expr, seq0: int):
+        return [
+            F.concat(
+                F.lit("m"), (F.lit(seq0) + F.col("id")).cast("string")
+            ).alias("message_id"),
+            F.timestamp_seconds(
+                F.lit(1_700_000_000) + (F.col("id") % 86_400)
+            ).alias("event_ts"),
+            F.lit("created").alias("event"),
+            F.concat(
+                F.lit("https://cdn.mit.test/gis/u"),
+                key_expr.cast("string"),
+                F.lit(".zip"),
+            ).alias("url"),
+            (F.lit(seq0) + F.col("id")).alias("seq"),
+        ]
+
+    spark.range(0, n_keys, 1, 32).select(*cols(F.col("id"), 0)).coalesce(
+        1
+    ).write.mode("append").parquet(in_dir)
+    spark.range(0, batch2_rows, 1, 32).select(
+        *cols((F.col("id") * 37) % n_keys, n_keys)
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        last_event_stateful(stream)
+        .writeStream.format("noop")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .outputMode("update")
+        .start()
+    )
+    q.processAllAvailable()
+    progress = [_json.loads(p.json) for p in q.recentProgress]
+    q.stop()
+    shutil.rmtree(base, ignore_errors=True)
+    legs = {}
+    for p in progress:
+        n_in = p.get("numInputRows", 0)
+        if n_in == n_keys:
+            legs["seed_batch_sec"] = p["durationMs"]["triggerExecution"] / 1e3
+        elif n_in == batch2_rows:
+            legs["update_batch_sec"] = p["durationMs"]["triggerExecution"] / 1e3
+    return legs
+
+
 def time_noop(df) -> float:
     t0 = time.perf_counter()
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
+
+
+def run_round4_legs(spark) -> None:
+    """Round-4 additions: dedup_embed_cosine (LSH self-join) and
+    last_event_stateful (state >> batch)."""
+    from geoharvest_spark.simsearch import cosine_near_dup_pairs
+
+    # LSH near-dup SELF-join: n_bits grows with the corpus (~log2(n)) so
+    # expected bucket size stays a few rows and candidates stay O(n)
+    for n_vec, n_bits in ((250_000, 17), (2_000_000, 20)):
+        corpus, n_planted = near_dup_corpus(spark, n_vec)
+        spark.catalog.clearCache()
+        best, got = float("inf"), None
+        for _ in range(2):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            got = cosine_near_dup_pairs(
+                corpus, dim=64, threshold=0.9, n_bits=n_bits, n_tables=8
+            ).count()
+            best = min(best, time.perf_counter() - t0)
+        rows_total = n_vec + n_planted
+        print(
+            json.dumps(
+                {
+                    "workload": "dedup_embed_cosine",
+                    "rows": rows_total,
+                    "n_bits": n_bits,
+                    "n_tables": 8,
+                    "planted_pairs": n_planted,
+                    "found_pairs": got,
+                    "recall_ok": got == n_planted,
+                    "sec": round(best, 3),
+                    "rows_per_sec": round(rows_total / best, 1),
+                    "us_per_row": round(best / rows_total * 1e6, 2),
+                }
+            )
+        )
+
+    for n_keys in (100_000, 800_000):
+        legs = stream_state_leg(spark, n_keys, batch2_rows=5_000)
+        print(
+            json.dumps(
+                {
+                    "workload": "last_event_stateful",
+                    "state_keys": n_keys,
+                    "update_batch_rows": 5_000,
+                    **{k: round(v, 3) for k, v in legs.items()},
+                }
+            )
+        )
 
 
 def main() -> None:
@@ -113,6 +268,7 @@ def main() -> None:
                 }
             )
         )
+    run_round4_legs(spark)
     spark.stop()
 
 
