@@ -708,6 +708,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["doc_fingerprint"] = doc_fingerprint
 
+    def doc_repetition(spark, sf):
+        # Gopher-style repetition quality: top-2-gram + duplicate-2-gram
+        # fractions (the boilerplate filters of web-corpus cleaning)
+        d = tx.repetition_stats(_t(spark, sf, "documents"))
+        return d.orderBy("doc_id")
+
+    Q["doc_repetition"] = doc_repetition
+
+    def chunk_dedup_docs(spark, sf):
+        # sub-document (paragraph-analog) dedup: 20-token chunks, global
+        # first-occurrence-wins, documents reassembled from survivors
+        d = tx.chunk_dedup(_t(spark, sf, "documents"), chunk_tokens=20)
+        return d.orderBy("doc_id")
+
+    Q["chunk_dedup_docs"] = chunk_dedup_docs
+
+    def _messy_urls(spark, sf):
+        # deterministic messy-URL synth from doc_id (mixed-case scheme and
+        # host, www, default+explicit ports, tracking params, fragments,
+        # trailing slashes) — the SQL oracle builds the identical strings
+        from geoharvest_spark import webops as wb  # noqa: F401
+
+        # `base` (doc_id % 250) drives everything canonicalization KEEPS, so
+        # the raw-URL pairs (d, d+250) differ only in removable mess
+        # (trailing slash, fragment index) and collapse to one canonical —
+        # the rollup's n_canonical < n_urls is real dedup, not an identity
+        doc = F.col("doc_id")
+        base = doc % 250
+        scheme = F.when(base % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
+        suffix = F.element_at(
+            F.array(
+                F.lit(".CO.UK"), F.lit(".com"), F.lit(".Org"), F.lit(".com.au")
+            ),
+            (base % 4 + 1).cast("int"),
+        )
+        port = (
+            F.when(base % 7 == 0, F.lit(":8080"))
+            .when(base % 2 == 0, F.lit(":443"))
+            .otherwise(F.lit(":80"))
+        )
+        trail = F.when(doc % 3 == 0, F.lit("/")).otherwise(F.lit(""))
+        qstr = F.when(base % 5 == 0, F.lit("?utm_campaign=x")).otherwise(
+            F.concat(
+                F.lit("?utm_source=feed&page="),
+                (base % 7).cast("string"),
+                F.lit("&fbclid=1"),
+            )
+        )
+        url = F.concat(
+            scheme,
+            F.lit("://WWW.Site"),
+            (base % 23).cast("string"),
+            suffix,
+            port,
+            F.lit("/Path/"),
+            base.cast("string"),
+            trail,
+            qstr,
+            F.lit("#sec"),
+            (doc % 3).cast("string"),
+        )
+        return _t(spark, sf, "documents").select("doc_id", url.alias("url"))
+
+    def url_canonical(spark, sf):
+        from geoharvest_spark import webops as wb
+
+        return (
+            wb.with_canonical_url(_messy_urls(spark, sf))
+            .select("doc_id", "canonical_url", "domain")
+            .orderBy("doc_id")
+        )
+
+    Q["url_canonical"] = url_canonical
+
+    def url_domain_rollup(spark, sf):
+        from geoharvest_spark import webops as wb
+
+        return wb.domain_rollup(_messy_urls(spark, sf)).orderBy("domain")
+
+    Q["url_domain_rollup"] = url_domain_rollup
+
     def dedup_ngram_jaccard(spark, sf):
         # exact Jaccard >= 0.8 (the production near-dedup regime) with
         # MinHash-LSH candidates — oracle below is ALL-PAIRS SQL, so any
@@ -1334,6 +1415,117 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return Q
 
 
+def _repetition_oracle_sql() -> str:
+    """Independent DuckDB re-implementation of the 2-gram repetition
+    metrics: list_transform over a range builds the grams, two grouped
+    aggregates compute the fractions. Docs with < 2 tokens drop out on
+    both sides. All ratios are single IEEE divisions of < 2^53 integers
+    (bit-identical across engines)."""
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_transform(range(1, len(l)), "
+        "i -> l[i] || ' ' || l[i+1])) AS gram FROM t WHERE len(l) >= 2), "
+        "per AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2) "
+        "SELECT doc_id, cast(sum(c) AS BIGINT) AS n_grams, "
+        "cast(max(c) AS DOUBLE) / cast(sum(c) AS DOUBLE) AS top_gram_frac, "
+        "cast(sum(c) - count(*) AS DOUBLE) / cast(sum(c) AS DOUBLE) "
+        "AS dup_gram_frac "
+        "FROM per GROUP BY doc_id ORDER BY doc_id"
+    )
+
+
+def _chunk_dedup_oracle_sql(chunk: int = 20) -> str:
+    """Independent chunk-dedup oracle: 1-based list slices build the
+    chunks, a row_number window picks the global first occurrence per
+    md5 (same (doc_id, chunk_idx) order as the engine's min-struct
+    keeper), string_agg ORDER BY rebuilds the text."""
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS l "
+        "FROM documents), "
+        "c AS (SELECT doc_id, unnest(list_transform("
+        f"range(0, cast(ceil(len(l) / {chunk}.0) AS INT)), "
+        f"i -> {{'idx': i, 'chunk': array_to_string("
+        f"l[i*{chunk}+1 : i*{chunk}+{chunk}], ' ')}})) AS s FROM t), "
+        "cc AS (SELECT doc_id, s.idx AS chunk_idx, s.chunk AS chunk, "
+        "md5(s.chunk) AS h FROM c), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY h "
+        "ORDER BY doc_id, chunk_idx) AS rn FROM cc), "
+        "tot AS (SELECT doc_id, count(*) AS n_chunks FROM cc GROUP BY 1), "
+        "reb AS (SELECT doc_id, count(*) AS n_kept, "
+        "md5(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS dedup_md5 "
+        "FROM r WHERE rn = 1 GROUP BY 1) "
+        "SELECT tot.doc_id AS doc_id, n_chunks, "
+        "coalesce(n_kept, 0) AS n_kept, "
+        "coalesce(dedup_md5, md5('')) AS dedup_md5 "
+        "FROM tot LEFT JOIN reb ON tot.doc_id = reb.doc_id ORDER BY 1"
+    )
+
+
+_URL_SYNTH_SQL = (
+    "SELECT doc_id, "
+    "(CASE WHEN (doc_id % 250) % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || "
+    "'://WWW.Site' || ((doc_id % 250) % 23) || "
+    "(CASE (doc_id % 250) % 4 WHEN 0 THEN '.CO.UK' WHEN 1 THEN '.com' "
+    "WHEN 2 THEN '.Org' ELSE '.com.au' END) || "
+    "(CASE WHEN (doc_id % 250) % 7 = 0 THEN ':8080' "
+    "WHEN (doc_id % 250) % 2 = 0 THEN ':443' ELSE ':80' END) || "
+    "'/Path/' || (doc_id % 250) || "
+    "(CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) || "
+    "(CASE WHEN (doc_id % 250) % 5 = 0 THEN '?utm_campaign=x' "
+    "ELSE '?utm_source=feed&page=' || ((doc_id % 250) % 7) || "
+    "'&fbclid=1' END) || "
+    "'#sec' || (doc_id % 3) AS url "
+    "FROM documents"
+)
+
+
+def _url_canonical_cte() -> str:
+    """Shared canonicalization CTE — an independent RE2 re-implementation
+    of geoharvest_spark.webops.canonicalize_url/registered_domain (DuckDB
+    lateral column aliases keep each step readable)."""
+    from geoharvest_spark.webops import TWO_LEVEL_SUFFIXES
+
+    alts = "|".join(s.replace(".", r"\.") for s in TWO_LEVEL_SUFFIXES)
+    return (
+        f"u AS ({_URL_SYNTH_SQL}), "
+        "s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u), "
+        "s2 AS (SELECT doc_id, nf, "
+        "lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) "
+        "AS scheme, "
+        "regexp_replace(lower(regexp_extract(nf, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)), '^www\\.', '') AS hp0, "
+        "regexp_replace(nf, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '') "
+        "AS rest FROM s1), "
+        "s3 AS (SELECT doc_id, scheme, rest, "
+        "CASE WHEN scheme = 'http' THEN regexp_replace(hp0, ':80$', '') "
+        "WHEN scheme = 'https' THEN regexp_replace(hp0, ':443$', '') "
+        "ELSE hp0 END AS hostport FROM s2), "
+        "s4 AS (SELECT doc_id, scheme, hostport, "
+        "CASE WHEN regexp_extract(rest, '^([^?]*)', 1) = '' THEN '/' "
+        "ELSE regexp_replace(regexp_extract(rest, '^([^?]*)', 1), "
+        "'(.)/$', '\\1') END AS path, "
+        "CASE WHEN contains(rest, '?') "
+        "THEN regexp_replace(rest, '^[^?]*\\?', '') ELSE '' END AS q "
+        "FROM s3), "
+        "s5 AS (SELECT doc_id, scheme, hostport, path, "
+        "list_filter(string_split(q, '&'), p -> p <> '' AND NOT "
+        "regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')) AS kept "
+        "FROM s4), "
+        "canon AS (SELECT doc_id, "
+        "scheme || '://' || hostport || path || "
+        "(CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') "
+        "ELSE '' END) AS canonical_url, "
+        "regexp_replace(hostport, ':[0-9]+$', '') AS host FROM s5), "
+        "dom AS (SELECT doc_id, canonical_url, "
+        f"CASE WHEN regexp_extract(host, '([^.]+\\.(?:{alts}))$', 1) <> '' "
+        f"THEN regexp_extract(host, '([^.]+\\.(?:{alts}))$', 1) "
+        "WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> '' "
+        "THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) "
+        "ELSE host END AS domain FROM canon)"
+    )
+
+
 def _knn_oracle_sql() -> str:
     """kNN oracle: the same deterministic query set (synth.query_points_pdf)
     inlined as VALUES + SQL haversine. Exactness holds on the fixed sf0.01
@@ -1772,6 +1964,18 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "doc_fingerprint": (
             f"SELECT doc_id, md5(array_to_string({toks}, ' ')) AS fingerprint "
             "FROM documents ORDER BY doc_id"
+        ),
+        "doc_repetition": _repetition_oracle_sql(),
+        "chunk_dedup_docs": _chunk_dedup_oracle_sql(20),
+        "url_canonical": (
+            f"WITH {_url_canonical_cte()} "
+            "SELECT doc_id, canonical_url, domain FROM dom ORDER BY doc_id"
+        ),
+        "url_domain_rollup": (
+            f"WITH {_url_canonical_cte()} "
+            "SELECT domain, count(*) AS n_urls, "
+            "count(DISTINCT canonical_url) AS n_canonical "
+            "FROM dom GROUP BY domain ORDER BY domain"
         ),
         "embed_topk_cosine": (
             "WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings "

@@ -75,6 +75,59 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def repetition_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 2,
+) -> DataFrame:
+    """Gopher-style repetition quality metrics per document: the fraction
+    of all n-gram occurrences taken by the single most frequent n-gram
+    (``top_gram_frac``) and the fraction that are repeats of an earlier
+    occurrence (``dup_gram_frac`` = 1 - distinct/total). High values mark
+    boilerplate / TEMPLATE pages that repetition filters drop before
+    training (the "duplicate n-gram fraction" family of the Gopher and C4
+    cleaning rules).
+
+    Plan shape: n-grams are built JVM-side from the token array (one
+    ``transform`` over an index sequence — no UDF), exploded once, then
+    counted with a two-stage hash aggregate (map-side partial combine).
+    Both shuffles key on (doc, gram) / doc — corpus-sized data never
+    converges anywhere, so the plan is the same at 100 TB. Docs shorter
+    than ``n`` tokens have no n-grams and drop out (the SQL oracle
+    mirrors this).
+    """
+    toks = tokens_col(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            # element_at is 1-based: gram i = tokens[i+1 .. i+n]
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    per = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per.groupBy(id_col)
+        .agg(
+            F.sum("c").alias("n_grams"),
+            F.max("c").alias("top_gram_n"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            (F.col("top_gram_n") / F.col("n_grams")).alias("top_gram_frac"),
+            ((F.col("n_grams") - F.col("n_distinct")) / F.col("n_grams")).alias(
+                "dup_gram_frac"
+            ),
+        )
+    )
+
+
 # marker stopwords per language for the n-gram-heuristic language id
 _LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "a", "in", "is"],
@@ -132,6 +185,79 @@ def exact_dedup(
             F.min(key_col).alias("keep_id"),
             F.count(F.lit(1)).alias("n_dups"),
         )
+    )
+
+
+def chunk_dedup(
+    df: DataFrame,
+    chunk_tokens: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sub-document exact dedup: split every document into fixed
+    ``chunk_tokens``-token chunks, keep only the globally FIRST occurrence
+    of each distinct chunk (ordered by (doc_id, chunk_idx)), and reassemble
+    each document from its surviving chunks in order. This is the
+    paragraph-level dedup step of a web-corpus pipeline (repeated headers,
+    navigation blocks, and license boilerplate vanish corpus-wide while
+    unique prose survives) expressed on a whitespace-token stream.
+
+    Plan shape — first-wins WITHOUT a global sort: chunks are exploded with
+    their position, hashed (md5), and the keeper per hash is a plain
+    ``groupBy(hash).agg(min(struct(doc_id, chunk_idx)))`` — a two-stage
+    hash aggregate, not a window over a sort. Survivors re-join on
+    (hash, doc_id, chunk_idx) (equi-join, broadcast-free, AQE-skew-safe)
+    and reassembly is one more hash aggregate per doc with an array_sort
+    on the (idx, chunk) pairs — per-DOC memory, never per-corpus.
+
+    Returns (doc_id, n_chunks, n_kept, dedup_md5) where dedup_md5 is the
+    md5 of the reassembled text — documents whose every chunk was seen
+    earlier collapse to the empty string's md5.
+    """
+    toks = tokens_col(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        # slice is 1-based: chunk i = tokens[i*K+1 .. i*K+K]
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+        ),
+    )
+    ex = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).withColumn("h", F.md5("chunk"))
+    keeper = ex.groupBy("h").agg(
+        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("k")
+    )
+    kept = ex.join(
+        keeper.select(
+            "h",
+            F.col(f"k.{id_col}").alias("_kid"),
+            F.col("k.chunk_idx").alias("_kidx"),
+        ),
+        "h",
+    ).where((F.col(id_col) == F.col("_kid")) & (F.col("chunk_idx") == F.col("_kidx")))
+    totals = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+            )
+        ).alias("dedup_md5"),
+    )
+    empty_md5 = F.lit("d41d8cd98f00b204e9800998ecf8427e")  # md5("")
+    return totals.join(rebuilt, id_col, "left").select(
+        F.col(id_col),
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("dedup_md5", empty_md5).alias("dedup_md5"),
     )
 
 

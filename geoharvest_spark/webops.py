@@ -1,0 +1,112 @@
+"""Web-corpus URL operators: canonicalization + registered-domain rollup.
+
+Every large-scale web-text pipeline normalizes URLs before dedup and
+per-domain quality accounting (the reference harvests per-repository/
+per-origin the same way its `origin_from_url` buckets source URLs —
+`harvester/harvest/ogm.py` origin handling; this module generalizes that
+to the open-web case). Canonical form here:
+
+1. drop the fragment (``#...``);
+2. lowercase the scheme and the host:port authority (path/query keep case);
+3. drop a single leading ``www.`` label;
+4. drop the scheme's default port (``:80`` for http, ``:443`` for https);
+5. drop tracking query params (``utm_*``, ``fbclid``, ``gclid``, ``ref``),
+   preserving the order of the survivors, and the ``?`` itself when none
+   survive;
+6. normalize an empty path to ``/`` and strip one trailing slash from any
+   longer path.
+
+Registered domain is PSL-lite: a built-in list of common two-level public
+suffixes (co.uk, com.au, ...) picks three labels, anything else two.
+
+Everything is pure Catalyst expressions (regexp_extract / regexp_replace /
+split / filter / array_join) — whole-stage codegen, no UDF, no shuffle for
+the per-row stage; the domain rollup is a two-stage hash aggregate. The
+DuckDB oracle re-implements the same spec independently over RE2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# two-level public suffixes recognized by the PSL-lite registered-domain
+# rule — the pattern is shared verbatim with the SQL oracle
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "gov.uk", "ac.uk",
+    "com.au", "net.au", "co.jp", "co.nz", "com.br", "co.in",
+)
+
+_TRACKING_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
+
+
+def _suffix_pattern() -> str:
+    alts = "|".join(s.replace(".", r"\.") for s in TWO_LEVEL_SUFFIXES)
+    return r"([^.]+\.(?:" + alts + r"))$"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical URL per the module spec. Pure codegen expressions."""
+    no_frag = F.regexp_replace(url, r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(no_frag, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    hostport = F.regexp_replace(hostport, r"^www\.", "")
+    hostport = F.when(
+        (scheme == "http"), F.regexp_replace(hostport, r":80$", "")
+    ).when(
+        (scheme == "https"), F.regexp_replace(hostport, r":443$", "")
+    ).otherwise(hostport)
+    rest = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(
+        F.regexp_replace(path, r"(.)/$", "$1")
+    )
+    query = F.when(
+        rest.contains("?"), F.regexp_replace(rest, r"^[^?]*\?", "")
+    ).otherwise(F.lit(""))
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+    )
+    qtail = F.when(
+        F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), hostport, path, qtail)
+
+
+def host_of(url: Column) -> Column:
+    """Lowercased host (no port, no www) of a URL."""
+    h = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)", 1))
+    return F.regexp_replace(h, r"^www\.", "")
+
+
+def registered_domain(host: Column) -> Column:
+    """PSL-lite registered domain: three labels over a known two-level
+    public suffix, else two labels, else the host itself."""
+    two = F.regexp_extract(host, _suffix_pattern(), 1)
+    generic = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(two != "", two).when(generic != "", generic).otherwise(host)
+
+
+def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Adds canonical_url, host, domain columns — the pre-dedup URL
+    normalization stage of a web pipeline."""
+    canon = canonicalize_url(F.col(url_col))
+    return (
+        df.withColumn("canonical_url", canon)
+        .withColumn("host", host_of(F.col(url_col)))
+        .withColumn("domain", registered_domain(F.col("host")))
+    )
+
+
+def domain_rollup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-registered-domain accounting: total URLs, distinct canonical
+    URLs (post-normalization dedup cardinality). Two-stage hash aggregate;
+    the distinct count shuffles (domain, canonical_url) once."""
+    d = with_canonical_url(df, url_col)
+    return d.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct("canonical_url").alias("n_canonical"),
+    )

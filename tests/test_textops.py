@@ -316,3 +316,52 @@ def test_cosine_near_dup_pairs_matches_bruteforce(spark):
     )
     assert len(want) >= 60  # the planted pairs are really there
     assert list(map(tuple, got.values)) == want
+
+
+def test_repetition_stats_known_values(spark):
+    # "a b a b c": 2-grams = [a b, b a, a b, b c] -> n=4, top "a b"=2,
+    # distinct=3 -> top_frac=0.5, dup_frac=(4-3)/4=0.25
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x y"), (3, "solo")], ["doc_id", "text"]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.repetition_stats(df).collect()
+    }
+    assert out[1]["n_grams"] == 4
+    assert out[1]["top_gram_frac"] == 0.5
+    assert out[1]["dup_gram_frac"] == 0.25
+    assert out[2]["n_grams"] == 1 and out[2]["dup_gram_frac"] == 0.0
+    assert 3 not in out  # single-token doc has no 2-grams
+
+
+def test_chunk_dedup_first_wins_and_reassembly(spark):
+    # doc 1 and doc 2 share an identical first chunk (tokens 1..3 with
+    # chunk_tokens=3); doc 2 keeps only its unique tail; doc 3 is a full
+    # duplicate of doc 1 and collapses to the empty doc
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c x y"),
+            (3, "a b c d e"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in tx.chunk_dedup(df, chunk_tokens=3).collect()}
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1]["n_chunks"] == 2 and out[1]["n_kept"] == 2
+    assert out[1]["dedup_md5"] == md5("a b c d e")
+    assert out[2]["n_chunks"] == 2 and out[2]["n_kept"] == 1
+    assert out[2]["dedup_md5"] == md5("x y")
+    assert out[3]["n_chunks"] == 2 and out[3]["n_kept"] == 0
+    assert out[3]["dedup_md5"] == md5("")
+
+
+def test_chunk_dedup_keeps_corpus_reconstructible(docs):
+    # kept chunks never exceed totals and at least one duplicate chunk
+    # exists in the word-salad corpus (short tail chunks collide)
+    out = tx.chunk_dedup(docs, chunk_tokens=20).toPandas()
+    assert (out.n_kept <= out.n_chunks).all()
+    assert out.n_kept.sum() < out.n_chunks.sum()

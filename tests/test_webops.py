@@ -1,0 +1,92 @@
+"""URL canonicalization + registered-domain tests (webops module).
+
+Case table covers each rule of the canonical spec; a plan test pins the
+whole stage to JVM codegen (no Python in the hot path)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoharvest_spark import webops as wb
+
+CASES = [
+    # (raw, canonical, domain)
+    (
+        "HTTPS://WWW.Example.CO.UK:443/Path/1/?utm_source=a&page=2&fbclid=x#frag",
+        "https://example.co.uk/Path/1?page=2",
+        "example.co.uk",
+    ),
+    ("http://Site.com:80/", "http://site.com/", "site.com"),
+    ("http://site.com:8080/a", "http://site.com:8080/a", "site.com"),
+    ("https://a.b.site.com/x?ref=nav", "https://a.b.site.com/x", "site.com"),
+    ("https://news.example.com.au/t/", "https://news.example.com.au/t", "example.com.au"),
+    ("ftp://Host.Org:21/file", "ftp://host.org:21/file", "host.org"),
+    ("http://localhost/x", "http://localhost/x", "localhost"),
+    ("https://site.com", "https://site.com/", "site.com"),
+    (
+        "https://site.com/p?id=1&utm_medium=m&q=2",
+        "https://site.com/p?id=1&q=2",
+        "site.com",
+    ),
+    ("https://site.com/p?utm_only=1", "https://site.com/p", "site.com"),
+]
+
+
+@pytest.fixture(scope="module")
+def canon_rows(spark):
+    df = spark.createDataFrame(
+        [(i, raw) for i, (raw, _, _) in enumerate(CASES)], ["i", "url"]
+    )
+    out = wb.with_canonical_url(df).orderBy("i").collect()
+    return out
+
+
+def test_canonical_cases(canon_rows):
+    for row, (raw, want_canon, _) in zip(canon_rows, CASES):
+        assert row["canonical_url"] == want_canon, raw
+
+
+def test_registered_domain_cases(canon_rows):
+    for row, (raw, _, want_dom) in zip(canon_rows, CASES):
+        assert row["domain"] == want_dom, raw
+
+
+def test_canonical_idempotent(spark, canon_rows):
+    # canonicalizing a canonical URL is a fixpoint
+    df = spark.createDataFrame(
+        [(r["canonical_url"],) for r in canon_rows], ["url"]
+    )
+    out = wb.with_canonical_url(df).collect()
+    for r in out:
+        assert r["canonical_url"] == r["url"]
+
+
+def test_domain_rollup_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "https://WWW.site.com/a#x"),
+            (2, "https://site.com/a"),
+            (3, "https://site.com/b"),
+            (4, "http://other.co.uk/"),
+        ],
+        ["i", "url"],
+    )
+    out = {r["domain"]: r for r in wb.domain_rollup(df).collect()}
+    assert out["site.com"]["n_urls"] == 3
+    assert out["site.com"]["n_canonical"] == 2  # 1 and 2 collapse
+    assert out["other.co.uk"]["n_urls"] == 1
+
+
+def test_canonicalization_stays_jvm_side(spark):
+    df = spark.range(10).select(
+        F.concat(F.lit("https://WWW.Site.com/p/"), F.col("id")).alias("url")
+    )
+    plan = (
+        wb.with_canonical_url(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
+    assert "*(" in plan  # whole-stage codegen
