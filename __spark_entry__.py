@@ -724,6 +724,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["chunk_dedup_docs"] = chunk_dedup_docs
 
+    def doc_hash_split(spark, sf):
+        # deterministic md5-bucket train/val/test split — per-split totals
+        d = tx.hash_split(_t(spark, sf, "documents"))
+        return (
+            d.groupBy("split")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").alias("sum_chars"),
+            )
+            .orderBy("split")
+        )
+
+    Q["doc_hash_split"] = doc_hash_split
+
+    def doc_decontaminate(spark, sf):
+        # eval-set decontamination: corpus docs sharing any 8-gram with the
+        # benchmark subset (doc_id % 50 == 0) are flagged with hit counts
+        docs = _t(spark, sf, "documents")
+        bench = docs.where(F.col("doc_id") % 50 == 0)
+        corpus = docs.where(F.col("doc_id") % 50 != 0)
+        return tx.contamination_stats(corpus, bench, n=8).orderBy("doc_id")
+
+    Q["doc_decontaminate"] = doc_decontaminate
+
+    def vocab_top25(spark, sf):
+        return tx.vocab_topk(_t(spark, sf, "documents"), k=25)
+
+    Q["vocab_top25"] = vocab_top25
+
     def _messy_urls(spark, sf):
         # deterministic messy-URL synth from doc_id (mixed-case scheme and
         # host, www, default+explicit ports, tracking params, fragments,
@@ -1964,6 +1993,39 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "doc_fingerprint": (
             f"SELECT doc_id, md5(array_to_string({toks}, ' ')) AS fingerprint "
             "FROM documents ORDER BY doc_id"
+        ),
+        "doc_hash_split": (
+            "SELECT split, count(*) AS n_docs, "
+            "cast(sum(n_chars) AS BIGINT) AS sum_chars FROM ("
+            "SELECT n_chars, CASE WHEN b < 80 THEN 'train' "
+            "WHEN b < 90 THEN 'val' ELSE 'test' END AS split FROM ("
+            "SELECT n_chars, ('0x' || substr(md5('split' || doc_id), 1, 15))"
+            "::UBIGINT % 100 AS b FROM documents)) "
+            "GROUP BY split ORDER BY split"
+        ),
+        "doc_decontaminate": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS l "
+            "FROM documents), "
+            "g AS (SELECT doc_id, md5(gram) AS h FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(l) - 6), "
+            "i -> array_to_string(l[i:i+7], ' '))) AS gram FROM t "
+            "WHERE len(l) >= 8)), "
+            "bh AS (SELECT DISTINCT h FROM g WHERE doc_id % 50 = 0), "
+            "hits AS (SELECT doc_id, count(*) AS n_hits FROM g "
+            "WHERE doc_id % 50 != 0 AND h IN (SELECT h FROM bh) "
+            "GROUP BY 1), "
+            "tot AS (SELECT doc_id, CASE WHEN len(l) >= 8 "
+            "THEN len(l) - 7 ELSE 0 END AS n_grams FROM t "
+            "WHERE doc_id % 50 != 0) "
+            "SELECT tot.doc_id AS doc_id, cast(n_grams AS BIGINT) AS n_grams, "
+            "coalesce(n_hits, 0) AS n_hits, "
+            "coalesce(n_hits, 0) > 0 AS contaminated "
+            "FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id ORDER BY 1"
+        ),
+        "vocab_top25": (
+            "SELECT token, count(*) AS n FROM ("
+            "SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
+            "GROUP BY 1 ORDER BY n DESC, token LIMIT 25"
         ),
         "doc_repetition": _repetition_oracle_sql(),
         "chunk_dedup_docs": _chunk_dedup_oracle_sql(20),

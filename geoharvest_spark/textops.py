@@ -128,6 +128,116 @@ def repetition_stats(
     )
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: tuple[int, ...] = (80, 10, 10),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic hash-based dataset split (train/val/test): bucket =
+    md5(salt || id) mod 100, assigned to splits by cumulative weight.
+    This is how training pipelines split at scale — no RNG, no state: the
+    assignment is a pure function of the id, so resumes, retries, and
+    re-runs on different cluster sizes all agree, and changing the salt
+    re-rolls the split without touching data. 15 hex chars (60 bits) keep
+    the integer exact in both int64 and the SQL oracle's UBIGINT.
+
+    Adds a ``split`` column; narrow (no shuffle)."""
+    assert sum(weights) == 100 and len(weights) == len(names)
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    bucket = h % 100
+    expr = F.lit(names[-1])
+    acc = 0
+    conds = []
+    for w, nm in zip(weights[:-1], names[:-1]):
+        acc += w
+        conds.append((acc, nm))
+    for acc, nm in reversed(conds):
+        expr = F.when(bucket < acc, F.lit(nm)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def _gram_array(toks: Column, n: int) -> Column:
+    """n-gram string array from a token array (empty when too short)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def contamination_stats(
+    df: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: for every corpus document, count the
+    n-gram positions whose n-gram also occurs anywhere in the benchmark
+    set — the standard eval-set contamination check run before training
+    (exact n-gram overlap, the conservative variant of the 13-gram rule).
+
+    Plan shape: both sides explode to (id, md5(gram)); the benchmark side
+    reduces to DISTINCT hashes first (benchmark is tiny next to the
+    corpus, so the join's build side stays small and AQE broadcasts it);
+    hits aggregate per doc with a map-side combine, then a left join
+    restores zero-hit docs. Corpus rows never pass through Python.
+
+    Returns (id, n_grams, n_hits, contaminated)."""
+    toks = tokens_col(F.col(text_col))
+    grams = _gram_array(toks, n)
+    corpus_g = df.select(
+        F.col(id_col), F.explode(grams).alias("gram")
+    ).select(id_col, F.md5("gram").alias("h"))
+    bench_h = (
+        bench.select(F.explode(_gram_array(tokens_col(F.col(text_col)), n)).alias("gram"))
+        .select(F.md5("gram").alias("h"))
+        .distinct()
+    )
+    hits = (
+        corpus_g.join(bench_h, "h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = df.select(
+        F.col(id_col), F.size(grams).cast("long").alias("n_grams")
+    )
+    return totals.join(hits, id_col, "left").select(
+        F.col(id_col),
+        "n_grams",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def vocab_topk(
+    df: DataFrame, k: int = 25, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level top-k token frequencies (exact): explode tokens,
+    two-stage hash aggregate, global top-k with a deterministic
+    (count desc, token) tie-break. The grouped state is vocabulary-sized
+    (bounded), not corpus-sized; only k rows reach the driver."""
+    return (
+        df.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(k)
+    )
+
+
 # marker stopwords per language for the n-gram-heuristic language id
 _LANG_MARKERS = {
     "en": ["the", "and", "of", "to", "a", "in", "is"],

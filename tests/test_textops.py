@@ -365,3 +365,47 @@ def test_chunk_dedup_keeps_corpus_reconstructible(docs):
     out = tx.chunk_dedup(docs, chunk_tokens=20).toPandas()
     assert (out.n_kept <= out.n_chunks).all()
     assert out.n_kept.sum() < out.n_chunks.sum()
+
+
+def test_hash_split_deterministic_and_proportional(docs):
+    a = tx.hash_split(docs).select("doc_id", "split").toPandas()
+    b = tx.hash_split(docs.repartition(7)).select("doc_id", "split").toPandas()
+    # pure function of the id: identical regardless of partitioning
+    assert a.sort_values("doc_id").split.tolist() == b.sort_values("doc_id").split.tolist()
+    frac = a.split.value_counts(normalize=True)
+    assert 0.7 < frac["train"] < 0.9  # ~80/10/10 within small-sample noise
+    assert set(frac.index) == {"train", "val", "test"}
+    # a different salt re-rolls the assignment
+    c = tx.hash_split(docs, salt="other").select("doc_id", "split").toPandas()
+    assert a.sort_values("doc_id").split.tolist() != c.sort_values("doc_id").split.tolist()
+
+
+def test_contamination_stats_known_hits(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "said the quick brown fox ran"),  # 3-grams overlap x2
+            (2, "totally clean document here"),
+            (3, "ab"),  # shorter than n -> 0 grams
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.contamination_stats(corpus, bench, n=3).collect()
+    }
+    # corpus doc 1 grams: "said the quick","the quick brown","quick brown fox",
+    # "brown fox ran" -> bench has "the quick brown","quick brown fox"
+    assert out[1]["n_hits"] == 2 and out[1]["contaminated"]
+    assert out[2]["n_hits"] == 0 and not out[2]["contaminated"]
+    assert out[3]["n_grams"] == 0 and not out[3]["contaminated"]
+
+
+def test_vocab_topk_order(spark):
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a z")], ["doc_id", "text"]
+    )
+    out = tx.vocab_topk(df, k=3).collect()
+    assert [(r["token"], r["n"]) for r in out] == [("a", 3), ("b", 3), ("c", 1)]
