@@ -756,13 +756,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _messy_urls(spark, sf):
         # deterministic messy-URL synth from doc_id (mixed-case scheme and
         # host, www, default+explicit ports, tracking params, fragments,
-        # trailing slashes) — the SQL oracle builds the identical strings
-        from geoharvest_spark import webops as wb  # noqa: F401
-
+        # trailing slashes) — the SQL oracle builds the identical strings.
         # `base` (doc_id % 250) drives everything canonicalization KEEPS, so
-        # the raw-URL pairs (d, d+250) differ only in removable mess
-        # (trailing slash, fragment index) and collapse to one canonical —
-        # the rollup's n_canonical < n_urls is real dedup, not an identity
+        # the raw-URL pairs (d, d+250) differ only in removable mess and
+        # collapse to one canonical — n_canonical < n_urls is real dedup
         doc = F.col("doc_id")
         base = doc % 250
         scheme = F.when(base % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))

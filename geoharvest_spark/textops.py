@@ -96,19 +96,19 @@ def repetition_stats(
     converges anywhere, so the plan is the same at 100 TB. Docs shorter
     than ``n`` tokens have no n-grams and drop out (the SQL oracle
     mirrors this).
+
+    The token array is STAGED through its own projection (headroom
+    finding, BASELINE.md round-4): the gram lambda references it n+2
+    times, and building grams straight off ``split(text)`` inlines one
+    split per reference — Catalyst's CollapseProject keeps a multiply-
+    referenced non-cheap alias in its own Project, so the staged form
+    splits each doc once (22x measured on the 8-gram path).
     """
-    toks = tokens_col(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - n),
-            # element_at is 1-based: gram i = tokens[i+1 .. i+n]
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    base = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    grams = _gram_array(F.col("_toks"), n)
+    g = base.select(F.col(id_col), F.explode(grams).alias("gram"))
     per = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     return (
         per.groupBy(id_col)
@@ -195,14 +195,23 @@ def contamination_stats(
     hits aggregate per doc with a map-side combine, then a left join
     restores zero-hit docs. Corpus rows never pass through Python.
 
+    The token arrays are staged through their own projection so each doc
+    splits once (see repetition_stats — the inline form re-splits per
+    lambda reference, n+2 per gram; 22x measured at n=8).
+
     Returns (id, n_grams, n_hits, contaminated)."""
-    toks = tokens_col(F.col(text_col))
-    grams = _gram_array(toks, n)
-    corpus_g = df.select(
+    base = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    grams = _gram_array(F.col("_toks"), n)
+    corpus_g = base.select(
         F.col(id_col), F.explode(grams).alias("gram")
     ).select(id_col, F.md5("gram").alias("h"))
+    bench_base = bench.select(tokens_col(F.col(text_col)).alias("_toks"))
     bench_h = (
-        bench.select(F.explode(_gram_array(tokens_col(F.col(text_col)), n)).alias("gram"))
+        bench_base.select(
+            F.explode(_gram_array(F.col("_toks"), n)).alias("gram")
+        )
         .select(F.md5("gram").alias("h"))
         .distinct()
     )
@@ -211,7 +220,7 @@ def contamination_stats(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
-    totals = df.select(
+    totals = base.select(
         F.col(id_col), F.size(grams).cast("long").alias("n_grams")
     )
     return totals.join(hits, id_col, "left").select(
@@ -323,8 +332,14 @@ def chunk_dedup(
     Returns (doc_id, n_chunks, n_kept, dedup_md5) where dedup_md5 is the
     md5 of the reassembled text — documents whose every chunk was seen
     earlier collapse to the empty string's md5.
+
+    The token array is staged through its own projection so the doc is
+    split once, not once per chunk (see repetition_stats).
     """
-    toks = tokens_col(F.col(text_col))
+    base = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
@@ -333,7 +348,7 @@ def chunk_dedup(
             " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
         ),
     )
-    ex = df.select(
+    ex = base.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
     ).withColumn("h", F.md5("chunk"))
     keeper = ex.groupBy("h").agg(

@@ -154,6 +154,73 @@ def time_noop(df) -> float:
     return time.perf_counter() - t0
 
 
+_VOCAB = [
+    "key", "agg", "row", "scan", "slow", "fast", "table", "value", "part",
+    "hash", "merge", "batch", "spark", "line", "sort", "window", "query",
+    "join", "small", "big", "customer", "order", "data", "column", "stream",
+    "group", "filter", "the", "a", "of", "to", "in", "is", "and", "for",
+    "with", "from", "page", "web", "text", "corpus", "token", "model",
+    "train", "split", "dedup", "chunk", "gram", "vocab", "bench",
+]
+
+
+def synth_docs(spark, n: int, n_tokens: int = 100):
+    """Deterministic word-salad corpus: token j of doc i is vocab[
+    xxhash64(i, j) % V]. Uncorrelated across docs (cross-doc chunk
+    collisions only via the short tail), like the bench documents table."""
+    df = spark.range(0, n, 1, 128).withColumnRenamed("id", "doc_id")
+    vocab = F.array(*[F.lit(w) for w in _VOCAB])
+    toks = F.transform(
+        F.sequence(F.lit(0), F.lit(n_tokens - 1)),
+        lambda j: F.element_at(
+            vocab,
+            (
+                F.pmod(F.xxhash64(F.col("doc_id"), j), F.lit(len(_VOCAB)))
+                + 1
+            ).cast("int"),
+        ),
+    )
+    return df.select("doc_id", F.concat_ws(" ", toks).alias("text"))
+
+
+def run_textops_legs(spark) -> None:
+    """Round-4 webtext operators at 8x volume: chunk dedup and benchmark
+    decontamination must stay linear (explode + hash aggregates only)."""
+    from geoharvest_spark.textops import chunk_dedup, contamination_stats
+
+    for n_docs in (250_000, 2_000_000):
+        corpus = synth_docs(spark, n_docs)
+        for name, build in (
+            ("chunk_dedup", lambda c=corpus: chunk_dedup(c, chunk_tokens=20)),
+            (
+                "doc_decontaminate",
+                lambda c=corpus: contamination_stats(
+                    c.where(F.col("doc_id") % 50 != 0),
+                    c.where(F.col("doc_id") % 50 == 0),
+                    n=8,
+                ),
+            ),
+        ):
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                t0 = time.perf_counter()
+                build().write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - t0)
+            print(
+                json.dumps(
+                    {
+                        "workload": name,
+                        "docs": n_docs,
+                        "tokens_per_doc": 100,
+                        "sec": round(best, 3),
+                        "docs_per_sec": round(n_docs / best, 1),
+                        "us_per_doc": round(best / n_docs * 1e6, 2),
+                    }
+                )
+            )
+
+
 def run_round4_legs(spark) -> None:
     """Round-4 additions: dedup_embed_cosine (LSH self-join) and
     last_event_stateful (state >> batch)."""

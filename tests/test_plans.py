@@ -173,3 +173,65 @@ def test_checkpoint_pending_is_anti_join(spark, tmp_path):
     )
     plan = _plan(store.pending(work, "j", "s"))
     assert "LeftAnti" in plan
+
+
+def test_chunk_dedup_no_global_sort(spark):
+    # first-wins keeper must be a hash aggregate (min-struct), never a
+    # window over a global sort — the sort would be corpus-wide at 100 TB
+    from geoharvest_spark import textops as tx
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(tx.chunk_dedup(d, chunk_tokens=20))
+    assert "Window" not in plan
+    assert "EvalPython" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_contamination_semi_join_shape(spark):
+    # corpus side joins the (tiny, distinct-reduced) benchmark hashes with
+    # a semi join; corpus rows never enter Python
+    from geoharvest_spark import textops as tx
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    corpus = d.where(F.col("doc_id") % 50 != 0)
+    plan = _plan(tx.contamination_stats(corpus, bench, n=8))
+    assert "LeftSemi" in plan
+    assert "EvalPython" not in plan
+
+
+def test_repetition_partial_aggregation(spark):
+    from geoharvest_spark import textops as tx
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(tx.repetition_stats(d))
+    assert plan.count("HashAggregate") >= 2
+    assert "EvalPython" not in plan
+
+
+def test_hash_split_is_narrow(spark):
+    # split assignment is a pure per-row expression: no shuffle at all
+    from geoharvest_spark import textops as tx
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(tx.hash_split(d))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_gram_ops_split_once_per_doc(spark):
+    # regression for the round-4 headroom finding: building grams straight
+    # off split(text) inlines one split per lambda reference (n+2 per
+    # gram -> 22x slower at n=8); the staged projection must keep exactly
+    # one split per input relation
+    from geoharvest_spark import textops as tx
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    assert _plan(tx.repetition_stats(d)).count("split(") == 1
+    # chunk_dedup's exploded frame has three consumers (keeper aggregate,
+    # join probe, totals) that each recompute the scan+split lineage once
+    # per doc — 3 branches x 1 split, never per-chunk splits
+    assert _plan(tx.chunk_dedup(d)).count("split(") == 3
+    # contamination: corpus grams + bench grams + totals -> three branches
+    assert _plan(tx.contamination_stats(d, bench, n=8)).count("split(") == 3
