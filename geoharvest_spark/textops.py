@@ -36,10 +36,15 @@ def tokens_col(text: Column) -> Column:
 
 def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Token & char counts + a BPE-ish subword estimate (~chars/4 heuristic
-    blended with word count, the common LLM token estimator)."""
-    toks = tokens_col(F.col(text_col))
+    blended with word count, the common LLM token estimator).
+
+    The token array is staged once per row (``_toks`` alias referenced
+    twice — CollapseProject keeps it; see BASELINE.md round-4 on the
+    inline-split trap)."""
+    toks = F.col("_toks")
     return (
-        df.withColumn("n_tokens", F.size(toks))
+        df.withColumn("_toks", tokens_col(F.col(text_col)))
+        .withColumn("n_tokens", F.size(toks))
         .withColumn("n_chars_calc", F.length(F.col(text_col)))
         .withColumn(
             "n_subwords_est",
@@ -48,13 +53,15 @@ def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
                 + F.size(toks) * F.lit(0.25)
             ).cast("long"),
         )
+        .drop("_toks")
     )
 
 
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality heuristics: word count, mean word length, uppercase ratio,
-    digit ratio, distinct-token ratio. All JVM expressions (codegen)."""
-    toks = tokens_col(F.col(text_col))
+    digit ratio, distinct-token ratio. All JVM expressions (codegen);
+    the token array is staged once per row (multi-referenced alias)."""
+    toks = F.col("_toks")
     n_chars = F.length(F.col(text_col))
     n_upper = n_chars - F.length(
         F.regexp_replace(F.col(text_col), r"[A-Z]", "")
@@ -64,7 +71,8 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     n_tokens = F.size(toks)
     return (
-        df.withColumn("n_words", n_tokens)
+        df.withColumn("_toks", tokens_col(F.col(text_col)))
+        .withColumn("n_words", n_tokens)
         .withColumn(
             "mean_word_len",
             (n_chars - (n_tokens - 1)) / n_tokens,  # exact for single-spaced
@@ -72,6 +80,7 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("upper_ratio", n_upper / n_chars)
         .withColumn("digit_ratio", n_digit / n_chars)
         .withColumn("distinct_ratio", F.size(F.array_distinct(toks)) / n_tokens)
+        .drop("_toks")
     )
 
 
@@ -259,10 +268,11 @@ _LANG_MARKERS = {
 def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Heuristic language id: count marker-stopword hits per language over
     the token array (JVM array intersect — no UDF), argmax with 'und'
-    (undetermined) when nothing matches."""
-    toks = F.transform(tokens_col(F.lower(F.col(text_col))), lambda t: t)
+    (undetermined) when nothing matches. The lowercased token array is
+    staged once per row (one lower+split, not one per language)."""
+    toks = F.col("_ltoks")
     scores = []
-    out = df
+    out = df.withColumn("_ltoks", tokens_col(F.lower(F.col(text_col))))
     for lang, markers in _LANG_MARKERS.items():
         score = F.size(
             F.filter(toks, lambda t: t.isin(*markers))  # noqa: B023
@@ -275,7 +285,9 @@ def with_langid(df: DataFrame, text_col: str = "text") -> DataFrame:
         pred = F.when(
             (F.col(c) == best) & (best > 0), F.lit(lang)
         ).otherwise(pred)
-    return out.withColumn("lang_pred", pred).drop(*[c for _, c in scores])
+    return out.withColumn("lang_pred", pred).drop(
+        "_ltoks", *[c for _, c in scores]
+    )
 
 
 def fingerprint_col(text: Column) -> Column:

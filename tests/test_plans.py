@@ -235,3 +235,11 @@ def test_gram_ops_split_once_per_doc(spark):
     assert _plan(tx.chunk_dedup(d)).count("split(") == 3
     # contamination: corpus grams + bench grams + totals -> three branches
     assert _plan(tx.contamination_stats(d, bench, n=8)).count("split(") == 3
+
+
+def test_scalar_text_ops_split_once(spark):
+    from geoharvest_spark import textops as tx
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    for fn in (tx.with_quality, tx.with_langid, tx.with_token_stats):
+        assert _plan(fn(d)).count("split(") == 1, fn.__name__
