@@ -815,6 +815,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["url_domain_rollup"] = url_domain_rollup
 
+    def html_extract(spark, sf):
+        # wrap each doc in a deterministic HTML page (title, style, script,
+        # nav boilerplate, comment, entities) and strip it back to text;
+        # `recovered` proves the original body survives extraction intact
+        from geoharvest_spark import webops as wb
+
+        d = _t(spark, sf, "documents")
+        html = F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(
+                "</title><style>p{color:red}</style>"
+                "<script>var x=1;</script></head>"
+                "<body><nav>Home &gt; Docs</nav><p>"
+            ),
+            F.col("text"),
+            F.lit("</p><!-- footer --><div>&copy; 2026</div></body></html>"),
+        )
+        ex = wb.extract_text_from_html(html)
+        return d.select(
+            "doc_id",
+            F.md5(ex).alias("extract_md5"),
+            F.contains(ex, F.col("text")).alias("recovered"),
+        ).orderBy("doc_id")
+
+    Q["html_extract"] = html_extract
+
     def dedup_ngram_jaccard(spark, sf):
         # exact Jaccard >= 0.8 (the production near-dedup regime) with
         # MinHash-LSH candidates — oracle below is ALL-PAIRS SQL, so any
@@ -2023,6 +2050,27 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "SELECT token, count(*) AS n FROM ("
             "SELECT unnest(string_split(text, ' ')) AS token FROM documents) "
             "GROUP BY 1 ORDER BY n DESC, token LIMIT 25"
+        ),
+        "html_extract": (
+            "WITH h AS (SELECT doc_id, text, "
+            "'<html><head><title>Doc ' || doc_id || "
+            "'</title><style>p{color:red}</style>"
+            "<script>var x=1;</script></head>"
+            "<body><nav>Home &gt; Docs</nav><p>' || text || "
+            "'</p><!-- footer --><div>&copy; 2026</div></body></html>' "
+            "AS html FROM documents), "
+            "e AS (SELECT doc_id, text, trim(regexp_replace("
+            "replace(replace(replace(replace(replace(replace("
+            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+            "html, '(?is)<script\\b.*?</script>', ' ', 'g'), "
+            "'(?is)<style\\b.*?</style>', ' ', 'g'), "
+            "'(?s)<!--.*?-->', ' ', 'g'), "
+            "'<[^>]+>', ' ', 'g'), "
+            "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+            "'&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), "
+            "'\\s+', ' ', 'g')) AS ex FROM h) "
+            "SELECT doc_id, md5(ex) AS extract_md5, "
+            "contains(ex, text) AS recovered FROM e ORDER BY doc_id"
         ),
         "doc_repetition": _repetition_oracle_sql(),
         "chunk_dedup_docs": _chunk_dedup_oracle_sql(20),

@@ -101,6 +101,38 @@ def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+# entity decode order matters: &amp; LAST so "&amp;lt;" -> "&lt;" (literal),
+# never double-decoded to "<" — the oracle applies the same order
+HTML_ENTITIES = (
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
+)
+
+
+def extract_text_from_html(html: Column) -> Column:
+    """Boilerplate-stripping text extraction from an HTML string — the
+    entry stage of a web-text pipeline. Spec (shared verbatim with the
+    SQL oracle): drop <script>/<style> blocks and comments, flatten every
+    remaining tag to a space, decode the six common entities (amp last),
+    collapse whitespace, trim. Pure regexp/replace Catalyst expressions —
+    whole-stage codegen, no UDF; at 100 TB this runs in the scan stage.
+
+    Deliberately a regex extractor, not an HTML5 tree parser: the
+    trade-off (bounded cost, no recursion, hostile-input-proof) is the
+    same one the engine's tolerant XML path makes (normalize/base.py)."""
+    t = F.regexp_replace(html, r"(?is)<script\b.*?</script>", " ")
+    t = F.regexp_replace(t, r"(?is)<style\b.*?</style>", " ")
+    t = F.regexp_replace(t, r"(?s)<!--.*?-->", " ")
+    t = F.regexp_replace(t, r"<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES:
+        t = F.replace(t, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
 def domain_rollup(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Per-registered-domain accounting: total URLs, distinct canonical
     URLs (post-normalization dedup cardinality). Two-stage hash aggregate;

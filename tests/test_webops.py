@@ -90,3 +90,45 @@ def test_canonicalization_stays_jvm_side(spark):
     )
     assert "EvalPython" not in plan
     assert "*(" in plan  # whole-stage codegen
+
+
+HTML_CASES = [
+    # (html, expected extracted text)
+    ("<p>Hello <b>world</b></p>", "Hello world"),
+    ("<SCRIPT>var a='<p>hi</p>';</SCRIPT>after", "after"),  # case-insensitive
+    ("<style>p{}</style>text<!-- note\nmultiline -->tail", "text tail"),
+    ("a &amp;lt; b", "a &lt; b"),  # amp decoded LAST: no double-decode
+    ("x &lt;tag&gt; y &quot;q&quot; &#39;s&#39; z", 'x <tag> y "q" \'s\' z'),
+    ("<div\nclass='x'>multi\nline</div>", "multi line"),
+    ("no markup at all", "no markup at all"),
+    # unclosed script: block-regex needs the closing tag, so only the
+    # opening tag is flattened and the content (honestly) survives
+    ("<script>unclosed script eats rest", "unclosed script eats rest"),
+    ("  spaced\t\tout  ", "spaced out"),
+]
+
+
+def test_extract_text_from_html_cases(spark):
+    df = spark.createDataFrame(
+        [(i, h) for i, (h, _) in enumerate(HTML_CASES)], ["i", "html"]
+    )
+    out = (
+        df.select("i", wb.extract_text_from_html(F.col("html")).alias("t"))
+        .orderBy("i")
+        .collect()
+    )
+    for row, (h, want) in zip(out, HTML_CASES):
+        assert row["t"] == want, h
+
+
+def test_extract_html_stays_jvm_side(spark):
+    df = spark.range(5).select(
+        F.concat(F.lit("<p>x"), F.col("id")).alias("html")
+    )
+    plan = (
+        df.select(wb.extract_text_from_html(F.col("html")))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan
