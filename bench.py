@@ -119,6 +119,39 @@ def main() -> None:
     workloads["pip_join_big"] = lambda: pip_join(big_pts, polys, res=5)
     workloads["harvest_normalize_fused"] = lambda: harvest_pages_fused(pages)
 
+    # --- webtext pipeline workloads (reported under separate keys so the
+    # headline suite metric stays comparable across rounds) --------------
+    from geoharvest_spark.textops import chunk_dedup, contamination_stats
+    from geoharvest_spark.webops import extract_text_from_html
+    from jobs.headroom import synth_docs
+
+    N_BENCH_DOCS = 250_000
+    docs_dir = tempfile.mkdtemp(prefix="bench_docs_")
+    atexit.register(shutil.rmtree, docs_dir, True)
+    synth_docs(spark, N_BENCH_DOCS).write.mode("overwrite").parquet(docs_dir)
+    bench_docs = spark.read.parquet(docs_dir)
+    bench_subset = bench_docs.where(F.col("doc_id") % 50 == 0)
+
+    def _html_extract_wl():
+        html = F.concat(
+            F.lit("<html><head><style>p{}</style><script>var x=1;</script>"
+                  "</head><body><nav>Home &gt; Docs</nav><p>"),
+            F.col("text"),
+            F.lit("</p><!-- f --></body></html>"),
+        )
+        return bench_docs.select(
+            "doc_id", extract_text_from_html(html).alias("t")
+        )
+
+    webtext: dict = {
+        "chunk_dedup_250k": lambda: chunk_dedup(bench_docs, chunk_tokens=20),
+        "decontaminate_250k": lambda: contamination_stats(
+            bench_docs.where(F.col("doc_id") % 50 != 0), bench_subset, n=8
+        ),
+        "html_extract_250k": _html_extract_wl,
+    }
+    workloads.update(webtext)
+
     # --- timed loop: alternating cycles, min per (workload, cycle) -----
     # clamp: cycles <= 0 would leave timings at inf -> invalid JSON
     cycles = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_CYCLES", "3")))
@@ -137,6 +170,7 @@ def main() -> None:
             timings[name] = min(timings[name], time.perf_counter() - t0)
     timings = {k: round(v, 3) for k, v in timings.items()}
     wall = round(time.perf_counter() - t_total0, 3)
+    webtext_timings = {k: timings.pop(k) for k in webtext}
     total = round(sum(timings.values()), 3)
 
     # derived throughputs for the north-rule metric
@@ -158,6 +192,11 @@ def main() -> None:
                 "spatial_join_rows_per_sec": pip_rps,
                 "tiles_per_sec": tiles_ps,
                 "pages_per_sec": pages_ps,
+                "webtext_queries": webtext_timings,
+                "webtext_docs": N_BENCH_DOCS,
+                "dedup_docs_per_sec": round(
+                    N_BENCH_DOCS / webtext_timings["chunk_dedup_250k"], 1
+                ),
                 "cpus": int(cpus) if str(cpus).isdigit() else cpus,
             }
         )
