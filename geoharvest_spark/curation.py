@@ -1,0 +1,189 @@
+"""End-to-end web-corpus curation pipeline (the training-data shape).
+
+Chains the engine's webtext operators into the canonical cleaning order
+used by large-scale corpus builds:
+
+1. extract      — HTML boilerplate strip + URL canonicalization
+2. url_dedup    — first document per canonical URL
+3. quality      — language id + quality-heuristic + repetition filters
+4. near_dedup   — MinHash-LSH near-duplicate removal (drop the larger id)
+5. chunk_dedup  — sub-document first-wins dedup, reassembled text
+6. decontam     — exact n-gram overlap vs a benchmark set
+7. split        — deterministic md5-bucket train/val/test, partitioned write
+
+Document-level near-dedup runs BEFORE sub-document chunk dedup on
+purpose: chunk dedup shreds a near-duplicate into first-wins fragments,
+after which no document-level similarity survives to measure — the same
+ordering every production corpus build uses (exact/near dedup at the
+document grain first, then paragraph/line-level).
+
+**Every stage materializes to parquet under ``out_dir/stages/<name>``
+and the next stage reads that table.** That is deliberately the 100-TB
+shape, not an optimization gap: it truncates lineage (no recompute
+cascades through seven wide stages), makes each stage independently
+restartable (the idempotent-resume story checkpoint.py tells for tiles),
+gives exact per-stage row counts from metadata-cheap counts, and lets a
+failed stage re-run without touching upstream outputs. The inter-stage
+frames are id+text projections, so the staged bytes stay proportional
+to the corpus text.
+
+Each operator inside a stage is the oracle-checked kernel the driver
+contract verifies one by one (see COVERAGE.md); this module only wires
+them together and accounts rows.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import textops as tx
+from .webops import canonicalize_url, extract_text_from_html
+
+
+@dataclass
+class CurationConfig:
+    chunk_tokens: int = 20
+    ngram_n: int = 8
+    shingle: int = 5
+    minhash_threshold: float = 0.8
+    min_words: int = 10
+    min_distinct_ratio: float = 0.1
+    max_dup_gram_frac: float = 0.5
+    langs: tuple[str, ...] = ("en",)
+    split_weights: tuple[int, ...] = (80, 10, 10)
+    split_names: tuple[str, ...] = ("train", "val", "test")
+    salt: str = "split"
+
+
+@dataclass
+class CurationReport:
+    stages: list[dict] = field(default_factory=list)
+
+    def record(self, name: str, rows_in: int, rows_out: int) -> None:
+        self.stages.append(
+            {
+                "stage": name,
+                "rows_in": rows_in,
+                "rows_out": rows_out,
+                "dropped": rows_in - rows_out,
+            }
+        )
+
+
+def _stage(
+    spark: SparkSession, df: DataFrame, out_dir: str, name: str
+) -> DataFrame:
+    path = f"{out_dir}/stages/{name}"
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def curate(
+    spark: SparkSession,
+    pages: DataFrame,
+    bench: DataFrame,
+    out_dir: str,
+    cfg: CurationConfig | None = None,
+) -> tuple[DataFrame, CurationReport]:
+    """Run the full curation pipeline.
+
+    ``pages``: (doc_id, url, html); ``bench``: (doc_id, text) — the
+    eval/benchmark set to decontaminate against. Returns the final
+    split DataFrame (doc_id, text, split) read back from the
+    partitioned output, plus the per-stage row accounting.
+    """
+    cfg = cfg or CurationConfig()
+    rep = CurationReport()
+
+    # 1. extract text + canonical url (narrow, codegen)
+    ext = pages.select(
+        "doc_id",
+        canonicalize_url(F.col("url")).alias("canonical_url"),
+        extract_text_from_html(F.col("html")).alias("text"),
+    )
+    ext = _stage(spark, ext, out_dir, "extract")
+    n_pages = pages.count()
+    n_ext = ext.count()
+    rep.record("extract", n_pages, n_ext)
+
+    # 2. URL-level dedup: deterministic first doc per canonical URL
+    keeper = ext.groupBy("canonical_url").agg(F.min("doc_id").alias("doc_id"))
+    url_d = ext.join(keeper, ["canonical_url", "doc_id"]).select(
+        "doc_id", "text"
+    )
+    url_d = _stage(spark, url_d, out_dir, "url_dedup")
+    n_url = url_d.count()
+    rep.record("url_dedup", n_ext, n_url)
+
+    # 3. quality + language + repetition filters
+    q = tx.with_quality(tx.with_langid(url_d))
+    q = q.where(
+        F.col("lang_pred").isin(*cfg.langs)
+        & (F.col("n_words") >= cfg.min_words)
+        & (F.col("distinct_ratio") >= cfg.min_distinct_ratio)
+    )
+    repo = tx.repetition_stats(q).where(
+        F.col("dup_gram_frac") <= cfg.max_dup_gram_frac
+    )
+    q = q.join(repo.select("doc_id"), "doc_id", "left_semi").select(
+        "doc_id", "text"
+    )
+    q = _stage(spark, q, out_dir, "quality")
+    n_q = q.count()
+    rep.record("quality", n_url, n_q)
+
+    # 4. near-duplicate removal: MinHash-LSH over 5-gram SHINGLES at the
+    # configured Jaccard threshold; greedy keep-smaller-id (one pass —
+    # the standard connected-component approximation for dedup).
+    # Shingled, not unigram: token-SET similarity saturates on any
+    # small-vocabulary corpus (every pair looks like a near-dup), while
+    # the shingle space grows as vocab^n and only true re-use collides.
+    pairs = (
+        tx.minhash_lsh_pairs(q, shingle=cfg.shingle)
+        .where(F.col("est_jaccard") >= cfg.minhash_threshold)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+    )
+    nd = q.join(pairs, "doc_id", "left_anti")
+    nd = _stage(spark, nd, out_dir, "near_dedup")
+    n_nd = nd.count()
+    rep.record("near_dedup", n_q, n_nd)
+
+    # 5. sub-document chunk dedup (keeps reassembled text; fully-deduped
+    # docs — n_kept == 0 — drop out here)
+    cd = tx.chunk_dedup(
+        nd, chunk_tokens=cfg.chunk_tokens, emit_text=True
+    ).where(F.col("n_kept") > 0)
+    cd = cd.select("doc_id", F.col("dedup_text").alias("text"))
+    cd = _stage(spark, cd, out_dir, "chunk_dedup")
+    n_cd = cd.count()
+    rep.record("chunk_dedup", n_nd, n_cd)
+
+    # 6. decontamination vs the benchmark set
+    flags = tx.contamination_stats(cd, bench, n=cfg.ngram_n)
+    clean = cd.join(
+        flags.where(~F.col("contaminated")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    clean = _stage(spark, clean, out_dir, "decontam")
+    n_clean = clean.count()
+    rep.record("decontam", n_cd, n_clean)
+
+    # 7. deterministic split + partitioned write (the final table layout:
+    # readers prune by split directory)
+    final = tx.hash_split(
+        clean,
+        weights=cfg.split_weights,
+        names=cfg.split_names,
+        salt=cfg.salt,
+    )
+    final.write.mode("overwrite").partitionBy("split").parquet(
+        f"{out_dir}/corpus"
+    )
+    out = spark.read.parquet(f"{out_dir}/corpus")
+    rep.record("split_write", n_clean, out.count())
+    return out, rep

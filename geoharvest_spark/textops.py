@@ -324,6 +324,7 @@ def chunk_dedup(
     chunk_tokens: int = 20,
     text_col: str = "text",
     id_col: str = "doc_id",
+    emit_text: bool = False,
 ) -> DataFrame:
     """Sub-document exact dedup: split every document into fixed
     ``chunk_tokens``-token chunks, keep only the globally FIRST occurrence
@@ -377,25 +378,25 @@ def chunk_dedup(
     totals = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct("chunk_idx", "chunk"))
-                    ),
-                    lambda s: s["chunk"],
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("chunk_idx", "chunk"))
                 ),
-            )
-        ).alias("dedup_md5"),
+                lambda s: s["chunk"],
+            ),
+        ).alias("_dedup_text"),
     )
     empty_md5 = F.lit("d41d8cd98f00b204e9800998ecf8427e")  # md5("")
-    return totals.join(rebuilt, id_col, "left").select(
+    out = totals.join(rebuilt, id_col, "left").select(
         F.col(id_col),
         "n_chunks",
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
-        F.coalesce("dedup_md5", empty_md5).alias("dedup_md5"),
+        F.coalesce(F.md5("_dedup_text"), empty_md5).alias("dedup_md5"),
+        F.coalesce("_dedup_text", F.lit("")).alias("dedup_text"),
     )
+    return out if emit_text else out.drop("dedup_text")
 
 
 def ngram_jaccard_pairs(

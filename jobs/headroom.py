@@ -164,23 +164,30 @@ _VOCAB = [
 ]
 
 
-def synth_docs(spark, n: int, n_tokens: int = 100):
-    """Deterministic word-salad corpus: token j of doc i is vocab[
-    xxhash64(i, j) % V]. Uncorrelated across docs (cross-doc chunk
-    collisions only via the short tail), like the bench documents table."""
-    df = spark.range(0, n, 1, 128).withColumnRenamed("id", "doc_id")
+def doc_text_expr(doc_id_col, n_tokens: int = 100):
+    """Deterministic word-salad text for a doc id column: token j is
+    vocab[xxhash64(id, j) % V]."""
     vocab = F.array(*[F.lit(w) for w in _VOCAB])
     toks = F.transform(
         F.sequence(F.lit(0), F.lit(n_tokens - 1)),
         lambda j: F.element_at(
             vocab,
             (
-                F.pmod(F.xxhash64(F.col("doc_id"), j), F.lit(len(_VOCAB)))
-                + 1
+                F.pmod(F.xxhash64(doc_id_col, j), F.lit(len(_VOCAB))) + 1
             ).cast("int"),
         ),
     )
-    return df.select("doc_id", F.concat_ws(" ", toks).alias("text"))
+    return F.concat_ws(" ", toks)
+
+
+def synth_docs(spark, n: int, n_tokens: int = 100):
+    """Deterministic word-salad corpus: token j of doc i is vocab[
+    xxhash64(i, j) % V]. Uncorrelated across docs (cross-doc chunk
+    collisions only via the short tail), like the bench documents table."""
+    df = spark.range(0, n, 1, 128).withColumnRenamed("id", "doc_id")
+    return df.select(
+        "doc_id", doc_text_expr(F.col("doc_id"), n_tokens).alias("text")
+    )
 
 
 def run_textops_legs(spark) -> None:

@@ -1,0 +1,91 @@
+"""End-to-end curation pipeline: planted pathologies are removed at the
+right stage, accounting is monotonic, and the run is deterministic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoharvest_spark.curation import CurationConfig, curate
+
+N = 2_000
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.webtext_pipeline import synth_pages
+
+    return synth_pages(spark, N).cache()
+
+
+@pytest.fixture(scope="module")
+def bench(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from jobs.headroom import synth_docs
+
+    return (
+        synth_docs(spark, 500)
+        .select((F.col("doc_id") + 10_000_000).alias("doc_id"), "text")
+        .unionByName(synth_docs(spark, N).where(F.col("doc_id") % 199 == 7))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def run(spark, pages, bench, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("curate"))
+    final, rep = curate(spark, pages, bench, out)
+    return final, rep, out
+
+
+def test_stage_accounting_monotonic(run):
+    _, rep, _ = run
+    names = [s["stage"] for s in rep.stages]
+    assert names == [
+        "extract", "url_dedup", "quality", "near_dedup",
+        "chunk_dedup", "decontam", "split_write",
+    ]
+    for s in rep.stages:
+        assert 0 <= s["rows_out"] <= s["rows_in"], s
+    # each planted pathology is actually removed by its stage
+    by = {s["stage"]: s for s in rep.stages}
+    assert by["extract"]["rows_in"] == N
+    assert by["url_dedup"]["dropped"] == N // 5  # 20% planted URL dups
+    assert by["near_dedup"]["dropped"] > 0  # planted exact-duplicate texts
+    assert by["decontam"]["dropped"] > 0  # planted benchmark overlap
+    assert by["split_write"]["rows_in"] == by["split_write"]["rows_out"]
+
+
+def test_contaminated_docs_are_gone(spark, run):
+    final, _, _ = run
+    # the planted contamination ids (doc_id % 199 == 7) must not survive
+    # (modulo those already dropped earlier for other reasons — so assert
+    # NONE remain rather than an exact count)
+    left = final.where(F.col("doc_id") % 199 == 7).count()
+    assert left == 0
+
+
+def test_splits_partitioned_and_complete(run):
+    final, _, out = run
+    import os
+
+    dirs = {
+        d for d in os.listdir(f"{out}/corpus") if d.startswith("split=")
+    }
+    assert dirs == {"split=train", "split=val", "split=test"}
+    n = final.count()
+    n_train = final.where(F.col("split") == "train").count()
+    assert 0.7 < n_train / n < 0.9
+
+
+def test_pipeline_deterministic(spark, pages, bench, run, tmp_path):
+    final1, _, _ = run
+    final2, _ = curate(spark, pages, bench, str(tmp_path / "again"))
+    a = sorted(r["doc_id"] for r in final1.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in final2.select("doc_id").collect())
+    assert a == b
