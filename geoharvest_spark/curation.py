@@ -40,7 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import textops as tx
-from .webops import canonicalize_url, extract_text_from_html
+from .webops import extract_text_from_html, with_canonical_url
 
 
 @dataclass
@@ -98,10 +98,10 @@ def curate(
     cfg = cfg or CurationConfig()
     rep = CurationReport()
 
-    # 1. extract text + canonical url (narrow, codegen)
-    ext = pages.select(
+    # 1. extract text + canonical url (narrow, codegen; staged regexps)
+    ext = with_canonical_url(pages).select(
         "doc_id",
-        canonicalize_url(F.col("url")).alias("canonical_url"),
+        "canonical_url",
         extract_text_from_html(F.col("html")).alias("text"),
     )
     ext = _stage(spark, ext, out_dir, "extract")

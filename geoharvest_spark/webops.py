@@ -92,13 +92,85 @@ def registered_domain(host: Column) -> Column:
 
 def with_canonical_url(df: DataFrame, url_col: str = "url") -> DataFrame:
     """Adds canonical_url, host, domain columns — the pre-dedup URL
-    normalization stage of a web pipeline."""
-    canon = canonicalize_url(F.col(url_col))
-    return (
-        df.withColumn("canonical_url", canon)
-        .withColumn("host", host_of(F.col(url_col)))
-        .withColumn("domain", registered_domain(F.col("host")))
+    normalization stage of a web pipeline.
+
+    Staged, not inline: `canonicalize_url` as a single Column expression
+    re-evaluates each chained regexp once per downstream reference (27
+    regexp_replace + 13 regexp_extract per row in the plan); staging each
+    intermediate (_nf, _scheme, _hostport, _rest, ...) through its own
+    multi-referenced projection alias evaluates each regexp once (the
+    same CollapseProject behavior the token-staging fix relies on,
+    BASELINE.md round-4). Same spec, same output, plan-tested."""
+    d = df.withColumn("_nf", F.regexp_replace(F.col(url_col), r"#.*$", ""))
+    d = d.withColumn(
+        "_scheme",
+        F.lower(F.regexp_extract("_nf", r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1)),
     )
+    d = d.withColumn(
+        "_hp0",
+        F.regexp_replace(
+            F.lower(
+                F.regexp_extract(
+                    "_nf", r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1
+                )
+            ),
+            r"^www\.",
+            "",
+        ),
+    )
+    d = d.withColumn(
+        "_hostport",
+        F.when(
+            F.col("_scheme") == "http",
+            F.regexp_replace("_hp0", r":80$", ""),
+        )
+        .when(
+            F.col("_scheme") == "https",
+            F.regexp_replace("_hp0", r":443$", ""),
+        )
+        .otherwise(F.col("_hp0")),
+    )
+    d = d.withColumn(
+        "_rest",
+        F.regexp_replace("_nf", r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", ""),
+    )
+    d = d.withColumn("_path0", F.regexp_extract("_rest", r"^([^?]*)", 1))
+    d = d.withColumn(
+        "_path",
+        F.when(F.col("_path0") == "", F.lit("/")).otherwise(
+            F.regexp_replace("_path0", r"(.)/$", "$1")
+        ),
+    )
+    d = d.withColumn(
+        "_kept",
+        F.filter(
+            F.split(
+                F.when(
+                    F.col("_rest").contains("?"),
+                    F.regexp_replace("_rest", r"^[^?]*\?", ""),
+                ).otherwise(F.lit("")),
+                "&",
+            ),
+            lambda p: (p != "") & ~p.rlike(_TRACKING_RE),
+        ),
+    )
+    d = d.withColumn(
+        "canonical_url",
+        F.concat(
+            F.col("_scheme"),
+            F.lit("://"),
+            F.col("_hostport"),
+            F.col("_path"),
+            F.when(
+                F.size("_kept") > 0,
+                F.concat(F.lit("?"), F.array_join("_kept", "&")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    d = d.withColumn(
+        "host", F.regexp_replace("_hostport", r":[0-9]+$", "")
+    ).withColumn("domain", registered_domain(F.col("host")))
+    return d.drop("_nf", "_scheme", "_hp0", "_hostport", "_rest", "_path0", "_path", "_kept")
 
 
 # entity decode order matters: &amp; LAST so "&amp;lt;" -> "&lt;" (literal),

@@ -132,3 +132,19 @@ def test_extract_html_stays_jvm_side(spark):
         .toString()
     )
     assert "EvalPython" not in plan
+
+
+def test_canonicalization_regexps_staged_once(spark):
+    # staged intermediates: each spec regexp appears once in the plan
+    # (the inline single-Column form re-evaluates chained regexps per
+    # downstream reference — 48 vs 15; BASELINE.md round-4)
+    df = spark.range(10).select(
+        F.concat(F.lit("https://WWW.Site.com/p/"), F.col("id")).alias("url")
+    )
+    plan = (
+        wb.with_canonical_url(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("regexp_replace(") + plan.count("regexp_extract(") <= 15
