@@ -518,6 +518,14 @@ def minhash_lsh_pairs(
     """LSH candidate pairs: band the signature, bucket-join on
     (band, band_hash). Shuffle cost = O(docs * bands), never O(n^2).
 
+    Ids-only candidate stream (round-4, same layout as
+    simsearch.cosine_near_dup_pairs): the self-join and pair-dedup move
+    (id, band, bucket) only; the 64-long signatures (512 B each)
+    re-attach afterwards by two id equi-joins against the cached
+    signature frame. Carrying both sigs through every candidate row
+    multiplies the candidate shuffle by ~1 KB/pair — the difference
+    between MBs and GBs per LSH pass at corpus scale.
+
     Returns (id_a, id_b, est_jaccard) with est = fraction of matching
     minhashes.
     """
@@ -525,7 +533,6 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, key_col, text_col, num_hashes, shingle).cache()
     banded = sigs.select(
         "id",
-        "sig",
         F.posexplode(
             F.array(
                 *[
@@ -545,17 +552,20 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    a = banded.select(
-        F.col("id").alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    b = banded.select(
-        F.col("id").alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+        "id_a",
+    ).join(
+        sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+        "id_b",
     )
     matches = F.size(
         F.filter(
@@ -563,7 +573,7 @@ def minhash_lsh_pairs(
             lambda v: v == 1,
         )
     )
-    return cand.withColumn(
+    return pairs.withColumn(
         "est_jaccard", matches / F.lit(num_hashes)
     ).select("id_a", "id_b", "est_jaccard")
 
