@@ -386,12 +386,18 @@ def lsh_topk(
 ) -> DataFrame:
     """ANN top-k: per-table bucket equi-join (+1-bit multiprobe), candidates
     unioned across tables, exact cosine re-rank. Returns
-    (qid, vec_id, rank, cos_sim). Shuffle O(n * tables * probes)."""
+    (qid, vec_id, rank, cos_sim). Shuffle O(n * tables * probes).
+
+    Ids-only candidate stream (round-4 layout, see cosine_near_dup_pairs):
+    the bucket join and (qid, cid) dedup move ids only — the corpus
+    vectors would otherwise be replicated once per table (and the query
+    vectors once per probe) through the join shuffle; both re-attach by
+    id equi-joins after dedup."""
     c_sig = lsh_signatures(corpus, dim, n_bits, n_tables, id_col, vec_col).select(
-        F.col("id").alias("cid"), F.col("v").alias("cv"), "table", "bucket"
+        F.col("id").alias("cid"), "table", "bucket"
     )
     q_sig = lsh_signatures(queries, dim, n_bits, n_tables, id_col, vec_col).select(
-        F.col("id").alias("qid"), F.col("v").alias("qv"), "table", "bucket"
+        F.col("id").alias("qid"), "table", "bucket"
     )
     if multiprobe:
         probes = F.array(
@@ -403,9 +409,23 @@ def lsh_topk(
         )
         q_sig = q_sig.withColumn("bucket", F.explode(probes))
 
-    cand = q_sig.join(c_sig, ["table", "bucket"]).drop(
-        "table", "bucket"
-    ).dropDuplicates(["qid", "cid"])
+    cand = (
+        q_sig.join(c_sig, ["table", "bucket"])
+        .select("qid", "cid")
+        .dropDuplicates(["qid", "cid"])
+        .join(
+            corpus.select(
+                F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+            ),
+            "cid",
+        )
+        .join(
+            queries.select(
+                F.col(id_col).alias("qid"), F.col(vec_col).alias("qv")
+            ),
+            "qid",
+        )
+    )
 
     @F.pandas_udf("double")
     def _cos(qv: pd.Series, cv: pd.Series) -> pd.Series:
