@@ -753,15 +753,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["vocab_top25"] = vocab_top25
 
-    def _messy_urls(spark, sf):
+    def _messy_urls(spark, sf, mod=250):
         # deterministic messy-URL synth from doc_id (mixed-case scheme and
         # host, www, default+explicit ports, tracking params, fragments,
         # trailing slashes) — the SQL oracle builds the identical strings.
-        # `base` (doc_id % 250) drives everything canonicalization KEEPS, so
-        # the raw-URL pairs (d, d+250) differ only in removable mess and
+        # `base` (doc_id % mod) drives everything canonicalization KEEPS,
+        # so raw-URL pairs (d, d+mod) differ only in removable mess and
         # collapse to one canonical — n_canonical < n_urls is real dedup
         doc = F.col("doc_id")
-        base = doc % 250
+        base = doc % mod
         scheme = F.when(base % 2 == 0, F.lit("HTTPS")).otherwise(F.lit("http"))
         suffix = F.element_at(
             F.array(
@@ -841,6 +841,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
 
     Q["html_extract"] = html_extract
+
+    def stream_page_ingest(spark, sf):
+        """§2.9 x webtext: crawled pages arrive as a STREAM (3 micro-
+        batches via maxFilesPerTrigger=1); HTML extraction + URL
+        canonicalization run inside the micro-batch plan (pure codegen
+        exprs under Structured Streaming) and a stateful streaming
+        dropDuplicates on canonical_url keeps the FIRST arrival across
+        batches — the incremental-crawl ingest semantics (reference S4
+        dedupe, sqs.py:139-185, generalized to the open web). Batches are
+        deterministic: batch 1 (doc_id < 250) is all-new, batch 2 mixes
+        new canonicals with duplicates of batch 1, batch 3 is all-dup —
+        and within every batch canonicals are unique, so first-arrival ==
+        min(doc_id) and the oracle is a plain argmin over the same synth.
+        State note: unbounded dedup state is the contract-size choice;
+        production bounds it with dropDuplicatesWithinWatermark."""
+        from geoharvest_spark import webops as wb
+
+        docs = _t(spark, sf, "documents").select("doc_id", "text")
+        pages = _messy_urls(spark, sf, mod=350).join(docs, "doc_id").select(
+            "doc_id",
+            "url",
+            F.concat(
+                F.lit("<html><head><title>Doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(
+                    "</title><style>p{color:red}</style>"
+                    "<script>var x=1;</script></head>"
+                    "<body><nav>Home &gt; Docs</nav><p>"
+                ),
+                F.col("text"),
+                F.lit(
+                    "</p><!-- footer --><div>&copy; 2026</div></body></html>"
+                ),
+            ).alias("html"),
+        )
+        base = _scratch("stream_pi_")
+        in_dir = f"{base}/in"
+        for lo, hi in ((0, 250), (250, 400), (400, 500)):
+            pages.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+        stream = (
+            spark.readStream.schema("doc_id long, url string, html string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        d = wb.with_canonical_url(stream).select(
+            "doc_id",
+            "canonical_url",
+            "domain",
+            F.md5(wb.extract_text_from_html(F.col("html"))).alias("text_md5"),
+        ).dropDuplicates(["canonical_url"])
+        sink = "stream_page_ingest_sink"
+        spark.catalog.dropTempView(sink)
+        q = (
+            d.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return (
+            spark.table(sink)
+            .select("canonical_url", "doc_id", "domain", "text_md5")
+            .orderBy("canonical_url")
+        )
+
+    Q["stream_page_ingest"] = stream_page_ingest
 
     def dedup_ngram_jaccard(spark, sf):
         # exact Jaccard >= 0.8 (the production near-dedup regime) with
@@ -1515,25 +1585,30 @@ def _chunk_dedup_oracle_sql(chunk: int = 20) -> str:
     )
 
 
-_URL_SYNTH_SQL = (
-    "SELECT doc_id, "
-    "(CASE WHEN (doc_id % 250) % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || "
-    "'://WWW.Site' || ((doc_id % 250) % 23) || "
-    "(CASE (doc_id % 250) % 4 WHEN 0 THEN '.CO.UK' WHEN 1 THEN '.com' "
-    "WHEN 2 THEN '.Org' ELSE '.com.au' END) || "
-    "(CASE WHEN (doc_id % 250) % 7 = 0 THEN ':8080' "
-    "WHEN (doc_id % 250) % 2 = 0 THEN ':443' ELSE ':80' END) || "
-    "'/Path/' || (doc_id % 250) || "
-    "(CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) || "
-    "(CASE WHEN (doc_id % 250) % 5 = 0 THEN '?utm_campaign=x' "
-    "ELSE '?utm_source=feed&page=' || ((doc_id % 250) % 7) || "
-    "'&fbclid=1' END) || "
-    "'#sec' || (doc_id % 3) AS url "
-    "FROM documents"
-)
+def _url_synth_sql(mod: int = 250) -> str:
+    b = f"(doc_id % {mod})"
+    return (
+        "SELECT doc_id, "
+        f"(CASE WHEN {b} % 2 = 0 THEN 'HTTPS' ELSE 'http' END) || "
+        f"'://WWW.Site' || ({b} % 23) || "
+        f"(CASE {b} % 4 WHEN 0 THEN '.CO.UK' WHEN 1 THEN '.com' "
+        "WHEN 2 THEN '.Org' ELSE '.com.au' END) || "
+        f"(CASE WHEN {b} % 7 = 0 THEN ':8080' "
+        f"WHEN {b} % 2 = 0 THEN ':443' ELSE ':80' END) || "
+        f"'/Path/' || {b} || "
+        "(CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END) || "
+        f"(CASE WHEN {b} % 5 = 0 THEN '?utm_campaign=x' "
+        f"ELSE '?utm_source=feed&page=' || ({b} % 7) || "
+        "'&fbclid=1' END) || "
+        "'#sec' || (doc_id % 3) AS url "
+        "FROM documents"
+    )
 
 
-def _url_canonical_cte() -> str:
+_URL_SYNTH_SQL = _url_synth_sql(250)
+
+
+def _url_canonical_cte(synth_sql: str | None = None) -> str:
     """Shared canonicalization CTE — an independent RE2 re-implementation
     of geoharvest_spark.webops.canonicalize_url/registered_domain (DuckDB
     lateral column aliases keep each step readable)."""
@@ -1541,7 +1616,7 @@ def _url_canonical_cte() -> str:
 
     alts = "|".join(s.replace(".", r"\.") for s in TWO_LEVEL_SUFFIXES)
     return (
-        f"u AS ({_URL_SYNTH_SQL}), "
+        f"u AS ({synth_sql or _URL_SYNTH_SQL}), "
         "s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u), "
         "s2 AS (SELECT doc_id, nf, "
         "lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) "
@@ -1576,6 +1651,31 @@ def _url_canonical_cte() -> str:
         "WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) <> '' "
         "THEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) "
         "ELSE host END AS domain FROM canon)"
+    )
+
+
+def _html_page_cte() -> str:
+    """h = documents wrapped in the page template; e = the extraction
+    chain (independent RE2 re-implementation of
+    webops.extract_text_from_html, same step order incl. amp-last)."""
+    return (
+        "h AS (SELECT doc_id, text, "
+        "'<html><head><title>Doc ' || doc_id || "
+        "'</title><style>p{color:red}</style>"
+        "<script>var x=1;</script></head>"
+        "<body><nav>Home &gt; Docs</nav><p>' || text || "
+        "'</p><!-- footer --><div>&copy; 2026</div></body></html>' "
+        "AS html FROM documents), "
+        "e AS (SELECT doc_id, text, trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace("
+        "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "html, '(?is)<script\\b.*?</script>', ' ', 'g'), "
+        "'(?is)<style\\b.*?</style>', ' ', 'g'), "
+        "'(?s)<!--.*?-->', ' ', 'g'), "
+        "'<[^>]+>', ' ', 'g'), "
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+        "'&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), "
+        "'\\s+', ' ', 'g')) AS ex FROM h) "
     )
 
 
@@ -2052,25 +2152,19 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "GROUP BY 1 ORDER BY n DESC, token LIMIT 25"
         ),
         "html_extract": (
-            "WITH h AS (SELECT doc_id, text, "
-            "'<html><head><title>Doc ' || doc_id || "
-            "'</title><style>p{color:red}</style>"
-            "<script>var x=1;</script></head>"
-            "<body><nav>Home &gt; Docs</nav><p>' || text || "
-            "'</p><!-- footer --><div>&copy; 2026</div></body></html>' "
-            "AS html FROM documents), "
-            "e AS (SELECT doc_id, text, trim(regexp_replace("
-            "replace(replace(replace(replace(replace(replace("
-            "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
-            "html, '(?is)<script\\b.*?</script>', ' ', 'g'), "
-            "'(?is)<style\\b.*?</style>', ' ', 'g'), "
-            "'(?s)<!--.*?-->', ' ', 'g'), "
-            "'<[^>]+>', ' ', 'g'), "
-            "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
-            "'&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), "
-            "'\\s+', ' ', 'g')) AS ex FROM h) "
+            f"WITH {_html_page_cte()} "
             "SELECT doc_id, md5(ex) AS extract_md5, "
             "contains(ex, text) AS recovered FROM e ORDER BY doc_id"
+        ),
+        "stream_page_ingest": (
+            f"WITH {_url_canonical_cte(_url_synth_sql(350))}, "
+            f"{_html_page_cte()}, "
+            "r AS (SELECT dom.doc_id AS doc_id, canonical_url, domain, "
+            "md5(e.ex) AS text_md5, row_number() OVER ("
+            "PARTITION BY canonical_url ORDER BY dom.doc_id) AS rn "
+            "FROM dom JOIN e ON dom.doc_id = e.doc_id) "
+            "SELECT canonical_url, doc_id, domain, text_md5 FROM r "
+            "WHERE rn = 1 ORDER BY canonical_url"
         ),
         "doc_repetition": _repetition_oracle_sql(),
         "chunk_dedup_docs": _chunk_dedup_oracle_sql(20),
