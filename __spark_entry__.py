@@ -912,6 +912,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["stream_page_ingest"] = stream_page_ingest
 
+    def robots_crawl_filter(spark, sf):
+        """Crawl governance: per-domain robots.txt (three deterministic
+        variants incl. a non-* section, a shared user-agent run, and an
+        empty allow-all Disallow) parsed into rules, then longest-prefix
+        evaluation per canonical URL (allow wins ties). The oracle derives
+        each variant's EXPECTED rule set directly (the parser's output
+        contract; the parser itself is fixture-tested) and re-implements
+        the prefix evaluation in SQL."""
+        from geoharvest_spark import webops as wb
+
+        u = wb.with_canonical_url(_messy_urls(spark, sf)).select(
+            "doc_id", "canonical_url", "domain"
+        )
+        v = F.length("domain") % 3
+        txt = (
+            F.when(
+                v == 0,
+                F.lit("User-agent: *\nDisallow: /Path/1\nAllow: /Path/12"),
+            )
+            .when(
+                v == 1,
+                F.lit(
+                    "User-agent: badbot\nDisallow: /\n\n"
+                    "User-agent: *\nDisallow: /Path/2"
+                ),
+            )
+            .otherwise(
+                F.lit(
+                    "User-agent: otherbot\nUser-agent: *\n"
+                    "Disallow: /Path/3\nDisallow:"
+                )
+            )
+        )
+        robots = u.select("domain").distinct().select(
+            "domain", txt.alias("robots_txt")
+        )
+        rules = wb.parse_robots(robots)
+        return (
+            wb.with_crawl_allowed(u, rules)
+            .select("doc_id", "canonical_url", "domain", "crawl_allowed")
+            .orderBy("doc_id")
+        )
+
+    Q["robots_crawl_filter"] = robots_crawl_filter
+
     def dedup_ngram_jaccard(spark, sf):
         # exact Jaccard >= 0.8 (the production near-dedup regime) with
         # MinHash-LSH candidates — oracle below is ALL-PAIRS SQL, so any
@@ -2165,6 +2210,32 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "FROM dom JOIN e ON dom.doc_id = e.doc_id) "
             "SELECT canonical_url, doc_id, domain, text_md5 FROM r "
             "WHERE rn = 1 ORDER BY canonical_url"
+        ),
+        "robots_crawl_filter": (
+            f"WITH {_url_canonical_cte()}, "
+            "doms AS (SELECT DISTINCT domain FROM dom), "
+            "rules AS ("
+            "SELECT domain, 'disallow' AS rule, '/Path/1' AS path "
+            "FROM doms WHERE length(domain) % 3 = 0 "
+            "UNION ALL SELECT domain, 'allow', '/Path/12' "
+            "FROM doms WHERE length(domain) % 3 = 0 "
+            "UNION ALL SELECT domain, 'disallow', '/Path/2' "
+            "FROM doms WHERE length(domain) % 3 = 1 "
+            "UNION ALL SELECT domain, 'disallow', '/Path/3' "
+            "FROM doms WHERE length(domain) % 3 = 2), "
+            "m AS (SELECT d.doc_id, d.canonical_url, d.domain, r.rule, "
+            "r.path, regexp_replace(d.canonical_url, "
+            "'^[a-z][a-z0-9+.-]*://[^/]*', '') AS p "
+            "FROM dom d LEFT JOIN rules r ON d.domain = r.domain), "
+            "hits AS (SELECT doc_id, rule, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY length(path) DESC, "
+            "(rule = 'allow') DESC) AS rn "
+            "FROM m WHERE path IS NOT NULL AND starts_with(p, path)) "
+            "SELECT d.doc_id AS doc_id, d.canonical_url AS canonical_url, "
+            "d.domain AS domain, "
+            "coalesce(h.rule = 'allow', TRUE) AS crawl_allowed "
+            "FROM dom d LEFT JOIN (SELECT doc_id, rule FROM hits "
+            "WHERE rn = 1) h ON d.doc_id = h.doc_id ORDER BY 1"
         ),
         "doc_repetition": _repetition_oracle_sql(),
         "chunk_dedup_docs": _chunk_dedup_oracle_sql(20),

@@ -27,7 +27,7 @@ DuckDB oracle re-implements the same spec independently over RE2.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # two-level public suffixes recognized by the PSL-lite registered-domain
@@ -213,4 +213,101 @@ def domain_rollup(df: DataFrame, url_col: str = "url") -> DataFrame:
     return d.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_urls"),
         F.countDistinct("canonical_url").alias("n_canonical"),
+    )
+
+
+def parse_robots(df: DataFrame, domain_col: str = "domain",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """Parse robots.txt bodies into per-domain rules for user-agent ``*``.
+
+    Spec (original-1994 prefix rules; RFC 9309 wildcards are out of
+    scope and documented as such): lines split on \\n, \\r and comments
+    (``#...``) stripped, blank lines ignored; ``User-agent:`` lines open
+    a section (CONSECUTIVE user-agent lines share one section, per the
+    standard); ``Allow:`` / ``Disallow:`` rules bind to the nearest
+    preceding section and are kept only when that section names ``*``;
+    an empty-path ``Disallow:`` (allow-all) contributes no rule.
+
+    Plan shape: posexplode lines, one window per domain ordered by line
+    index to assign section ids (robots files are KB-sized, so the
+    per-domain sort is bounded), then a section-level semi-join keeps
+    ``*`` sections. Returns (domain, rule, path) with rule in
+    {allow, disallow}."""
+    lines = df.select(
+        F.col(domain_col).alias("domain"),
+        F.posexplode(F.split(F.col(txt_col), "\n")).alias("idx", "raw"),
+    ).select(
+        "domain",
+        "idx",
+        F.trim(F.regexp_replace(F.regexp_replace("raw", "#.*$", ""), "\r", "")).alias(
+            "line"
+        ),
+    ).where(F.col("line") != "")
+    lines = lines.select(
+        "domain",
+        "idx",
+        F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1)).alias("key"),
+        F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1)).alias("val"),
+    ).where(F.col("key").isin("user-agent", "allow", "disallow"))
+    w = Window.partitionBy("domain").orderBy("idx")
+    is_ua = (F.col("key") == "user-agent").cast("int")
+    # a section starts at a user-agent line NOT preceded by another one
+    starts = (
+        (is_ua == 1)
+        & (F.coalesce(F.lag("key").over(w), F.lit("")) != F.lit("user-agent"))
+    ).cast("int")
+    lines = lines.withColumn("section", F.sum(starts).over(w))
+    star_sections = (
+        lines.where((F.col("key") == "user-agent") & (F.col("val") == "*"))
+        .select("domain", "section")
+        .distinct()
+    )
+    return (
+        lines.where(F.col("key").isin("allow", "disallow") & (F.col("val") != ""))
+        .join(star_sections, ["domain", "section"], "left_semi")
+        .select(
+            "domain", F.col("key").alias("rule"), F.col("val").alias("path")
+        )
+    )
+
+
+def with_crawl_allowed(
+    urls: DataFrame, rules: DataFrame, url_col: str = "canonical_url"
+) -> DataFrame:
+    """Longest-prefix-match robots evaluation per URL (allow wins ties —
+    Google semantics): join URLs to their domain's rules, keep prefix
+    matches, pick the longest rule; no matching rule => allowed.
+
+    The rules side is per-domain KB-scale, so AQE broadcasts it; the
+    argmax is a per-URL aggregate (max of (len, is_allow) struct), not a
+    window over a sort."""
+    path = F.regexp_replace(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+    u = urls.withColumn("_path", path)
+    m = u.join(rules, "domain", "left").withColumn(
+        "_hit",
+        F.col("path").isNotNull() & F.col("_path").startswith(F.col("path")),
+    )
+    best = (
+        m.where(F.col("_hit"))
+        .groupBy("domain", url_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("path").alias("l"),
+                    (F.col("rule") == "allow").cast("int").alias("a"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "domain",
+            url_col,
+            (F.col("b.a") == 1).alias("_allowed_by_rule"),
+        )
+    )
+    return (
+        u.join(best, ["domain", url_col], "left")
+        .withColumn(
+            "crawl_allowed", F.coalesce("_allowed_by_rule", F.lit(True))
+        )
+        .drop("_path", "_allowed_by_rule")
     )

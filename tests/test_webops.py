@@ -148,3 +148,75 @@ def test_canonicalization_regexps_staged_once(spark):
         .toString()
     )
     assert plan.count("regexp_replace(") + plan.count("regexp_extract(") <= 15
+
+
+ROBOTS_FIXTURE = """
+# global rules
+User-agent: *
+Disallow: /private
+Allow: /private/ok
+Disallow:
+
+User-agent: badbot
+Disallow: /
+
+User-agent: otherbot
+User-agent: *
+Disallow: /tmp
+""".strip()
+
+
+def test_parse_robots_sections(spark):
+    df = spark.createDataFrame([("site.com", ROBOTS_FIXTURE)], ["domain", "robots_txt"])
+    rules = sorted(
+        (r["rule"], r["path"]) for r in wb.parse_robots(df).collect()
+    )
+    # badbot-only section excluded; empty Disallow dropped; the shared
+    # (otherbot, *) section's rule kept
+    assert rules == [
+        ("allow", "/private/ok"),
+        ("disallow", "/private"),
+        ("disallow", "/tmp"),
+    ]
+
+
+def test_crawl_allowed_longest_prefix(spark):
+    rules = spark.createDataFrame(
+        [
+            ("site.com", "disallow", "/private"),
+            ("site.com", "allow", "/private/ok"),
+            ("site.com", "disallow", "/tmp"),
+        ],
+        ["domain", "rule", "path"],
+    )
+    urls = spark.createDataFrame(
+        [
+            ("site.com", "https://site.com/public/a"),      # no rule -> allowed
+            ("site.com", "https://site.com/private/x"),     # disallow
+            ("site.com", "https://site.com/private/ok/y"),  # longer allow wins
+            ("site.com", "https://site.com/tmp"),           # disallow
+            ("other.org", "https://other.org/anything"),    # no rules at all
+        ],
+        ["domain", "canonical_url"],
+    )
+    out = {
+        r["canonical_url"]: r["crawl_allowed"]
+        for r in wb.with_crawl_allowed(urls, rules).collect()
+    }
+    assert out["https://site.com/public/a"] is True
+    assert out["https://site.com/private/x"] is False
+    assert out["https://site.com/private/ok/y"] is True
+    assert out["https://site.com/tmp"] is False
+    assert out["https://other.org/anything"] is True
+
+
+def test_crawl_allow_wins_tie(spark):
+    rules = spark.createDataFrame(
+        [("s.com", "disallow", "/p"), ("s.com", "allow", "/p")],
+        ["domain", "rule", "path"],
+    )
+    urls = spark.createDataFrame(
+        [("s.com", "https://s.com/p/x")], ["domain", "canonical_url"]
+    )
+    out = wb.with_crawl_allowed(urls, rules).collect()[0]
+    assert out["crawl_allowed"] is True
