@@ -4,6 +4,7 @@ Chains the engine's webtext operators into the canonical cleaning order
 used by large-scale corpus builds:
 
 1. extract      — HTML boilerplate strip + URL canonicalization
+   (+ optional robots stage: drop URLs the domain's robots.txt disallows)
 2. url_dedup    — first document per canonical URL
 3. quality      — language id + quality-heuristic + repetition filters
 4. near_dedup   — MinHash-LSH near-duplicate removal (drop the larger id)
@@ -40,7 +41,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import textops as tx
-from .webops import extract_text_from_html, with_canonical_url
+from .webops import (
+    extract_text_from_html,
+    parse_robots,
+    with_canonical_url,
+    with_crawl_allowed,
+)
 
 
 @dataclass
@@ -87,13 +93,15 @@ def curate(
     bench: DataFrame,
     out_dir: str,
     cfg: CurationConfig | None = None,
+    robots: DataFrame | None = None,
 ) -> tuple[DataFrame, CurationReport]:
     """Run the full curation pipeline.
 
     ``pages``: (doc_id, url, html); ``bench``: (doc_id, text) — the
-    eval/benchmark set to decontaminate against. Returns the final
-    split DataFrame (doc_id, text, split) read back from the
-    partitioned output, plus the per-stage row accounting.
+    eval/benchmark set to decontaminate against; ``robots``: optional
+    (domain, robots_txt) table enabling the crawl-governance stage.
+    Returns the final split DataFrame (doc_id, text, split) read back
+    from the partitioned output, plus the per-stage row accounting.
     """
     cfg = cfg or CurationConfig()
     rep = CurationReport()
@@ -102,12 +110,27 @@ def curate(
     ext = with_canonical_url(pages).select(
         "doc_id",
         "canonical_url",
+        "domain",
         extract_text_from_html(F.col("html")).alias("text"),
     )
     ext = _stage(spark, ext, out_dir, "extract")
     n_pages = pages.count()
     n_ext = ext.count()
     rep.record("extract", n_pages, n_ext)
+
+    # 1b. robots governance (optional): drop URLs the domain's robots.txt
+    # disallows for user-agent * (longest-prefix, allow wins ties)
+    if robots is not None:
+        rules = parse_robots(robots)
+        ext = (
+            with_crawl_allowed(ext, rules)
+            .where(F.col("crawl_allowed"))
+            .drop("crawl_allowed")
+        )
+        ext = _stage(spark, ext, out_dir, "robots")
+        n_rob = ext.count()
+        rep.record("robots", n_ext, n_rob)
+        n_ext = n_rob
 
     # 2. URL-level dedup: deterministic first doc per canonical URL
     keeper = ext.groupBy("canonical_url").agg(F.min("doc_id").alias("doc_id"))

@@ -85,8 +85,24 @@ def main() -> None:
         if len(sys.argv) > 2
         else tempfile.mkdtemp(prefix="webtext_corpus_")
     )
+    # robots: every corpus domain disallows /doc/1 (prefix-matches ~11% of
+    # paths) for user-agent *, with a decoy non-* section
+    from geoharvest_spark.webops import with_canonical_url
+
+    robots = (
+        with_canonical_url(pages)
+        .select("domain")
+        .distinct()
+        .select(
+            "domain",
+            F.lit(
+                "User-agent: badbot\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /doc/1"
+            ).alias("robots_txt"),
+        )
+    )
     t0 = time.perf_counter()
-    final, rep = curate(spark, pages, bench, out_dir)
+    final, rep = curate(spark, pages, bench, out_dir, robots=robots)
     elapsed = round(time.perf_counter() - t0, 2)
     splits = {
         r["split"]: r["n"]

@@ -89,3 +89,30 @@ def test_pipeline_deterministic(spark, pages, bench, run, tmp_path):
     a = sorted(r["doc_id"] for r in final1.select("doc_id").collect())
     b = sorted(r["doc_id"] for r in final2.select("doc_id").collect())
     assert a == b
+
+
+def test_robots_stage_drops_disallowed(spark, pages, bench, tmp_path):
+    from geoharvest_spark.webops import with_canonical_url
+
+    robots = (
+        with_canonical_url(pages)
+        .select("domain")
+        .distinct()
+        .select(
+            "domain",
+            F.lit(
+                "User-agent: badbot\nDisallow: /\n\n"
+                "User-agent: *\nDisallow: /doc/1"
+            ).alias("robots_txt"),
+        )
+    )
+    final, rep = curate(
+        spark, pages, bench, str(tmp_path / "rb"), robots=robots
+    )
+    by = {s["stage"]: s for s in rep.stages}
+    assert "robots" in by and by["robots"]["dropped"] > 0
+    # no surviving doc has a disallowed path (and some /doc/2+ paths do)
+    canon = spark.read.parquet(str(tmp_path / "rb/stages/robots"))
+    assert canon.where(
+        F.col("canonical_url").rlike("://[^/]*/doc/1")
+    ).count() == 0
