@@ -878,10 +878,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         base = _scratch("stream_pi_")
         in_dir = f"{base}/in"
-        for lo, hi in ((0, 250), (250, 400), (400, 500)):
+        for i, (lo, hi) in enumerate(((0, 250), (250, 400), (400, 500))):
             pages.where(
                 (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
             ).coalesce(1).write.mode("append").parquet(in_dir)
+            # FileStreamSource orders files by modification time; pin
+            # strictly increasing mtimes so batch order (and therefore the
+            # first-arrival winner) cannot flip if two appends land within
+            # the same clock tick
+            import os as _os
+
+            for f in _os.listdir(in_dir):
+                if f.endswith(".parquet"):
+                    p = f"{in_dir}/{f}"
+                    if _os.path.getmtime(p) > 1_000_000_000 + (i + 1) * 1000:
+                        _os.utime(p, (1_000_000_000 + i * 1000,) * 2)
         stream = (
             spark.readStream.schema("doc_id long, url string, html string")
             .option("maxFilesPerTrigger", 1)
