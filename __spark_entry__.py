@@ -968,6 +968,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["robots_crawl_filter"] = robots_crawl_filter
 
+    def doc_quality_gate(spark, sf):
+        """Composite Gopher-style quality gate with REASONS: every doc
+        gets the array of failed rule names (deterministic order) and a
+        pass flag — the auditable form of the curation pipeline's quality
+        stage (rejections must be explainable at corpus scale, not just
+        dropped). Thresholds are the curation defaults except min_words,
+        raised so the gate actually fires on this corpus."""
+        d = tx.with_quality(tx.with_langid(_t(spark, sf, "documents")))
+        rep = tx.repetition_stats(_t(spark, sf, "documents")).select(
+            "doc_id", "dup_gram_frac"
+        )
+        d = d.join(rep, "doc_id", "left")
+        checks = [
+            ("non_english", F.col("lang_pred") != "en"),
+            ("too_short", F.col("n_words") < 40),
+            ("low_distinct", F.col("distinct_ratio") < 0.35),
+            ("repetitive", F.coalesce("dup_gram_frac", F.lit(0.0)) > 0.05),
+        ]
+        reasons = F.filter(
+            F.array(
+                *[F.when(cond, F.lit(name)) for name, cond in checks]
+            ),
+            lambda x: x.isNotNull(),
+        )
+        return d.select(
+            "doc_id",
+            # comma-joined string, not an array: engines materialize list
+            # columns with different container dtypes, strings hash alike
+            F.array_join(reasons, ",").alias("fail_reasons"),
+            (F.size(reasons) == 0).alias("passed"),
+        ).orderBy("doc_id")
+
+    Q["doc_quality_gate"] = doc_quality_gate
+
     def dedup_ngram_jaccard(spark, sf):
         # exact Jaccard >= 0.8 (the production near-dedup regime) with
         # MinHash-LSH candidates — oracle below is ALL-PAIRS SQL, so any
@@ -2247,6 +2281,37 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "coalesce(h.rule = 'allow', TRUE) AS crawl_allowed "
             "FROM dom d LEFT JOIN (SELECT doc_id, rule FROM hits "
             "WHERE rn = 1) h ON d.doc_id = h.doc_id ORDER BY 1"
+        ),
+        "doc_quality_gate": (
+            f"WITH q AS (SELECT doc_id, {lang_scores}, "
+            "len(string_split(text, ' ')) AS n_words, "
+            "len(list_distinct(string_split(text, ' '))) * 1.0 / "
+            "len(string_split(text, ' ')) AS distinct_ratio "
+            "FROM documents), "
+            f"l AS (SELECT doc_id, {lang_case} AS lang_pred, n_words, "
+            "distinct_ratio FROM q), "
+            "t AS (SELECT doc_id, string_split(text, ' ') AS ln "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform(range(1, len(ln)), "
+            "i -> ln[i] || ' ' || ln[i+1])) AS gram FROM t "
+            "WHERE len(ln) >= 2), "
+            "per AS (SELECT doc_id, gram, count(*) AS c FROM g "
+            "GROUP BY 1, 2), "
+            "r AS (SELECT doc_id, cast(sum(c) - count(*) AS DOUBLE) / "
+            "cast(sum(c) AS DOUBLE) AS dup_gram_frac FROM per "
+            "GROUP BY doc_id), "
+            "f AS (SELECT l.doc_id AS doc_id, list_filter(["
+            "CASE WHEN lang_pred <> 'en' THEN 'non_english' END, "
+            "CASE WHEN n_words < 40 THEN 'too_short' END, "
+            "CASE WHEN distinct_ratio < 0.35 THEN 'low_distinct' END, "
+            "CASE WHEN coalesce(dup_gram_frac, 0.0) > 0.05 "
+            "THEN 'repetitive' END], x -> x IS NOT NULL) AS fl "
+            "FROM l LEFT JOIN r ON l.doc_id = r.doc_id) "
+            "SELECT doc_id, "
+            # DuckDB's array_to_string([]) is NULL while Spark's
+            # array_join is '' — coalesce to the Spark convention
+            "coalesce(array_to_string(fl, ','), '') AS fail_reasons, "
+            "len(fl) = 0 AS passed FROM f ORDER BY doc_id"
         ),
         "doc_repetition": _repetition_oracle_sql(),
         "chunk_dedup_docs": _chunk_dedup_oracle_sql(20),
