@@ -343,6 +343,7 @@ def main() -> None:
             )
         )
     run_round4_legs(spark)
+    run_textops_legs(spark)
     spark.stop()
 
 
