@@ -153,7 +153,10 @@ def hash_split(
     the integer exact in both int64 and the SQL oracle's UBIGINT.
 
     Adds a ``split`` column; narrow (no shuffle)."""
-    assert sum(weights) == 100 and len(weights) == len(names)
+    if sum(weights) != 100 or len(weights) != len(names):
+        raise ValueError(
+            f"weights must sum to 100 and pair with names: {weights} / {names}"
+        )
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 15
