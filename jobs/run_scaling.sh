@@ -61,7 +61,7 @@ for r in runs:
     by_cores.setdefault(r["cores"], []).append(r)
 cores_sorted = sorted(by_cores)
 n, n4 = cores_sorted[0], cores_sorted[-1]
-keys = ["normalize", "pip_join", "tiles", "knn"]
+keys = ["normalize", "pip_join", "tiles", "knn", "chunk_dedup"]
 
 def best(cores, k):
     return min(r["seconds"][k] for r in by_cores[cores])
@@ -72,6 +72,7 @@ klass = {
     "pip_join": "mem",    # Arrow transfer + pandas/numpy refine, DRAM-bound
     "tiles": "mem",       # cell-count shuffles
     "knn": "mem",         # candidate-join + window shuffles
+    "chunk_dedup": "mem", # explode + hash-agg + join shuffles
     "total": "mem",
 }
 lines = [
@@ -110,7 +111,9 @@ tot1 = tot4 = 0.0
 for k in keys:
     t1, t4 = best(n, k), best(n4, k)
     tot1 += t1; tot4 += t4
-    rows = rows_meta.get("pages" if k == "normalize" else "points", "")
+    rows = rows_meta.get(
+        {"normalize": "pages", "chunk_dedup": "docs"}.get(k, "points"), ""
+    )
     sp = t1 / t4
     eff = sp / (n4 / n)
     ceil = cal[klass[k]]["efficiency"]

@@ -15,6 +15,8 @@ Workload (CPU-heavy, shuffle-real):
      (salted, broadcast-free) at res 4
   W3 tile pyramid: res 5/6/7 cell counts over the same points
   W4 kNN: 300 queries, ring+window plan
+  W5 chunk dedup: sub-document first-wins dedup over a 100k-doc synthetic
+     corpus (explode + hash aggregates + equi-join — the webtext family)
 """
 
 from __future__ import annotations
@@ -144,6 +146,19 @@ def main() -> None:
         _knn_rep(i)
         knn_times.append(time.perf_counter() - t0)
     seconds["knn"] = round(min(knn_times), 2)
+
+    # W5 chunk dedup (webtext): docs cached so the timed reps measure the
+    # operator (explode -> keeper aggregate -> join -> reassembly), not
+    # the synth; chunk_dedup holds no internal cache, so identical reps
+    # recompute honestly
+    from geoharvest_spark.textops import chunk_dedup
+    from jobs.headroom import synth_docs
+
+    docs = synth_docs(spark, 100_000).repartition(N_PART).cache()
+    rows["docs"] = docs.count()
+    seconds["chunk_dedup"] = _timed_min(
+        lambda: _noop(chunk_dedup(docs, chunk_tokens=20))
+    )
 
     seconds["total"] = round(sum(seconds.values()), 2)
     print(json.dumps({"cores": cores, "seconds": seconds, "rows": rows}))
