@@ -148,6 +148,10 @@ def curate(
         & (F.col("n_words") >= cfg.min_words)
         & (F.col("distinct_ratio") >= cfg.min_distinct_ratio)
     )
+    # NOTE: repetition_stats emits no row for docs with < 2 tokens, so the
+    # semi-join drops them here too — unreachable under the default
+    # min_words=10 gate above, but a 1-token doc would not survive a
+    # custom cfg with min_words <= 1 (single-token pages are noise anyway)
     repo = tx.repetition_stats(q).where(
         F.col("dup_gram_frac") <= cfg.max_dup_gram_frac
     )
