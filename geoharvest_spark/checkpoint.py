@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import datetime as dt
 import os
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -157,9 +158,17 @@ def run_with_checkpoint(
             f"the stale-partition purge; got {out_dir!r} (use Iceberg "
             "overwritePartitions for object-store/HDFS outputs)"
         )
+    # Spark accepts file:// URIs but shutil only takes plain paths —
+    # rmtree("file:///...") raises FileNotFoundError, which the purge loop
+    # would swallow, silently reviving the stale-row bug for file:// callers.
+    local_out = (
+        urllib.parse.urlparse(out_dir).path
+        if out_dir.startswith("file://")
+        else out_dir
+    )
     for pid in attempted:
         try:
-            shutil.rmtree(f"{out_dir}/data/{partition_col}={pid}")
+            shutil.rmtree(f"{local_out}/data/{partition_col}={pid}")
         except FileNotFoundError:
             pass  # partition never written — nothing stale to purge
     result = process(todo)

@@ -576,7 +576,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     (4:4:4 / 4:2:2 / 4:2:0 by sample replication), YCbCr->RGB. Supports
     8-bit sequential frames (SOF0/SOF1), 1 or 3 components, restart
     markers (DRI/RSTn). Progressive and other frame types raise
-    NotImplementedError. Returns (h, w) or (h, w, 3) uint8."""
+    NotImplementedError. Any malformed payload raises ValueError (the
+    contract decode_image / with_resized_images rely on to null out
+    undecodable rows instead of crashing the Spark task).
+    Returns (h, w) or (h, w, 3) uint8."""
+    import struct
+
+    try:
+        return _decode_jpeg_impl(payload)
+    except (KeyError, IndexError, struct.error) as e:
+        # Malformed streams can index missing Huffman/quant tables or run
+        # coefficient writes past the block; surface them all as ValueError
+        # so callers' undecodable-payload handling applies uniformly.
+        raise ValueError(f"malformed JPEG ({type(e).__name__}: {e})") from e
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     import struct
 
     if payload[:2] != b"\xff\xd8":
@@ -591,6 +606,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
+        # marker byte — skip them or a spec-legal file misparses.
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -681,7 +700,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     order = []  # per-MCU block layout: (cid, hc, vc, qt, plane)
     for cid, hc, vc, tq in comps:
         planes[cid] = np.zeros((mcus_y * vc * 8, mcus_x * hc * 8), dtype=np.float64)
-        dc_id = next(j for j in scan_comps if j[0] == cid)
+        dc_id = next((j for j in scan_comps if j[0] == cid), None)
+        if dc_id is None:
+            raise ValueError(f"JPEG scan omits frame component {cid}")
+        if tq not in qts or (0, dc_id[1]) not in huff or (1, dc_id[2]) not in huff:
+            raise ValueError("JPEG references undefined quant/Huffman table")
         order.append((cid, hc, vc, qts[tq], huff[(0, dc_id[1])], huff[(1, dc_id[2])]))
 
     n_mcus = mcus_x * mcus_y
@@ -714,6 +737,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                                     continue
                                 break  # EOB
                             k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG AC run-length past block end"
+                                )
                             v, bpos = _receive_extend(bitarr, bpos, s)
                             coef[_ZZ[k]] = v * qt[k]
                             k += 1

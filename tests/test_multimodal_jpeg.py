@@ -175,3 +175,74 @@ def test_synth_media_rotation_includes_jpeg():
     assert len(jpeg_rows) > 0
     for p in jpeg_rows.payload:
         assert bytes(p)[:2] == b"\xff\xd8"
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r4: malformed payloads must raise ValueError (never KeyError /
+# IndexError), and spec-legal 0xFF fill padding before markers must parse.
+# ---------------------------------------------------------------------------
+def test_malformed_table_ids_raise_valueerror():
+    """DHT/DQT table-id mismatches used to KeyError out of decode_jpeg,
+    crashing Spark tasks instead of hitting the undecodable-payload path."""
+    enc = bytearray(encode_jpeg(_gradient(16, 16), 90, "444"))
+    # Corrupt every DQT table id (0xDB segments) to an unreferenced id 7.
+    pos = 2
+    while pos + 4 <= len(enc):
+        if enc[pos] == 0xFF and enc[pos + 1] == 0xDB:
+            enc[pos + 4] = (enc[pos + 4] & 0xF0) | 0x07
+        if enc[pos] == 0xFF and enc[pos + 1] == 0xDA:
+            break
+        pos += 1
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(enc))
+
+
+def test_truncated_header_raises_valueerror():
+    """A payload chopped inside a marker segment must not IndexError."""
+    enc = encode_jpeg(_gradient(16, 16), 90, "444")
+    for cut in (3, 5, 9, 21):
+        with pytest.raises(ValueError):
+            decode_jpeg(enc[:cut])
+
+
+def test_corrupt_entropy_stream_raises_valueerror():
+    """Flipping entropy bytes can drive AC run-lengths past k=63; the
+    decoder must surface that as ValueError, not IndexError."""
+    enc = bytearray(encode_jpeg(_gradient(24, 32), 90, "420"))
+    sos = bytes(enc).find(b"\xff\xda")
+    assert sos > 0
+    failures = 0
+    for seed in range(40):
+        bad = bytearray(enc)
+        idx = sos + 20 + (seed * 7) % (len(enc) - sos - 24)
+        bad[idx] ^= 0x5A + seed
+        try:
+            decode_jpeg(bytes(bad))
+        except ValueError:
+            failures += 1
+        except NotImplementedError:
+            pass  # corrupted into an unsupported-frame marker — also fine
+    assert failures > 0  # at least some corruptions hit the guarded paths
+
+
+def test_fill_bytes_before_marker_parse():
+    """T.81 permits any number of 0xFF fill bytes before a marker; insert
+    padding before DQT/SOF/SOS markers and require identical decode."""
+    enc = bytes(encode_jpeg(_gradient(24, 32), 90, "444"))
+    base = decode_jpeg(enc)
+    padded = bytearray(enc[:2])
+    pos = 2
+    while pos + 2 <= len(enc):
+        assert enc[pos] == 0xFF
+        marker = enc[pos + 1]
+        padded += b"\xff\xff\xff"  # three fill bytes before every marker
+        padded += enc[pos : pos + 2]
+        pos += 2
+        if marker == 0xDA:  # SOS: rest is entropy data, copy verbatim
+            padded += enc[pos:]
+            break
+        seglen = (enc[pos] << 8) | enc[pos + 1]
+        padded += enc[pos : pos + seglen]
+        pos += seglen
+    out = decode_jpeg(bytes(padded))
+    assert np.array_equal(out, base)

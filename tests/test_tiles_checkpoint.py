@@ -193,3 +193,39 @@ def test_tile_pyramid_rollup_equals_direct(spark):
     b = direct_pdf.sort_values(key).reset_index(drop=True)
     assert a.shape == b.shape
     assert (a.values == b.values).all()
+
+
+def test_checkpoint_file_uri_purges_stale_partitions(tmp_path, spark):
+    """ADVICE r4: file:// out_dirs passed the scheme guard, but
+    shutil.rmtree('file:///...') raises FileNotFoundError which the purge
+    loop swallows — so the stale-partition purge silently no-opped and a
+    crashed attempt's stale rows survived. Regression: with a file:// URI,
+    a pending partition whose rerun emits ZERO rows must come back empty."""
+    out = "file://" + str(tmp_path / "outu")
+    store = CheckpointStore(spark, str(tmp_path / "lineageu"))
+    work = spark.range(40).withColumn(
+        "partition_id", (F.col("id") % 4).cast("int")
+    )
+
+    # Simulate a crashed prior attempt: partition 2 has rows on disk but
+    # was never marked done, so it is still pending.
+    (
+        work.where(F.col("partition_id") == 2)
+        .withColumn("y", F.lit(-1).cast("long"))
+        .write.partitionBy("partition_id")
+        .parquet(out + "/data")
+    )
+
+    def process(df):
+        # The legitimate rerun emits nothing for partition 2.
+        return df.where(F.col("partition_id") != 2).withColumn(
+            "y", F.col("id") * 2
+        )
+
+    out1 = run_with_checkpoint(
+        spark, work, process, store, "ju", "s1", out
+    )
+    assert out1.count() == 30  # stale partition-2 rows purged, not revived
+    assert out1.where(F.col("y") < 0).count() == 0
+    cur = store.current().toPandas().set_index("partition_id")
+    assert cur.loc[2, "rows"] == 0
