@@ -177,6 +177,49 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
+# Driver check-window ordering (round 5; VERDICT r4 "Next round" #1).
+#
+# The correctness driver runs the oracle compare on the FIRST 50 registered
+# queries only.  Round 4 registered 71, so the last 21 (every streaming /
+# media / ANN / skew contract query) never got a driver-side CORRECTNESS
+# row — 10 of them had never had one in any round.  This list pins a stable
+# registration order: the 21 previously-unchecked queries first, then the
+# round-5 additions, then the 50 queries already green in
+# CORRECTNESS_r04.json (in their r4 order).  The union of r4 + r5 driver
+# rows therefore covers every registered query.  Keep this list stable; add
+# new queries immediately after the NEW-IN-R5 block so they land inside the
+# 50-query window on their debut round.
+_DRIVER_ORDER = [
+    # -- 21 queries without a driver row as of CORRECTNESS_r04.json --
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "embed_topk_cosine",
+    "embed_lsh_ann",
+    "embed_ivf_ann",
+    "sink_pooled_events",
+    "sink_failure_rollup",
+    "source_alma_pruning",
+    "media_features",
+    "s7_time_travel",
+    "harvest_normalize",
+    "stream_last_event",
+    "checkpoint_resume",
+    "dedup_embed_cosine",
+    "stream_windowed_counts",
+    "session_window_native",
+    "stream_sessionize_timeout",
+    "pip_skew_hot_cell",
+    "media_resize",
+    "media_resize_pixels",
+    "media_frame_plan",
+    # -- NEW IN R5 (debut queries must sit inside the check window) --
+    "near_dup_components",
+    "robots_wildcard_filter",
+    "doc_decontaminate_norm",
+    # -- r4-green queries follow in their original registration order --
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -748,6 +791,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["doc_decontaminate"] = doc_decontaminate
 
+    def doc_decontaminate_norm(spark, sf):
+        # normalized decontamination (the 13-gram rule's preprocessing):
+        # every 7th corpus doc gets a benchmark doc's text APPENDED, then
+        # the whole corpus side is case-mangled (upper) and comma-joined —
+        # planted cased+punctuated contamination the exact-match check
+        # (doc_decontaminate) misses entirely (verified: 0 hits without
+        # normalize). lowercase+strip-punct normalization recovers the
+        # clean-text hit counts exactly, because documents.text is
+        # lowercase alnum to begin with
+        docs = _t(spark, sf, "documents")
+        bench = docs.where(F.col("doc_id") % 50 == 0)
+        planted = bench.select(
+            F.col("doc_id").alias("_bid"), F.col("text").alias("_btext")
+        )
+        corpus = (
+            docs.where(F.col("doc_id") % 50 != 0)
+            .withColumn("_bid", F.col("doc_id") - F.col("doc_id") % 50)
+            .join(planted, "_bid", "left")
+            .select(
+                "doc_id",
+                F.upper(
+                    F.expr("replace(text, ' ', ', ')")
+                ).alias("_own"),
+                F.upper(
+                    F.expr("replace(_btext, ' ', ', ')")
+                ).alias("_pl"),
+            )
+            .select(
+                "doc_id",
+                F.when(
+                    (F.col("doc_id") % 7 == 0) & F.col("_pl").isNotNull(),
+                    F.concat_ws(", ", "_own", "_pl"),
+                )
+                .otherwise(F.col("_own"))
+                .alias("text"),
+            )
+        )
+        return tx.contamination_stats(
+            corpus, bench, n=8, normalize=True
+        ).orderBy("doc_id")
+
+    Q["doc_decontaminate_norm"] = doc_decontaminate_norm
+
+    def near_dup_components(spark, sf):
+        # distributed connected components (large-star/small-star) over a
+        # planted chain+clique+long-link pair graph — the clustering pass
+        # that turns near-dup PAIRS into keep-one-per-component decisions.
+        # Every node gets its component (= min reachable id) + its size;
+        # isolated docs are their own singleton component.
+        docs = _t(spark, sf, "documents").select("doc_id")
+        nn = F.broadcast(docs.agg((F.max("doc_id") + 1).alias("n")))
+        a = docs.select(F.col("doc_id").alias("a")).crossJoin(nn)
+        chain = a.where(F.col("a") % 10 < 3).select(
+            "a", (F.col("a") + 1).alias("b")
+        )
+        star = a.where((F.col("a") % 37 != 0) & (F.col("a") % 4 == 0)).select(
+            "a", (F.col("a") - F.col("a") % 37).alias("b")
+        )
+        lng = a.where(F.col("a") % 53 == 0).select(
+            "a", ((F.col("a") * 7 + 13) % F.col("n")).alias("b")
+        )
+        edges = (
+            chain.union(star)
+            .union(lng)
+            .join(docs.select(F.col("doc_id").alias("b")), "b")
+        )
+        comp = tx.connected_components(
+            edges, src="a", dst="b", vertices=docs
+        )
+        sizes = comp.groupBy("component").agg(
+            F.count(F.lit(1)).alias("comp_size")
+        )
+        return (
+            comp.join(sizes, "component")
+            .select("id", "component", "comp_size")
+            .orderBy("id")
+        )
+
+    Q["near_dup_components"] = near_dup_components
+
     def vocab_top25(spark, sf):
         return tx.vocab_topk(_t(spark, sf, "documents"), k=25)
 
@@ -967,6 +1090,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     Q["robots_crawl_filter"] = robots_crawl_filter
+
+    def robots_wildcard_filter(spark, sf):
+        """RFC 9309 wildcard robots evaluation: `*` (any run) and
+        trailing `$` (end anchor) in rule paths, longest-RAW-rule-text
+        precedence, allow wins ties. Three deterministic per-domain
+        variants mix mid-rule stars, anchored stars, a literal-prefix
+        rule, and a star-vs-anchor length tie. The oracle derives each
+        variant's rule set directly and re-implements the wildcard->RE2
+        compilation + evaluation in SQL."""
+        from geoharvest_spark import webops as wb
+
+        u = wb.with_canonical_url(_messy_urls(spark, sf)).select(
+            "doc_id", "canonical_url", "domain"
+        )
+        v = F.length("domain") % 3
+        txt = (
+            F.when(
+                v == 0,
+                F.lit(
+                    "User-agent: *\nDisallow: /Path/*2\nAllow: /Path/*22$"
+                ),
+            )
+            .when(
+                v == 1,
+                F.lit(
+                    "User-agent: *\nDisallow: /*?page=1$\nDisallow: /Path/3"
+                ),
+            )
+            .otherwise(
+                F.lit(
+                    "User-agent: otherbot\nDisallow: /\n\n"
+                    "User-agent: *\nDisallow: /Path/4*\nAllow: /Path/4$"
+                )
+            )
+        )
+        robots = u.select("domain").distinct().select(
+            "domain", txt.alias("robots_txt")
+        )
+        rules = wb.parse_robots(robots)
+        return (
+            wb.with_crawl_allowed(u, rules)
+            .select("doc_id", "canonical_url", "domain", "crawl_allowed")
+            .orderBy("doc_id")
+        )
+
+    Q["robots_wildcard_filter"] = robots_wildcard_filter
 
     def doc_quality_gate(spark, sf):
         """Composite Gopher-style quality gate with REASONS: every doc
@@ -1625,7 +1794,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["media_frame_plan"] = media_frame_plan
 
-    return Q
+    # Re-emit in the pinned driver-window order (see _DRIVER_ORDER above):
+    # previously-unchecked queries first so every query gets a driver-green
+    # CORRECTNESS row across rounds.  Unlisted queries keep their original
+    # relative order after the pinned block.
+    ordered = {k: Q.pop(k) for k in _DRIVER_ORDER if k in Q}
+    ordered.update(Q)
+    return ordered
 
 
 def _repetition_oracle_sql() -> str:
@@ -2235,6 +2410,112 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "coalesce(n_hits, 0) AS n_hits, "
             "coalesce(n_hits, 0) > 0 AS contaminated "
             "FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id ORDER BY 1"
+        ),
+        "doc_decontaminate_norm": (
+            # Ground truth on the CLEAN text: documents.text is lowercase
+            # alnum single-spaced, so normalize(upper(comma-joined text))
+            # must recover exactly the clean-text hit counts — including
+            # the planted benchmark append on every 7th corpus doc.
+            # Deliberately NOT a re-implementation of the normalizer —
+            # the oracle asserts the recovery property, so a normalizer
+            # bug shared between engines cannot cancel out.
+            "WITH raw AS (SELECT d.doc_id, "
+            "CASE WHEN d.doc_id % 50 != 0 AND d.doc_id % 7 = 0 "
+            "AND b.text IS NOT NULL THEN d.text || ' ' || b.text "
+            "ELSE d.text END AS text "
+            "FROM documents d LEFT JOIN documents b "
+            "ON b.doc_id = d.doc_id - d.doc_id % 50 AND d.doc_id % 50 != 0), "
+            "t AS (SELECT doc_id, string_split(text, ' ') AS l "
+            "FROM raw), "
+            "g AS (SELECT doc_id, md5(gram) AS h FROM ("
+            "SELECT doc_id, unnest(list_transform(range(1, len(l) - 6), "
+            "i -> array_to_string(l[i:i+7], ' '))) AS gram FROM t "
+            "WHERE len(l) >= 8)), "
+            "bh AS (SELECT DISTINCT h FROM g WHERE doc_id % 50 = 0), "
+            "hits AS (SELECT doc_id, count(*) AS n_hits FROM g "
+            "WHERE doc_id % 50 != 0 AND h IN (SELECT h FROM bh) "
+            "GROUP BY 1), "
+            "tot AS (SELECT doc_id, CASE WHEN len(l) >= 8 "
+            "THEN len(l) - 7 ELSE 0 END AS n_grams FROM t "
+            "WHERE doc_id % 50 != 0) "
+            "SELECT tot.doc_id AS doc_id, cast(n_grams AS BIGINT) AS n_grams, "
+            "coalesce(n_hits, 0) AS n_hits, "
+            "coalesce(n_hits, 0) > 0 AS contaminated "
+            "FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id ORDER BY 1"
+        ),
+        "robots_wildcard_filter": (
+            # Independent RE2 re-implementation of the RFC 9309 rule
+            # compiler: strip a trailing $, escape regex metachars to
+            # literals ('g' flag — DuckDB replaces first-only without it),
+            # then '*' -> '.*', anchor with ^ (and $ when stripped).
+            f"WITH {_url_canonical_cte()}, "
+            "doms AS (SELECT DISTINCT domain FROM dom), "
+            "rules AS ("
+            "SELECT domain, 'disallow' AS rule, '/Path/*2' AS path "
+            "FROM doms WHERE length(domain) % 3 = 0 "
+            "UNION ALL SELECT domain, 'allow', '/Path/*22$' "
+            "FROM doms WHERE length(domain) % 3 = 0 "
+            "UNION ALL SELECT domain, 'disallow', '/*?page=1$' "
+            "FROM doms WHERE length(domain) % 3 = 1 "
+            "UNION ALL SELECT domain, 'disallow', '/Path/3' "
+            "FROM doms WHERE length(domain) % 3 = 1 "
+            "UNION ALL SELECT domain, 'disallow', '/Path/4*' "
+            "FROM doms WHERE length(domain) % 3 = 2 "
+            "UNION ALL SELECT domain, 'allow', '/Path/4$' "
+            "FROM doms WHERE length(domain) % 3 = 2), "
+            "rx AS (SELECT domain, rule, path, "
+            "'^' || regexp_replace(regexp_replace("
+            "CASE WHEN ends_with(path, '$') "
+            "THEN substr(path, 1, length(path) - 1) ELSE path END, "
+            "'([.^$+?(){}\\[\\]|\\\\])', '\\\\\\1', 'g'), "
+            "'\\*', '.*', 'g') "
+            "|| CASE WHEN ends_with(path, '$') THEN '$' ELSE '' END "
+            "AS pattern FROM rules), "
+            "m AS (SELECT d.doc_id, d.canonical_url, d.domain, r.rule, "
+            "r.path, r.pattern, regexp_replace(d.canonical_url, "
+            "'^[a-z][a-z0-9+.-]*://[^/]*', '') AS p "
+            "FROM dom d LEFT JOIN rx r ON d.domain = r.domain), "
+            "hits AS (SELECT doc_id, rule, row_number() OVER ("
+            "PARTITION BY doc_id ORDER BY length(path) DESC, "
+            "(rule = 'allow') DESC) AS rn "
+            "FROM m WHERE path IS NOT NULL AND regexp_matches(p, pattern)) "
+            "SELECT d.doc_id AS doc_id, d.canonical_url AS canonical_url, "
+            "d.domain AS domain, "
+            "coalesce(h.rule = 'allow', TRUE) AS crawl_allowed "
+            "FROM dom d LEFT JOIN (SELECT doc_id, rule FROM hits "
+            "WHERE rn = 1) h ON d.doc_id = h.doc_id ORDER BY 1"
+        ),
+        "near_dup_components": (
+            # Iterative ground truth: seed every doc labeled by itself,
+            # close the label set over the (bidirectional) planted edges
+            # with a recursive CTE, then take min(label) per node —
+            # reachability-min == connected component representative.
+            "WITH RECURSIVE "
+            "ids AS (SELECT doc_id FROM documents), "
+            "nn AS (SELECT max(doc_id) + 1 AS n FROM ids), "
+            "e0 AS ("
+            "SELECT doc_id AS a, doc_id + 1 AS b FROM ids "
+            "WHERE doc_id % 10 < 3 "
+            "UNION ALL "
+            "SELECT doc_id, doc_id - doc_id % 37 FROM ids "
+            "WHERE doc_id % 37 <> 0 AND doc_id % 4 = 0 "
+            "UNION ALL "
+            "SELECT doc_id, (doc_id * 7 + 13) % (SELECT n FROM nn) "
+            "FROM ids WHERE doc_id % 53 = 0), "
+            "e1 AS (SELECT a, b FROM e0 "
+            "WHERE a <> b AND b IN (SELECT doc_id FROM ids)), "
+            "e AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1), "
+            "walk(id, lbl) AS ("
+            "SELECT doc_id, doc_id FROM ids "
+            "UNION "
+            "SELECT e.b, walk.lbl FROM walk JOIN e ON e.a = walk.id), "
+            "comp AS (SELECT id, min(lbl) AS component FROM walk "
+            "GROUP BY id), "
+            "sz AS (SELECT component, count(*) AS comp_size FROM comp "
+            "GROUP BY component) "
+            "SELECT comp.id AS id, comp.component AS component, "
+            "sz.comp_size AS comp_size "
+            "FROM comp JOIN sz USING (component) ORDER BY id"
         ),
         "vocab_top25": (
             "SELECT token, count(*) AS n FROM ("

@@ -189,12 +189,22 @@ def _gram_array(toks: Column, n: int) -> Column:
     ).otherwise(F.array().cast("array<string>"))
 
 
+def normalized_text_col(text: Column) -> Column:
+    """Decontamination normalizer (the 13-gram rule's preprocessing):
+    lowercase, collapse every non-alphanumeric run to a single space,
+    trim. Pure codegen — one lower + one regexp_replace in the scan
+    stage. Aggressive by design: cased or punctuation-decorated
+    near-matches hash to the same n-grams as the clean benchmark text."""
+    return F.trim(F.regexp_replace(F.lower(text), r"[^a-z0-9]+", " "))
+
+
 def contamination_stats(
     df: DataFrame,
     bench: DataFrame,
     n: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    normalize: bool = False,
 ) -> DataFrame:
     """Benchmark decontamination: for every corpus document, count the
     n-gram positions whose n-gram also occurs anywhere in the benchmark
@@ -211,15 +221,23 @@ def contamination_stats(
     splits once (see repetition_stats — the inline form re-splits per
     lambda reference, n+2 per gram; 22x measured at n=8).
 
+    With ``normalize=True`` both sides pass through
+    ``normalized_text_col`` first (lowercase + strip punctuation), so
+    cased/punctuated near-matches no longer slip through the exact-match
+    check — the 13-gram rule's preprocessing.
+
     Returns (id, n_grams, n_hits, contaminated)."""
-    base = df.select(
-        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    txt = (
+        normalized_text_col(F.col(text_col))
+        if normalize
+        else F.col(text_col)
     )
+    base = df.select(F.col(id_col), tokens_col(txt).alias("_toks"))
     grams = _gram_array(F.col("_toks"), n)
     corpus_g = base.select(
         F.col(id_col), F.explode(grams).alias("gram")
     ).select(id_col, F.md5("gram").alias("h"))
-    bench_base = bench.select(tokens_col(F.col(text_col)).alias("_toks"))
+    bench_base = bench.select(tokens_col(txt).alias("_toks"))
     bench_h = (
         bench_base.select(
             F.explode(_gram_array(F.col("_toks"), n)).alias("gram")
@@ -657,3 +675,115 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    vertices: DataFrame | None = None,
+    max_iter: int = 50,
+) -> DataFrame:
+    """Distributed connected components over an undirected edge list,
+    via alternating large-star / small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — the
+    algorithm production corpus builds use to cluster near-dup pairs
+    before keeping one document per component).
+
+    Returns ``(id, component)`` for every node that appears in ``pairs``
+    (plus every id in ``vertices`` if given — isolated vertices map to
+    themselves), where ``component`` is the minimum node id reachable
+    through the pair graph.  Replaces the greedy "drop id_b of every
+    pair" approximation: a v-structure A–C, B–C clusters {A, B, C}
+    into one component even though A–B was never emitted as a pair.
+
+    Scale shape (the reason this is NOT label propagation): each round
+    is two groupBy-min aggregations plus two equi-joins — no
+    collect_list, so a hub's neighborhood never materializes on a
+    single row — and the edge set contracts toward a star forest in
+    O(log^2 n) rounds regardless of graph diameter (a 1M-node chain
+    converges in ~20 rounds where per-hop label propagation needs 1M).
+    Each round localCheckpoints the contracted edges to truncate
+    lineage, the same discipline GraphFrames applies.
+
+    Convergence test: per-round (row count, sum of xxhash64(a, b)) over
+    the normalized edge set — one aggregation instead of a double
+    exceptAll, with a collision probability ~2^-64 per round.
+    """
+    e = (
+        pairs.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
+        .distinct()
+    )
+
+    def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+        # sum in decimal(38,0): long-sum of int64 hashes overflows under
+        # ANSI mode; decimal gives an exact wide accumulator
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    e = e.localCheckpoint(eager=True)
+    prev = _fingerprint(e)
+    for _ in range(max_iter):
+        # large-star: for every node u, link each LARGER neighbor v to
+        # m(u) = min(neighborhood(u) + {u})
+        both = e.select("a", "b").union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        m_large = both.groupBy("a").agg(
+            F.least(F.min("b"), F.first("a")).alias("m")
+        )
+        large = (
+            both.where(F.col("b") > F.col("a"))
+            .join(m_large, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .where(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+        )
+        # small-star: for every node u, link each SMALLER-or-self
+        # neighbor (and u itself) to m(u) = min of those neighbors
+        both2 = large.select("a", "b").union(
+            large.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        smaller = both2.where(F.col("b") < F.col("a"))
+        m_small = smaller.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            smaller.join(m_small, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(m_small.select(F.col("a"), F.col("m").alias("b")))
+            .where(F.col("a") != F.col("b"))
+            .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+            .distinct()
+        )
+        e = small.localCheckpoint(eager=True)
+        cur = _fingerprint(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # Fixed point is a star forest: every edge is (root=a, node=b) with
+    # a == component min. Roots map to themselves.
+    comp = e.select(F.col("b").alias("id"), F.col("a").alias("component")).union(
+        e.select(F.col("a").alias("id"), F.col("a").alias("component"))
+    ).groupBy("id").agg(F.min("component").alias("component"))
+    if vertices is not None:
+        vcol = vertices.columns[0]
+        iso = (
+            vertices.select(F.col(vcol).cast("long").alias("id"))
+            .distinct()
+            .join(comp, "id", "left_anti")
+            .select("id", F.col("id").alias("component"))
+        )
+        comp = comp.union(iso)
+    return comp

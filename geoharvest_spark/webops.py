@@ -220,8 +220,7 @@ def parse_robots(df: DataFrame, domain_col: str = "domain",
                  txt_col: str = "robots_txt") -> DataFrame:
     """Parse robots.txt bodies into per-domain rules for user-agent ``*``.
 
-    Spec (original-1994 prefix rules; RFC 9309 wildcards are out of
-    scope and documented as such): lines split on \\n, \\r and comments
+    Spec: lines split on \\n, \\r and comments
     (``#...``) stripped, blank lines ignored; ``User-agent:`` lines open
     a section (CONSECUTIVE user-agent lines share one section, per the
     standard); ``Allow:`` / ``Disallow:`` rules bind to the nearest
@@ -271,21 +270,62 @@ def parse_robots(df: DataFrame, domain_col: str = "domain",
     )
 
 
+def _robots_rule_pattern(path: Column) -> Column:
+    """Compile an RFC 9309 rule path into an anchored regex string:
+    ``*`` matches any character run, a TRAILING ``$`` anchors the end of
+    the URL path (a ``$`` anywhere else is a literal, per the RFC), and
+    everything else is escaped to a literal. The result always carries a
+    leading ``^`` — RFC rules are start-anchored prefix patterns."""
+    anchored = path.endswith("$")
+    body = F.when(
+        anchored, F.substring(path, 1, F.length(path) - 1)
+    ).otherwise(path)
+    esc = F.regexp_replace(body, r"([.^$+?(){}\[\]|\\])", r"\\$1")
+    star = F.regexp_replace(esc, r"\*", ".*")
+    return F.concat(
+        F.lit("^"), star, F.when(anchored, F.lit("$")).otherwise(F.lit(""))
+    )
+
+
 def with_crawl_allowed(
     urls: DataFrame, rules: DataFrame, url_col: str = "canonical_url"
 ) -> DataFrame:
-    """Longest-prefix-match robots evaluation per URL (allow wins ties —
-    Google semantics): join URLs to their domain's rules, keep prefix
-    matches, pick the longest rule; no matching rule => allowed.
+    """Longest-match robots evaluation per URL (allow wins ties — Google
+    semantics): join URLs to their domain's rules, keep matching rules,
+    pick the longest one (rule length measured on the RAW rule text,
+    wildcards included, per RFC 9309 precedence); no matching rule =>
+    allowed.
+
+    Rule paths support RFC 9309 wildcards: ``*`` (any character run) and
+    a trailing ``$`` (end anchor). Plain prefix rules keep the codegen
+    ``startswith`` fast path; only rules that actually contain a
+    wildcard take the regex path (Spark's RLike caches the compiled
+    pattern while consecutive rows repeat it, which the rules-side join
+    order makes the common case).
 
     The rules side is per-domain KB-scale, so AQE broadcasts it; the
     argmax is a per-URL aggregate (max of (len, is_allow) struct), not a
     window over a sort."""
     path = F.regexp_replace(F.col(url_col), r"^[a-z][a-z0-9+.-]*://[^/]*", "")
     u = urls.withColumn("_path", path)
-    m = u.join(rules, "domain", "left").withColumn(
-        "_hit",
-        F.col("path").isNotNull() & F.col("_path").startswith(F.col("path")),
+    has_wild = F.col("path").rlike(r"[*]|\$$")
+    wild_hit = F.expr("rlike(_path, _pattern)")
+    m = (
+        u.join(
+            rules.withColumn(
+                "_pattern", _robots_rule_pattern(F.col("path"))
+            ),
+            "domain",
+            "left",
+        )
+        .withColumn(
+            "_hit",
+            F.col("path").isNotNull()
+            & F.when(has_wild, wild_hit).otherwise(
+                F.col("_path").startswith(F.col("path"))
+            ),
+        )
+        .drop("_pattern")
     )
     best = (
         m.where(F.col("_hit"))

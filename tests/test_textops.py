@@ -409,3 +409,109 @@ def test_vocab_topk_order(spark):
     )
     out = tx.vocab_topk(df, k=3).collect()
     assert [(r["token"], r["n"]) for r in out] == [("a", 3), ("b", 3), ("c", 1)]
+
+
+# ---------------------------------------------------------------------------
+# connected components (round 5 — near-dup clustering)
+# ---------------------------------------------------------------------------
+def _cc_brute(edges):
+    """Driver-side union-find ground truth for small graphs."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_connected_components_chain_clique_vstruct(spark):
+    edges = [
+        (1, 2), (2, 3), (3, 4),          # chain
+        (10, 11), (10, 12), (11, 12),    # clique
+        (20, 22), (21, 22),              # v-structure (20~21 transitive)
+        (30, 31),                        # plain pair
+        (40, 3),                         # late link into the chain
+    ]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {
+        r["id"]: r["component"]
+        for r in tx.connected_components(df).collect()
+    }
+    assert got == _cc_brute(edges)
+    # the v-structure clusters 20 and 21 together (greedy drop-id_b misses this)
+    assert got[20] == got[21] == got[22] == 20
+
+
+def test_connected_components_long_chain_few_rounds(spark):
+    """A 200-node chain has diameter 199; star contraction must converge
+    within the O(log^2 n) round cap, not O(diameter)."""
+    edges = [(i, i + 1) for i in range(200)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    out = tx.connected_components(df, max_iter=12).toPandas()
+    assert set(out["component"]) == {0}
+    assert len(out) == 201
+
+
+def test_connected_components_vertices_and_direction(spark):
+    """Isolated vertices map to themselves; edge direction/duplicates/
+    self-loops don't matter."""
+    edges = [(5, 2), (2, 5), (7, 7), (9, 8)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    verts = spark.createDataFrame([(i,) for i in range(10)], ["doc_id"])
+    got = {
+        r["id"]: r["component"]
+        for r in tx.connected_components(df, vertices=verts).collect()
+    }
+    assert got[5] == got[2] == 2
+    assert got[8] == got[9] == 8
+    for iso in (0, 1, 3, 4, 6, 7):
+        assert got[iso] == iso
+    assert len(got) == 10
+
+
+def test_connected_components_empty(spark):
+    df = spark.createDataFrame([], "id_a long, id_b long")
+    assert tx.connected_components(df).count() == 0
+    verts = spark.createDataFrame([(1,), (2,)], ["doc_id"])
+    got = {
+        r["id"]: r["component"]
+        for r in tx.connected_components(df, vertices=verts).collect()
+    }
+    assert got == {1: 1, 2: 2}
+
+
+def test_contamination_normalize_recovers_cased_punctuated(spark):
+    """Planted cased+punctuated contamination: invisible to the exact
+    check, fully recovered with normalize=True (the 13-gram rule's
+    lowercase+strip-punct preprocessing)."""
+    bench = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "Alpha, Beta; GAMMA delta! epsilon Zeta eta (theta)"),
+            (2, "totally unrelated words that score zero hits here ok"),
+        ],
+        ["doc_id", "text"],
+    )
+    exact = {
+        r["doc_id"]: r["contaminated"]
+        for r in tx.contamination_stats(corpus, bench, n=8).collect()
+    }
+    norm = {
+        r["doc_id"]: r["contaminated"]
+        for r in tx.contamination_stats(
+            corpus, bench, n=8, normalize=True
+        ).collect()
+    }
+    assert exact == {1: False, 2: False}
+    assert norm == {1: True, 2: False}

@@ -220,3 +220,69 @@ def test_crawl_allow_wins_tie(spark):
     )
     out = wb.with_crawl_allowed(urls, rules).collect()[0]
     assert out["crawl_allowed"] is True
+
+
+def test_crawl_wildcard_star_and_anchor(spark):
+    """RFC 9309 wildcards: `*` matches any run, trailing `$` anchors the
+    end of the URL path; `$` elsewhere is a literal; regex metachars in
+    rule paths are literals."""
+    rules = spark.createDataFrame(
+        [
+            ("s.com", "disallow", "/*.php$"),       # any .php page, anchored
+            ("s.com", "allow", "/shop/*.php$"),     # longer -> wins under /shop
+            ("s.com", "disallow", "/a*e"),          # star in the middle
+            ("s.com", "disallow", "/lit.x"),        # '.' must be literal
+            ("s.com", "disallow", "/price$list"),   # non-trailing '$' literal
+        ],
+        ["domain", "rule", "path"],
+    )
+    urls = spark.createDataFrame(
+        [
+            ("s.com", "https://s.com/index.php"),        # *.php$ -> blocked
+            ("s.com", "https://s.com/index.php?x=1"),    # not anchored-match -> allowed
+            ("s.com", "https://s.com/shop/buy.php"),     # allow wins (longer)
+            ("s.com", "https://s.com/apple"),            # /a*e -> blocked
+            ("s.com", "https://s.com/ae"),               # empty star run -> blocked
+            ("s.com", "https://s.com/litax"),            # '.' literal, no match -> allowed
+            ("s.com", "https://s.com/lit.x"),            # exact literal -> blocked
+            ("s.com", "https://s.com/price$list/x"),     # literal '$' -> blocked
+        ],
+        ["domain", "canonical_url"],
+    )
+    out = {
+        r["canonical_url"].rsplit("com", 1)[1]: r["crawl_allowed"]
+        for r in wb.with_crawl_allowed(urls, rules).collect()
+    }
+    assert out["/index.php"] is False
+    assert out["/index.php?x=1"] is True
+    assert out["/shop/buy.php"] is True
+    assert out["/apple"] is False
+    assert out["/ae"] is False
+    assert out["/litax"] is True
+    assert out["/lit.x"] is False
+    assert out["/price$list/x"] is False
+
+
+def test_crawl_wildcard_precedence_raw_length_tie(spark):
+    """Precedence counts the RAW rule text length (wildcards included);
+    equal length -> allow wins (Google semantics)."""
+    rules = spark.createDataFrame(
+        [
+            ("s.com", "disallow", "/Path/4*"),  # len 8
+            ("s.com", "allow", "/Path/4$"),     # len 8 -> tie on /Path/4
+        ],
+        ["domain", "rule", "path"],
+    )
+    urls = spark.createDataFrame(
+        [
+            ("s.com", "https://s.com/Path/4"),    # both match, tie -> allow
+            ("s.com", "https://s.com/Path/44"),   # only disallow matches
+        ],
+        ["domain", "canonical_url"],
+    )
+    out = {
+        r["canonical_url"][-8:]: r["crawl_allowed"]
+        for r in wb.with_crawl_allowed(urls, rules).collect()
+    }
+    assert out["m/Path/4"] is True
+    assert out["/Path/44"] is False
