@@ -23,10 +23,14 @@ and the next stage reads that table.** That is deliberately the 100-TB
 shape, not an optimization gap: it truncates lineage (no recompute
 cascades through seven wide stages), makes each stage independently
 restartable (the idempotent-resume story checkpoint.py tells for tiles),
-gives exact per-stage row counts from metadata-cheap counts, and lets a
-failed stage re-run without touching upstream outputs. The inter-stage
-frames are id+text projections, so the staged bytes stay proportional
-to the corpus text.
+and lets a failed stage re-run without touching upstream outputs. The
+inter-stage frames are id+text projections, so the staged bytes stay
+proportional to the corpus text.
+
+Per-stage row counts come from ``observe()`` metrics riding each stage's
+write action — zero extra jobs (the old per-stage ``count()`` re-scanned
+every just-written table, 8 extra jobs per run); each stage's ``rows_in``
+is the previous stage's observed ``rows_out``.
 
 Each operator inside a stage is the oracle-checked kernel the driver
 contract verifies one by one (see COVERAGE.md); this module only wires
@@ -37,7 +41,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from . import textops as tx
@@ -81,10 +85,16 @@ class CurationReport:
 
 def _stage(
     spark: SparkSession, df: DataFrame, out_dir: str, name: str
-) -> DataFrame:
+) -> tuple[DataFrame, int]:
+    """Materialize a stage and return (read-back frame, observed row
+    count). The count is an observe() metric on the write action itself
+    — no second scan of the stage output."""
     path = f"{out_dir}/stages/{name}"
-    df.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    obs = Observation(f"curation_{name}")
+    df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "overwrite"
+    ).parquet(path)
+    return spark.read.parquet(path), int(obs.get["rows"])
 
 
 def curate(
@@ -113,10 +123,10 @@ def curate(
         "domain",
         extract_text_from_html(F.col("html")).alias("text"),
     )
-    ext = _stage(spark, ext, out_dir, "extract")
-    n_pages = pages.count()
-    n_ext = ext.count()
-    rep.record("extract", n_pages, n_ext)
+    ext, n_ext = _stage(spark, ext, out_dir, "extract")
+    # extract is a pure projection — rows_in == rows_out by construction,
+    # so one observed count covers both sides of the accounting row
+    rep.record("extract", n_ext, n_ext)
 
     # 1b. robots governance (optional): drop URLs the domain's robots.txt
     # disallows for user-agent * (longest-prefix, allow wins ties)
@@ -127,8 +137,7 @@ def curate(
             .where(F.col("crawl_allowed"))
             .drop("crawl_allowed")
         )
-        ext = _stage(spark, ext, out_dir, "robots")
-        n_rob = ext.count()
+        ext, n_rob = _stage(spark, ext, out_dir, "robots")
         rep.record("robots", n_ext, n_rob)
         n_ext = n_rob
 
@@ -137,8 +146,7 @@ def curate(
     url_d = ext.join(keeper, ["canonical_url", "doc_id"]).select(
         "doc_id", "text"
     )
-    url_d = _stage(spark, url_d, out_dir, "url_dedup")
-    n_url = url_d.count()
+    url_d, n_url = _stage(spark, url_d, out_dir, "url_dedup")
     rep.record("url_dedup", n_ext, n_url)
 
     # 3. quality + language + repetition filters
@@ -158,25 +166,29 @@ def curate(
     q = q.join(repo.select("doc_id"), "doc_id", "left_semi").select(
         "doc_id", "text"
     )
-    q = _stage(spark, q, out_dir, "quality")
-    n_q = q.count()
+    q, n_q = _stage(spark, q, out_dir, "quality")
     rep.record("quality", n_url, n_q)
 
     # 4. near-duplicate removal: MinHash-LSH over 5-gram SHINGLES at the
-    # configured Jaccard threshold; greedy keep-smaller-id (one pass —
-    # the standard connected-component approximation for dedup).
+    # configured Jaccard threshold, then distributed connected components
+    # (large-star/small-star) over the pair graph — keep the minimum
+    # doc_id of each component. Transitive structures (A~B, B~C with no
+    # A~C pair; v-structures A~C, B~C) cluster correctly where the old
+    # greedy drop-id_b pass could over- or under-drop.
     # Shingled, not unigram: token-SET similarity saturates on any
     # small-vocabulary corpus (every pair looks like a near-dup), while
     # the shingle space grows as vocab^n and only true re-use collides.
     pairs = (
         tx.minhash_lsh_pairs(q, shingle=cfg.shingle)
         .where(F.col("est_jaccard") >= cfg.minhash_threshold)
-        .select(F.col("id_b").alias("doc_id"))
-        .distinct()
+        .select("id_a", "id_b")
     )
-    nd = q.join(pairs, "doc_id", "left_anti")
-    nd = _stage(spark, nd, out_dir, "near_dedup")
-    n_nd = nd.count()
+    comp = tx.connected_components(pairs)
+    drop = comp.where(F.col("id") != F.col("component")).select(
+        F.col("id").alias("doc_id")
+    )
+    nd = q.join(drop, "doc_id", "left_anti")
+    nd, n_nd = _stage(spark, nd, out_dir, "near_dedup")
     rep.record("near_dedup", n_q, n_nd)
 
     # 5. sub-document chunk dedup (keeps reassembled text; fully-deduped
@@ -185,8 +197,7 @@ def curate(
         nd, chunk_tokens=cfg.chunk_tokens, emit_text=True
     ).where(F.col("n_kept") > 0)
     cd = cd.select("doc_id", F.col("dedup_text").alias("text"))
-    cd = _stage(spark, cd, out_dir, "chunk_dedup")
-    n_cd = cd.count()
+    cd, n_cd = _stage(spark, cd, out_dir, "chunk_dedup")
     rep.record("chunk_dedup", n_nd, n_cd)
 
     # 6. decontamination vs the benchmark set
@@ -196,8 +207,7 @@ def curate(
         "doc_id",
         "left_semi",
     )
-    clean = _stage(spark, clean, out_dir, "decontam")
-    n_clean = clean.count()
+    clean, n_clean = _stage(spark, clean, out_dir, "decontam")
     rep.record("decontam", n_cd, n_clean)
 
     # 7. deterministic split + partitioned write (the final table layout:
@@ -208,9 +218,10 @@ def curate(
         names=cfg.split_names,
         salt=cfg.salt,
     )
-    final.write.mode("overwrite").partitionBy("split").parquet(
-        f"{out_dir}/corpus"
-    )
+    obs = Observation("curation_split_write")
+    final.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
+        "overwrite"
+    ).partitionBy("split").parquet(f"{out_dir}/corpus")
     out = spark.read.parquet(f"{out_dir}/corpus")
-    rep.record("split_write", n_clean, out.count())
+    rep.record("split_write", n_clean, int(obs.get["rows"]))
     return out, rep
