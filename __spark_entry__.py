@@ -1753,6 +1753,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         schema = "media_id string, y long, x long, r long, g long, b long"
 
+        # CONTRACT-ORACLE ONLY: the per-pixel Python loop below unpacks 60
+        # tiny fixture images into one row per pixel so DuckDB can check
+        # raw values — it is NOT a production pattern; the production
+        # resize path is the vectorized kernel in
+        # multimodal.with_resized_images (whole images per Arrow batch).
         def _map(batches):
             for pdf in batches:
                 rows = []

@@ -143,12 +143,30 @@ def main() -> None:
             "doc_id", extract_text_from_html(html).alias("t")
         )
 
+    def _cc_workload():
+        # near-dup clustering: connected components over a planted
+        # chain+star pair graph on the 250k doc ids (~140k edges, ~5
+        # contraction rounds — the timing includes the driver-side
+        # iteration, which IS the operator's cost shape)
+        from geoharvest_spark.textops import connected_components
+
+        a = F.col("doc_id")
+        ids = bench_docs.select("doc_id")
+        chain = ids.where(a % 10 < 3).select(
+            a.alias("id_a"), (a + 1).alias("id_b")
+        )
+        star = ids.where((a % 37 != 0) & (a % 4 == 0)).select(
+            a.alias("id_a"), (a - a % 37).alias("id_b")
+        )
+        return connected_components(chain.union(star))
+
     webtext: dict = {
         "chunk_dedup_250k": lambda: chunk_dedup(bench_docs, chunk_tokens=20),
         "decontaminate_250k": lambda: contamination_stats(
             bench_docs.where(F.col("doc_id") % 50 != 0), bench_subset, n=8
         ),
         "html_extract_250k": _html_extract_wl,
+        "connected_components_250k": _cc_workload,
     }
     workloads.update(webtext)
 
