@@ -39,6 +39,7 @@ them together and accounts rows.
 
 from __future__ import annotations
 
+import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -71,16 +72,20 @@ class CurationConfig:
 @dataclass
 class CurationReport:
     stages: list[dict] = field(default_factory=list)
+    _t_last: float = field(default_factory=time.perf_counter)
 
     def record(self, name: str, rows_in: int, rows_out: int) -> None:
+        now = time.perf_counter()
         self.stages.append(
             {
                 "stage": name,
                 "rows_in": rows_in,
                 "rows_out": rows_out,
                 "dropped": rows_in - rows_out,
+                "sec": round(now - self._t_last, 2),
             }
         )
+        self._t_last = now
 
 
 def _stage(
