@@ -55,10 +55,45 @@ def materialize(df) -> int:
     return 0
 
 
+# Quiet-phase reference for the host-noise probe (min of 6 spaced
+# idle-box samples, 2026-08-17). Only the DRAM kernel classifies: this
+# host's noisy-neighbor phases are memory-bandwidth contention (the
+# documented up-to-1.6x inflation), while single-thread ALU times swing
+# 0.5-1.0s from burst-credit effects even on an idle box and carry no
+# phase signal. min-of-3 reps rides out one-off reclaim spikes (an idle
+# box shows a single 0.43s mem sample about 1 run in 6). The probe lets
+# a bench sample carry its own phase evidence instead of a uniform
+# inflation being misread as a code regression (see BENCH/BASELINE.md).
+_QUIET_MEM = 0.24
+_NOISY_RATIO = 1.5
+
+
+def host_phase_probe() -> dict:
+    """~1s single-threaded DRAM probe (min of 3 sort reps of a 16 MB
+    array); ratio vs the pinned quiet-phase reference classifies the
+    current host phase."""
+    import numpy as np
+
+    rs = np.random.RandomState(0)
+    a = rs.rand(2_000_000)
+    mem = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(10):
+            np.sort(a)
+        mem = min(mem, time.perf_counter() - t0)
+    return {
+        "mem_sec": round(mem, 3),
+        "ratio_vs_quiet": round(mem / _QUIET_MEM, 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    probe_pre = host_phase_probe()
 
     spark = get_spark("bench", cores=cpus)
     import __spark_entry__ as entrymod
@@ -188,6 +223,15 @@ def main() -> None:
             timings[name] = min(timings[name], time.perf_counter() - t0)
     timings = {k: round(v, 3) for k, v in timings.items()}
     wall = round(time.perf_counter() - t_total0, 3)
+    probe_post = host_phase_probe()
+    host_phase = (
+        "noisy"
+        if max(
+            probe_pre["ratio_vs_quiet"], probe_post["ratio_vs_quiet"]
+        )
+        > _NOISY_RATIO
+        else "quiet"
+    )
     webtext_timings = {k: timings.pop(k) for k in webtext}
     total = round(sum(timings.values()), 3)
 
@@ -216,6 +260,9 @@ def main() -> None:
                     N_BENCH_DOCS / webtext_timings["chunk_dedup_250k"], 1
                 ),
                 "cpus": int(cpus) if str(cpus).isdigit() else cpus,
+                "host_phase": host_phase,
+                "host_probe_pre": probe_pre,
+                "host_probe_post": probe_post,
             }
         )
     )
