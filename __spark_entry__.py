@@ -216,6 +216,8 @@ _DRIVER_ORDER = [
     "near_dup_components",
     "robots_wildcard_filter",
     "doc_decontaminate_norm",
+    "pack_sequences_512",
+    "domain_cap3",
     # -- r4-green queries follow in their original registration order --
 ]
 
@@ -833,6 +835,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
 
     Q["doc_decontaminate_norm"] = doc_decontaminate_norm
+
+    def pack_sequences_512(spark, sf):
+        # training-sequence packing (concat-and-chunk): per-bucket
+        # deterministic order, cumulative token offsets, [first, last]
+        # 512-token window per doc; buckets parallelize the window sort
+        return tx.pack_sequences(
+            _t(spark, sf, "documents"), seq_len=512, buckets=8
+        ).orderBy("id")
+
+    Q["pack_sequences_512"] = pack_sequences_512
+
+    def domain_cap3(spark, sf):
+        # per-domain corpus cap (domain balancing): keep the first 3
+        # docs per registered domain in doc_id order, audit column kept
+        from geoharvest_spark import webops as wb
+
+        u = wb.with_canonical_url(_messy_urls(spark, sf)).select(
+            "doc_id", "domain"
+        )
+        return tx.cap_per_key(u, "domain", k=3).orderBy("doc_id")
+
+    Q["domain_cap3"] = domain_cap3
 
     def near_dup_components(spark, sf):
         # distributed connected components (large-star/small-star) over a
@@ -2447,6 +2471,26 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "coalesce(n_hits, 0) AS n_hits, "
             "coalesce(n_hits, 0) > 0 AS contaminated "
             "FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id ORDER BY 1"
+        ),
+        "pack_sequences_512": (
+            "WITH t AS (SELECT doc_id AS id, "
+            "cast(('0x' || substr(md5(cast(doc_id AS VARCHAR)), 1, 15))"
+            "::UBIGINT % 8 AS BIGINT) AS bucket, "
+            "cast(len(string_split(text, ' ')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "o AS (SELECT id, bucket, n_tokens, "
+            "cast(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY id) "
+            "- n_tokens AS BIGINT) AS tok_offset FROM t) "
+            "SELECT id, bucket, n_tokens, tok_offset, "
+            "tok_offset // 512 AS first_seq, "
+            "(tok_offset + greatest(n_tokens - 1, 0)) // 512 AS last_seq "
+            "FROM o ORDER BY id"
+        ),
+        "domain_cap3": (
+            f"WITH {_url_canonical_cte()}, "
+            "r AS (SELECT doc_id, domain, row_number() OVER ("
+            "PARTITION BY domain ORDER BY doc_id) AS rnk FROM dom) "
+            "SELECT doc_id, domain, rnk <= 3 AS kept FROM r ORDER BY doc_id"
         ),
         "robots_wildcard_filter": (
             # Independent RE2 re-implementation of the RFC 9309 rule

@@ -787,3 +787,79 @@ def connected_components(
         )
         comp = comp.union(iso)
     return comp
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 2048,
+    buckets: int = 32,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-sequence packing plan (concat-and-chunk): documents are
+    concatenated in deterministic (bucket, id) order and cut into
+    fixed-``seq_len`` token windows; each doc gets its token offset and
+    the [first_seq, last_seq] window range it lands in — the assignment
+    a sequence-building writer consumes.
+
+    Scale shape: a GLOBAL packing order would be a single-partition
+    window (the classic bottleneck), so packing is per-BUCKET —
+    ``bucket = crc32-style md5 of the id mod buckets`` — and sequence
+    ids are namespaced per bucket. Buckets are independent, so the
+    window sort parallelizes across ``buckets`` way more tasks than
+    executors; at 10^12 docs you raise ``buckets``, not the partition
+    size. Deterministic: no RNG, stable across cluster sizes and
+    resumes (same property as hash_split).
+
+    Returns (id, bucket, n_tokens, tok_offset, first_seq, last_seq).
+    Docs with 0 tokens occupy no window (first_seq == last_seq ==
+    the window their offset falls in, n_tokens == 0 — kept so
+    accounting stays total)."""
+    n_tok = F.size(tokens_col(F.col(text_col)))
+    b = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long") % buckets
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        b.alias("bucket"),
+        n_tok.cast("long").alias("n_tokens"),
+    )
+    w = Window.partitionBy("bucket").orderBy("id")
+    off = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("tok_offset")
+    out = base.select("id", "bucket", "n_tokens", off)
+    return out.select(
+        "id",
+        "bucket",
+        "n_tokens",
+        "tok_offset",
+        F.floor(F.col("tok_offset") / seq_len).alias("first_seq"),
+        F.floor(
+            (F.col("tok_offset") + F.greatest(F.col("n_tokens") - 1, F.lit(0)))
+            / seq_len
+        ).alias("last_seq"),
+    )
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Per-key document cap (domain balancing): keep the first ``k``
+    rows per key in deterministic ``order_col`` order — the standard
+    anti-boilerplate guard that stops one domain from dominating a
+    training corpus.
+
+    One shuffle on the key; the rank is a per-key window but state per
+    key is bounded by k's early-out in practice (Spark's WindowExec
+    buffers a partition's rows; for hot keys at 100 TB pre-aggregate
+    with a groupBy-min-k sketch first or raise the partition count —
+    the key cardinality here is domains, which is millions, so the
+    per-key groups stay small). Adds ``kept`` rather than filtering, so
+    callers can audit what the cap would drop."""
+    w = Window.partitionBy(key_col).orderBy(order_col)
+    return df.withColumn("_rnk", F.row_number().over(w)).withColumn(
+        "kept", F.col("_rnk") <= k
+    ).drop("_rnk")

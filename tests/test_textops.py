@@ -515,3 +515,49 @@ def test_contamination_normalize_recovers_cased_punctuated(spark):
     }
     assert exact == {1: False, 2: False}
     assert norm == {1: True, 2: False}
+
+
+def test_pack_sequences_offsets_and_windows(spark):
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         [(0, 100), (1, 250), (2, 0), (3, 600), (4, 50)]],
+        ["doc_id", "text"],
+    )
+    # single bucket so offsets chain across all docs in id order
+    out = {
+        r["id"]: r
+        for r in tx.pack_sequences(docs, seq_len=256, buckets=1).collect()
+    }
+    # note: split("") yields [""] -> size 1, so the 0-word doc counts 1
+    # token (consistent with with_token_stats semantics on this corpus)
+    offs = [out[i]["tok_offset"] for i in range(5)]
+    assert offs == [0, 100, 350, 351, 951]
+    assert out[0]["first_seq"] == 0 and out[0]["last_seq"] == 0
+    assert out[1]["first_seq"] == 0 and out[1]["last_seq"] == 1  # spans cut
+    assert out[3]["first_seq"] == 1 and out[3]["last_seq"] == 3
+    # bucketed variant: offsets are per-bucket namespaced and every doc
+    # appears exactly once
+    many = spark.createDataFrame(
+        [(i, "a b c") for i in range(200)], ["doc_id", "text"]
+    )
+    packed = tx.pack_sequences(many, seq_len=7, buckets=8).toPandas()
+    assert len(packed) == 200 and packed["bucket"].nunique() == 8
+    g = packed.sort_values("id").groupby("bucket")
+    for _, grp in g:
+        # within a bucket, offsets are the running sum of lengths
+        assert (grp["tok_offset"].values ==
+                grp["n_tokens"].cumsum().values - grp["n_tokens"].values).all()
+
+
+def test_cap_per_key_keeps_first_k(spark):
+    rows = [(d, f"dom{d % 3}") for d in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "domain"])
+    out = tx.cap_per_key(df, "domain", k=4).toPandas()
+    kept = out[out["kept"]]
+    assert len(kept) == 12  # 4 per domain x 3 domains
+    for dom, grp in kept.groupby("domain"):
+        ids = sorted(grp["doc_id"])
+        all_ids = sorted(
+            out[out["domain"] == dom]["doc_id"]
+        )
+        assert ids == all_ids[:4]  # first k in doc_id order
