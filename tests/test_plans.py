@@ -243,3 +243,22 @@ def test_scalar_text_ops_split_once(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet")
     for fn in (tx.with_quality, tx.with_langid, tx.with_token_stats):
         assert _plan(fn(d)).count("split(") == 1, fn.__name__
+
+
+def test_pack_and_cap_minimal_plans(spark):
+    # r5 operators: exactly ONE exchange + ONE window each — the packing
+    # order is per-bucket (no global-order single-partition sort) and the
+    # cap is a single keyed window, nothing Python-side
+    from geoharvest_spark import textops as tx
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(tx.pack_sequences(d, seq_len=512, buckets=8))
+    assert p.count("Exchange") == 1 and p.count("Window") == 1
+    assert "EvalPython" not in p
+    c = _plan(
+        tx.cap_per_key(
+            d.select("doc_id", (F.col("doc_id") % 7).alias("dom")), "dom", 3
+        )
+    )
+    assert c.count("Exchange") == 1 and c.count("Window") == 1
+    assert "EvalPython" not in c
