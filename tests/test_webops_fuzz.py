@@ -129,3 +129,79 @@ def test_parse_robots_fuzz_stability(spark):
     a = sorted(map(tuple, rules))
     b = sorted(map(tuple, wb.parse_robots(commented).collect()))
     assert a == b
+
+
+def _py_rule_match(path: str, rule: str) -> bool:
+    """Pure-python RFC 9309 reference matcher (independent of the Spark
+    regex compilation): '*' = any run, trailing '$' = end anchor."""
+    anchored = rule.endswith("$")
+    body = rule[:-1] if anchored else rule
+    segs = body.split("*")
+    pos = 0
+    # first segment must match at the start
+    if not path.startswith(segs[0]):
+        return False
+    pos = len(segs[0])
+    for seg in segs[1:-1] if len(segs) > 1 else []:
+        i = path.find(seg, pos)
+        if i < 0:
+            return False
+        pos = i + len(seg)
+    if len(segs) > 1:
+        last = segs[-1]
+        if anchored:
+            return path.endswith(last) and (
+                len(path) - len(last) >= pos
+            )
+        i = path.find(last, pos)
+        return i >= 0
+    return (path == body) if anchored else True
+
+
+def test_crawl_wildcard_fuzz_vs_python_reference(spark):
+    """Seeded fuzz: random wildcard rules + paths; the Spark evaluator's
+    per-(url, single-rule) verdict must equal the pure-python matcher.
+    One rule per domain so the longest-match precedence can't mask
+    per-rule match differences."""
+    rng = random.Random(20260817)
+    pieces = ["/a", "/bb", ".php", "/x%20", "/Path", "?p=1", "/日", "/.."]
+    rules = []
+    for i in range(120):
+        body = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 3)))
+        # sprinkle stars and optional anchor
+        if rng.random() < 0.7:
+            k = rng.randrange(len(body))
+            body = body[:k] + "*" + body[k:]
+        if rng.random() < 0.3:
+            body = "*" + body
+        if rng.random() < 0.4:
+            body += "$"
+        if not body.startswith(("/", "*")):
+            body = "/" + body
+        rules.append((f"d{i}.com", "disallow", body))
+    paths = []
+    for i in range(120):
+        p = "".join(rng.choice(pieces) for _ in range(rng.randint(1, 4)))
+        if not p.startswith("/"):
+            p = "/" + p
+        paths.append(p)
+    # every (domain, path) pair where domain's one rule is tested
+    urls = [
+        (f"d{i}.com", f"https://d{i}.com" + paths[(i * 7 + j) % len(paths)])
+        for i in range(120)
+        for j in range(3)
+    ]
+    rdf = spark.createDataFrame(rules, ["domain", "rule", "path"])
+    udf = spark.createDataFrame(urls, ["domain", "canonical_url"])
+    got = {
+        (r["domain"], r["canonical_url"]): r["crawl_allowed"]
+        for r in wb.with_crawl_allowed(udf, rdf).collect()
+    }
+    mismatches = []
+    for dom, url in urls:
+        rule = next(p for d, _, p in rules if d == dom)
+        path = re.sub(r"^[a-z][a-z0-9+.-]*://[^/]*", "", url)
+        expect = not _py_rule_match(path, rule)  # disallow rule
+        if got[(dom, url)] != expect:
+            mismatches.append((dom, rule, path, got[(dom, url)], expect))
+    assert not mismatches, mismatches[:10]
