@@ -218,6 +218,7 @@ _DRIVER_ORDER = [
     "doc_decontaminate_norm",
     "pack_sequences_512",
     "domain_cap3",
+    "doc_pii_redact",
     # -- r4-green queries follow in their original registration order --
 ]
 
@@ -845,6 +846,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("id")
 
     Q["pack_sequences_512"] = pack_sequences_512
+
+    def doc_pii_redact(spark, sf):
+        # pre-training PII scrub: deterministic planted emails / dotted
+        # quads / 10-digit account numbers over the clean corpus text,
+        # then redact_pii's codegen count+replace chain; output carries
+        # per-category counts and the md5 of the scrubbed text
+        docs = _t(spark, sf, "documents")
+        did = F.col("doc_id")
+        s = lambda c: c.cast("string")  # noqa: E731
+        decorated = F.concat(
+            F.col("text"),
+            F.lit(" contact user"), s(did), F.lit("@ex"), s(did % 7),
+            F.lit(".com"),
+            F.when(
+                did % 3 == 0,
+                F.concat(F.lit(" alt admin@site"), s(did % 5), F.lit(".org")),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 4 == 0,
+                F.concat(
+                    F.lit(" ip 10."), s(did % 250), F.lit(".0."), s(did % 100)
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 5 == 0,
+                F.concat(F.lit(" acct "), s(did + 1000000000)),
+            ).otherwise(F.lit("")),
+        )
+        return (
+            tx.redact_pii(docs.select("doc_id", decorated.alias("text")))
+            .select(
+                "doc_id",
+                F.md5("text").alias("redacted_md5"),
+                "n_email",
+                "n_ipv4",
+                "n_longnum",
+            )
+            .orderBy("doc_id")
+        )
+
+    Q["doc_pii_redact"] = doc_pii_redact
 
     def domain_cap3(spark, sf):
         # per-domain corpus cap (domain balancing): keep the first 3
@@ -2485,6 +2527,33 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "tok_offset // 512 AS first_seq, "
             "(tok_offset + greatest(n_tokens - 1, 0)) // 512 AS last_seq "
             "FROM o ORDER BY id"
+        ),
+        "doc_pii_redact": (
+            # Same decoration + the same RE2-subset patterns; DuckDB
+            # regexp_replace needs the 'g' flag (first-match-only without
+            # it — the classic oracle trap from CLAUDE.md).
+            "WITH d AS (SELECT doc_id, text || ' contact user' || doc_id "
+            "|| '@ex' || (doc_id % 7) || '.com' || "
+            "(CASE WHEN doc_id % 3 = 0 THEN ' alt admin@site' "
+            "|| (doc_id % 5) || '.org' ELSE '' END) || "
+            "(CASE WHEN doc_id % 4 = 0 THEN ' ip 10.' || (doc_id % 250) "
+            "|| '.0.' || (doc_id % 100) ELSE '' END) || "
+            "(CASE WHEN doc_id % 5 = 0 THEN ' acct ' "
+            "|| (doc_id + 1000000000) ELSE '' END) AS t FROM documents) "
+            "SELECT doc_id, md5(regexp_replace(regexp_replace("
+            "regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g'), "
+            "'\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), "
+            "'\\b\\d{9,}\\b', '<NUM>', 'g')) AS redacted_md5, "
+            "cast(len(regexp_extract_all(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "AS INT) AS n_email, "
+            "cast(len(regexp_extract_all(t, "
+            "'\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS n_ipv4, "
+            "cast(len(regexp_extract_all(t, '\\b\\d{9,}\\b')) AS INT) "
+            "AS n_longnum "
+            "FROM d ORDER BY doc_id"
         ),
         "domain_cap3": (
             f"WITH {_url_canonical_cte()}, "

@@ -863,3 +863,37 @@ def cap_per_key(
     return df.withColumn("_rnk", F.row_number().over(w)).withColumn(
         "kept", F.col("_rnk") <= k
     ).drop("_rnk")
+
+
+# PII patterns shared by the engine and the SQL oracle. Deliberately the
+# RE2-compatible subset (no lookaround/backrefs) so Spark's Java regex
+# and DuckDB/RE2 agree byte-for-byte; ordering matters — emails first
+# (an address would otherwise leave its user part behind once its
+# digits/host were rewritten), then dotted quads, then long digit runs.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("longnum", r"\b\d{9,}\b", "<NUM>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus PII scrub: redact emails, dotted-quad IPs, and >= 9-digit
+    runs (account/phone-shaped numbers), counting each category — the
+    standard pre-training privacy pass. Pure codegen (regexp_count +
+    chained regexp_replace in the scan stage, no UDF, narrow plan); the
+    per-category counts make the scrub auditable per document.
+
+    Returns (id, redacted text, n_email, n_ipv4, n_longnum)."""
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, token)
+    return df.select(
+        F.col(id_col), red.alias(text_col), *counts
+    )

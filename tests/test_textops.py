@@ -561,3 +561,25 @@ def test_cap_per_key_keeps_first_k(spark):
             out[out["domain"] == dom]["doc_id"]
         )
         assert ids == all_ids[:4]  # first k in doc_id order
+
+
+def test_redact_pii_categories_and_ordering(spark):
+    rows = [
+        (0, "mail me at john.doe+x@sub.example.co.uk today"),
+        (1, "server 192.168.1.254 and acct 1234567890 plus 12345678"),
+        (2, "a@1.2.3.4 is not an email (numeric tld) but has an ip"),
+        (3, "clean text no pii at all"),
+        (4, "two mails a@b.io c.d@e.org one ip 8.8.8.8"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in tx.redact_pii(df).collect()}
+    assert out[0]["n_email"] == 1 and "<EMAIL>" in out[0]["text"]
+    assert "john" not in out[0]["text"]
+    assert out[1]["n_ipv4"] == 1 and out[1]["n_longnum"] == 1
+    assert "<IP>" in out[1]["text"] and "<NUM>" in out[1]["text"]
+    assert "12345678" in out[1]["text"]  # 8 digits: below threshold, kept
+    # numeric TLD is not an email; the dotted quad is caught by the IP pass
+    assert out[2]["n_email"] == 0 and out[2]["n_ipv4"] == 1
+    assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_longnum"] == 0
+    assert out[3]["text"] == rows[3][1]
+    assert out[4]["n_email"] == 2 and out[4]["n_ipv4"] == 1
