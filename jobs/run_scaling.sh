@@ -134,6 +134,16 @@ lines += [
     *[json.dumps(r) for r in runs],
     "```",
 ]
-open("BENCH/BASELINE.md", "w").write("\n".join(lines) + "\n")
+# Preserve hand-written analysis sections: everything at or below the
+# keep-below sentinel in the existing file survives regeneration.
+SENTINEL = "<!-- keep-below: manual analysis sections, preserved by run_scaling.sh -->"
+tail = ""
+try:
+    old = open("BENCH/BASELINE.md").read()
+    if SENTINEL in old:
+        tail = "\n" + SENTINEL + old.split(SENTINEL, 1)[1]
+except FileNotFoundError:
+    pass
+open("BENCH/BASELINE.md", "w").write("\n".join(lines) + "\n" + tail)
 print("wrote BENCH/BASELINE.md; total raw efficiency:", round(eff, 3))
 EOF
