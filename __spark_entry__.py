@@ -219,6 +219,7 @@ _DRIVER_ORDER = [
     "pack_sequences_512",
     "domain_cap3",
     "doc_pii_redact",
+    "lang_mix_sample",
     # -- r4-green queries follow in their original registration order --
 ]
 
@@ -887,6 +888,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     Q["doc_pii_redact"] = doc_pii_redact
+
+    def lang_mix_sample(spark, sf):
+        # data-mixing weights: deterministic per-language keep rates
+        # (basis points), rolled up per stratum with an id checksum so
+        # the oracle pins the EXACT sampled set, not just its size
+        d = tx.stratified_hash_sample(
+            _t(spark, sf, "documents"),
+            "lang",
+            {"en": 10000, "fr": 5000, "de": 5000, "es": 2500, "zh": 1000},
+        )
+        return (
+            d.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.col("sampled").cast("long")).alias("n_sampled"),
+                F.sum(
+                    F.when(F.col("sampled"), F.col("doc_id")).otherwise(0)
+                ).alias("sampled_id_sum"),
+            )
+            .orderBy("lang")
+        )
+
+    Q["lang_mix_sample"] = lang_mix_sample
 
     def domain_cap3(spark, sf):
         # per-domain corpus cap (domain balancing): keep the first 3
@@ -2554,6 +2578,21 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "cast(len(regexp_extract_all(t, '\\b\\d{9,}\\b')) AS INT) "
             "AS n_longnum "
             "FROM d ORDER BY doc_id"
+        ),
+        "lang_mix_sample": (
+            "WITH d AS (SELECT lang, doc_id, "
+            "('0x' || substr(md5('mix' || doc_id), 1, 15))::UBIGINT "
+            "% 10000 AS h FROM documents), "
+            "t AS (SELECT lang, doc_id, h < (CASE lang "
+            "WHEN 'en' THEN 10000 WHEN 'fr' THEN 5000 "
+            "WHEN 'de' THEN 5000 WHEN 'es' THEN 2500 "
+            "WHEN 'zh' THEN 1000 ELSE 10000 END) AS sampled FROM d) "
+            "SELECT lang, count(*) AS n_docs, "
+            "cast(sum(CASE WHEN sampled THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_sampled, "
+            "cast(sum(CASE WHEN sampled THEN doc_id ELSE 0 END) AS BIGINT) "
+            "AS sampled_id_sum "
+            "FROM t GROUP BY lang ORDER BY lang"
         ),
         "domain_cap3": (
             f"WITH {_url_canonical_cte()}, "

@@ -897,3 +897,39 @@ def redact_pii(
     return df.select(
         F.col(id_col), red.alias(text_col), *counts
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates_bp: dict[str, int],
+    default_bp: int = 10000,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic data-mixing sampler: per-stratum keep rates (basis
+    points out of 10000 — integer so no engine-dependent float rounding)
+    via md5 buckets of the id. This is the corpus-assembly mechanism for
+    language/source mixing weights: no RNG, so resumes, retries, and
+    different cluster sizes reproduce the same sample, and changing the
+    salt re-rolls it. Narrow plan (no shuffle); adds a ``sampled`` audit
+    column rather than filtering."""
+    for k, v in rates_bp.items():
+        if not 0 <= v <= 10000:
+            raise ValueError(f"rate for {k!r} must be in [0, 10000]: {v}")
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    thr = F.lit(default_bp)
+    for k, v in sorted(rates_bp.items()):
+        thr = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(thr)
+    return df.withColumn("sampled", h < thr)

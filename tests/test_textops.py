@@ -583,3 +583,30 @@ def test_redact_pii_categories_and_ordering(spark):
     assert out[3]["n_email"] == out[3]["n_ipv4"] == out[3]["n_longnum"] == 0
     assert out[3]["text"] == rows[3][1]
     assert out[4]["n_email"] == 2 and out[4]["n_ipv4"] == 1
+
+
+def test_stratified_hash_sample_rates_and_determinism(spark):
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(3000)]
+    df = spark.createDataFrame(rows, ["doc_id", "stratum"])
+    out = tx.stratified_hash_sample(
+        df, "stratum", {"a": 10000, "b": 5000, "c": 0}
+    ).toPandas()
+    by = out.groupby("stratum")["sampled"].agg(["sum", "count"])
+    assert by.loc["a", "sum"] == by.loc["a", "count"]  # keep-all
+    assert by.loc["c", "sum"] == 0                     # drop-all
+    frac_b = by.loc["b", "sum"] / by.loc["b", "count"]
+    assert 0.44 < frac_b < 0.56                        # ~50% md5 bucketing
+    # determinism + salt re-roll
+    again = tx.stratified_hash_sample(
+        df, "stratum", {"a": 10000, "b": 5000, "c": 0}
+    ).toPandas()
+    assert (out.sort_values("doc_id")["sampled"].values
+            == again.sort_values("doc_id")["sampled"].values).all()
+    rerolled = tx.stratified_hash_sample(
+        df, "stratum", {"a": 10000, "b": 5000, "c": 0}, salt="other"
+    ).toPandas()
+    bmask = out["stratum"] == "b"
+    assert (out[bmask].sort_values("doc_id")["sampled"].values
+            != rerolled[bmask].sort_values("doc_id")["sampled"].values).any()
+    with pytest.raises(ValueError):
+        tx.stratified_hash_sample(df, "stratum", {"a": 10001})
