@@ -56,6 +56,8 @@ from .webops import (
 
 @dataclass
 class CurationConfig:
+    domain_cap: int | None = None  # keep first N docs per domain (None = off)
+    redact_pii: bool = False       # scrub emails/IPs/long numbers pre-dedup
     chunk_tokens: int = 20
     ngram_n: int = 8
     shingle: int = 5
@@ -99,7 +101,11 @@ def _stage(
     df.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
         "overwrite"
     ).parquet(path)
-    return spark.read.parquet(path), int(obs.get["rows"])
+    # read back with the EXPLICIT schema: an all-rows-filtered stage
+    # writes only _SUCCESS, and schema inference would throw
+    # UNABLE_TO_INFER_SCHEMA — an empty corpus must flow through, not
+    # crash (and skipping inference saves a job per stage either way)
+    return spark.read.schema(df.schema).parquet(path), int(obs.get["rows"])
 
 
 def curate(
@@ -146,6 +152,18 @@ def curate(
         rep.record("robots", n_ext, n_rob)
         n_ext = n_rob
 
+    # 1c. per-domain cap (optional): anti-boilerplate guard — keep the
+    # first cfg.domain_cap docs per registered domain in doc_id order
+    if cfg.domain_cap is not None:
+        ext = (
+            tx.cap_per_key(ext, "domain", cfg.domain_cap)
+            .where(F.col("kept"))
+            .drop("kept")
+        )
+        ext, n_cap = _stage(spark, ext, out_dir, "domain_cap")
+        rep.record("domain_cap", n_ext, n_cap)
+        n_ext = n_cap
+
     # 2. URL-level dedup: deterministic first doc per canonical URL
     keeper = ext.groupBy("canonical_url").agg(F.min("doc_id").alias("doc_id"))
     url_d = ext.join(keeper, ["canonical_url", "doc_id"]).select(
@@ -173,6 +191,15 @@ def curate(
     )
     q, n_q = _stage(spark, q, out_dir, "quality")
     rep.record("quality", n_url, n_q)
+
+    # 3b. PII scrub (optional): redact emails / dotted quads / long digit
+    # runs BEFORE dedup so near-dup decisions see the scrubbed text a
+    # trained model would; row count is unchanged by construction
+    if cfg.redact_pii:
+        q = tx.redact_pii(q).select("doc_id", "text")
+        q, n_pii = _stage(spark, q, out_dir, "pii")
+        rep.record("pii", n_q, n_pii)
+        n_q = n_pii
 
     # 4. near-duplicate removal: MinHash-LSH over 5-gram SHINGLES at the
     # configured Jaccard threshold, then distributed connected components
@@ -227,6 +254,6 @@ def curate(
     final.observe(obs, F.count(F.lit(1)).alias("rows")).write.mode(
         "overwrite"
     ).partitionBy("split").parquet(f"{out_dir}/corpus")
-    out = spark.read.parquet(f"{out_dir}/corpus")
+    out = spark.read.schema(final.schema).parquet(f"{out_dir}/corpus")
     rep.record("split_write", n_clean, int(obs.get["rows"]))
     return out, rep
