@@ -19,6 +19,7 @@ simsearch operators.
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import Iterator
 
 import numpy as np
@@ -85,6 +86,16 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 1:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    elif width == 3:
+        # 24-bit PCM: little-endian byte triples -> sign-extended int32
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3).astype(np.uint32)
+        v = (b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)).astype(np.int32)
+        v = (v << 8) >> 8  # arithmetic shift sign-extends bit 23
+        x = v.astype(np.float64) / 8388608.0
+    elif width == 4:
+        # 32-bit integer PCM (stdlib `wave` only admits WAVE_FORMAT_PCM,
+        # so a 4-byte width here is int32, not IEEE float)
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
     else:
         raise NotImplementedError(f"{8 * width}-bit PCM not supported")
     if n_ch > 1:
@@ -116,10 +127,20 @@ def wav_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 
 
 def decode_ppm(payload: bytes) -> np.ndarray:
-    """Binary PPM (P6, maxval 255) decode — pure numpy: (h, w, 3) uint8."""
-    if not payload.startswith(b"P6"):
-        raise NotImplementedError("only binary PPM (P6) images decode here")
-    # header: P6 <w> <h> <maxval> with arbitrary whitespace/comments
+    """PNM decode, pure numpy: binary PPM **P6** -> (h, w, 3) uint8,
+    binary PGM **P5** -> (h, w) uint8, plus the ASCII twins **P3**/**P2**
+    (whitespace-separated sample values). maxval <= 255; a non-255
+    maxval rescales to the 0..255 domain with round-half-up, the
+    convention image viewers apply. Comments (#...) are honored anywhere
+    in the header (and between ASCII samples, per the spec)."""
+    magic = payload[:2]
+    if magic not in (b"P6", b"P5", b"P3", b"P2"):
+        raise NotImplementedError(
+            "only PNM P2/P3/P5/P6 images decode here"
+        )
+    n_ch = 3 if magic in (b"P6", b"P3") else 1
+    binary = magic in (b"P6", b"P5")
+    # header: <magic> <w> <h> <maxval> with arbitrary whitespace/comments
     tokens: list[bytes] = []
     i = 2
     while len(tokens) < 3:
@@ -134,12 +155,29 @@ def decode_ppm(payload: bytes) -> np.ndarray:
             j += 1
         tokens.append(payload[i:j])
         i = j
-    i += 1  # single whitespace after maxval
     w, h, maxval = (int(t) for t in tokens)
+    if not 0 < maxval <= 255:
+        raise NotImplementedError(f"maxval {maxval} PNM not supported")
+    n = w * h * n_ch
+    if binary:
+        i += 1  # exactly ONE whitespace byte after maxval, per the spec
+        arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=i)
+        arr = arr.astype(np.uint16)
+    else:
+        # ASCII body: strip comment lines, then whitespace-split ints
+        body = re.sub(rb"#[^\n]*", b" ", payload[i:])
+        vals = body.split()
+        if len(vals) < n:
+            raise ValueError("PNM ASCII body truncated")
+        arr = np.array([int(v) for v in vals[:n]], dtype=np.uint16)
+    if arr.size < n:
+        raise ValueError("PNM body truncated")
+    if (arr > maxval).any():
+        raise ValueError("PNM sample exceeds maxval")
     if maxval != 255:
-        raise NotImplementedError("only maxval 255 PPM supported")
-    arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
-    return arr.reshape(h, w, 3)
+        arr = (arr * 255 + maxval // 2) // maxval
+    out = arr.astype(np.uint8)
+    return out.reshape(h, w, 3) if n_ch == 3 else out.reshape(h, w)
 
 
 def _image_features(img: np.ndarray, dim: int = FEATURE_DIM) -> list[float]:
@@ -229,7 +267,8 @@ def decode_png(payload: bytes) -> np.ndarray:
     PNG filters operate on BYTES with a bpp stride of channels*depth/8,
     so the same unfilter kernel covers both depths; Adam7 interlacing is
     handled as 7 independently-filtered sub-images scattered onto the
-    canvas. Sub-byte depths raise NotImplementedError (JPEG-stub style)."""
+    canvas. Sub-byte depths (1/2/4-bit grayscale and palette) unpack
+    MSB-first after byte-level unfiltering per the spec."""
     import struct
     import zlib
 
@@ -255,12 +294,55 @@ def decode_png(payload: bytes) -> np.ndarray:
     if ihdr is None:
         raise ValueError("PNG missing IHDR")
     w, h, depth, color, _comp, _filt, interlace = ihdr
-    if depth not in (8, 16) or (depth == 16 and color == 3):
+    if depth not in (1, 2, 4, 8, 16) or (depth == 16 and color == 3):
         raise NotImplementedError(f"{depth}-bit color-type-{color} PNG not supported")
     if interlace not in (0, 1):
         raise ValueError(f"bad PNG interlace {interlace}")
     if color not in _PNG_CHANNELS:
         raise NotImplementedError(f"PNG color type {color} not supported")
+    if depth < 8:
+        # Sub-byte depths are legal only for grayscale and palette; the
+        # spec packs `depth`-bit samples MSB-first within scanline bytes
+        # and filters still operate on whole BYTES with bpp = 1.
+        if color not in (0, 3):
+            raise NotImplementedError(
+                f"{depth}-bit color-type-{color} PNG not supported"
+            )
+        import zlib as _z
+
+        raw = np.frombuffer(_z.decompress(bytes(idat)), dtype=np.uint8)
+        samples = np.zeros((h, w), dtype=np.uint8)
+        passes = [(0, 0, 1, 1)] if interlace == 0 else list(_ADAM7)
+        pos = 0
+        for x0, y0, dx, dy in passes:
+            wp = max(0, -(-(w - x0) // dx))
+            hp = max(0, -(-(h - y0) // dy))
+            if wp == 0 or hp == 0:
+                continue
+            stride = -(-wp * depth // 8)  # ceil(bits / 8) bytes per line
+            need = hp * (stride + 1)
+            if pos + need > len(raw):
+                raise ValueError("PNG data length mismatch")
+            block = raw[pos : pos + need].reshape(hp, stride + 1)
+            pos += need
+            rec = _png_unfilter(block[:, 1:].astype(np.int32), block[:, 0], 1)
+            bits = np.unpackbits(rec.astype(np.uint8), axis=1)
+            vals = (
+                bits.reshape(hp, stride * 8 // depth, depth)
+                * (1 << np.arange(depth - 1, -1, -1))
+            ).sum(axis=2)
+            samples[y0:h:dy, x0:w:dx] = vals[:, :wp]
+        if pos != len(raw):
+            raise ValueError("PNG data length mismatch")
+        if color == 3:
+            if plte is None:
+                raise ValueError("palette PNG missing PLTE")
+            return plte[samples]
+        # grayscale: expand to the full 0..255 domain (bit replication,
+        # exactly 255 * v / (2^depth - 1) for these depths)
+        return (
+            samples.astype(np.uint16) * 255 // ((1 << depth) - 1)
+        ).astype(np.uint8)[:, :, None].reshape(h, w, 1)
     ch = _PNG_CHANNELS[color]
     bpp = ch * (depth // 8)  # filter stride is in BYTES per pixel
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
@@ -1000,7 +1082,7 @@ def decode_features(
 def _sniff_decode_image(payload: bytes) -> np.ndarray | None:
     """Decode any natively-supported image payload (PPM/PNG/baseline
     JPEG) by magic bytes; None when the format is not one of ours."""
-    if payload[:2] == b"P6":
+    if payload[:2] in (b"P6", b"P5", b"P3", b"P2"):
         return decode_ppm(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)

@@ -196,3 +196,186 @@ def test_with_resized_images_plumbing(spark):
     for r in imgs.itertuples():
         dec = decode_png(bytes(r.resized))
         assert dec.shape == (12, 16, 3)
+
+# ---------------------------------------------------------------------------
+# round-5 codec-gate closures: PNM P2/P3/P5, WAV 24/32-bit, sub-byte PNG
+# ---------------------------------------------------------------------------
+def _png_chunks(*chunks):
+    import struct
+    import zlib as z
+
+    out = bytearray(b"\x89PNG\r\n\x1a\n")
+    for ctype, data in chunks:
+        out += struct.pack(">I", len(data)) + ctype + data
+        out += struct.pack(">I", z.crc32(ctype + data) & 0xFFFFFFFF)
+    return bytes(out)
+
+
+def _pack_bits(vals, depth, width):
+    """Spec packing: depth-bit samples MSB-first, scanline-padded."""
+    import numpy as np
+
+    rows = []
+    for r in range(0, len(vals), width):
+        row = vals[r : r + width]
+        bits = []
+        for v in row:
+            bits.extend((v >> (depth - 1 - k)) & 1 for k in range(depth))
+        while len(bits) % 8:
+            bits.append(0)
+        rows.append(np.packbits(np.array(bits, dtype=np.uint8)).tobytes())
+    return rows
+
+
+def test_png_subbyte_gray_depths():
+    import struct
+    import zlib as z
+
+    import numpy as np
+
+    from geoharvest_spark.multimodal import decode_png
+
+    for depth in (1, 2, 4):
+        w, h = 5, 3
+        maxv = (1 << depth) - 1
+        vals = [(x * y + x) % (maxv + 1) for y in range(h) for x in range(w)]
+        scan = b"".join(b"\x00" + r for r in _pack_bits(vals, depth, w))
+        png = _png_chunks(
+            (b"IHDR", struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0)),
+            (b"IDAT", z.compress(scan)),
+            (b"IEND", b""),
+        )
+        img = decode_png(png)
+        assert img.shape == (h, w, 1)
+        expect = (
+            np.array(vals).reshape(h, w) * 255 // maxv
+        ).astype(np.uint8)
+        assert np.array_equal(img[:, :, 0], expect), depth
+
+
+def test_png_subbyte_palette_and_filters():
+    import struct
+    import zlib as z
+
+    import numpy as np
+
+    from geoharvest_spark.multimodal import decode_png
+
+    # 2-bit palette, 4 colors, filter types exercised on the byte level
+    w, h = 7, 4
+    vals = [(x + y) % 4 for y in range(h) for x in range(w)]
+    rows = _pack_bits(vals, 2, w)
+    # filter 0 then filter 2 (Up) on the remaining rows
+    scan = bytearray(b"\x00" + rows[0])
+    prev = np.frombuffer(rows[0], dtype=np.uint8).astype(np.int32)
+    for r in rows[1:]:
+        cur = np.frombuffer(r, dtype=np.uint8).astype(np.int32)
+        scan += b"\x02" + ((cur - prev) & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    plte = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    png = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", w, h, 2, 3, 0, 0, 0)),
+        (b"PLTE", plte),
+        (b"IDAT", z.compress(bytes(scan))),
+        (b"IEND", b""),
+    )
+    img = decode_png(png)
+    assert img.shape == (h, w, 3)
+    pal = np.frombuffer(plte, dtype=np.uint8).reshape(4, 3)
+    expect = pal[np.array(vals).reshape(h, w)]
+    assert np.array_equal(img, expect)
+
+
+def test_png_subbyte_adam7():
+    import struct
+    import zlib as z
+
+    import numpy as np
+
+    from geoharvest_spark.multimodal import (
+        _ADAM7,
+        decode_png,
+    )
+
+    # 1-bit gray 9x9 checkerboard, Adam7: pack each pass per the spec
+    w = h = 9
+    full = np.fromfunction(lambda y, x: (x + y) % 2, (h, w), dtype=int)
+    scan = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = full[y0:h:dy, x0:w:dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            packed = _pack_bits(list(row), 1, len(row))[0]
+            scan += b"\x00" + packed
+    png = _png_chunks(
+        (b"IHDR", struct.pack(">IIBBBBB", w, h, 1, 0, 0, 0, 1)),
+        (b"IDAT", z.compress(bytes(scan))),
+        (b"IEND", b""),
+    )
+    img = decode_png(png)
+    assert img.shape == (h, w, 1)
+    assert np.array_equal(img[:, :, 0], (full * 255).astype(np.uint8))
+
+
+def test_pnm_variants_decode():
+    import numpy as np
+
+    from geoharvest_spark.multimodal import decode_image, decode_ppm
+
+    # P5 binary grayscale
+    p5 = b"P5\n# c\n3 2\n255\n" + bytes(range(6))
+    g = decode_ppm(p5)
+    assert g.shape == (2, 3) and g.tolist() == [[0, 1, 2], [3, 4, 5]]
+    # P2 ascii grayscale with comment + maxval rescale (15 -> 255)
+    p2 = b"P2\n3 1\n15\n0 7 15 # trailing comment\n"
+    g2 = decode_ppm(p2)
+    assert g2.tolist() == [[0, 119, 255]]  # (7*255+7)//15 = 119
+    # P3 ascii color
+    p3 = b"P3 2 1 255  255 0 0  0 255 0\n"
+    c = decode_ppm(p3)
+    assert c.shape == (1, 2, 3)
+    assert c[0, 0].tolist() == [255, 0, 0] and c[0, 1].tolist() == [0, 255, 0]
+    # decode_image dispatches all PNM magics
+    assert decode_image(p5).shape == (2, 3)
+    # errors: truncation and over-maxval stay ValueError
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P2\n3 1\n15\n0 7\n")
+    with _pytest.raises(ValueError):
+        decode_ppm(b"P2\n2 1\n15\n0 16\n")
+    with _pytest.raises(NotImplementedError):
+        decode_ppm(b"P4\n2 1\n0")
+
+
+def test_wav_24_and_32_bit_pcm():
+    import io
+    import wave
+
+    import numpy as np
+
+    from geoharvest_spark.multimodal import decode_wav
+
+    def wav_bytes(width, frames):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wv:
+            wv.setnchannels(1)
+            wv.setsampwidth(width)
+            wv.setframerate(16000)
+            wv.writeframes(frames)
+        return buf.getvalue()
+
+    # 24-bit: values -2^23, -1, 0, 1, 2^23-1 little-endian
+    def le24(v):
+        return int(v & 0xFFFFFF).to_bytes(3, "little")
+
+    samples = [-(1 << 23), -1, 0, 1, (1 << 23) - 1]
+    x, rate = decode_wav(wav_bytes(3, b"".join(le24(s) for s in samples)))
+    assert rate == 16000
+    expect = np.array(samples) / 8388608.0
+    assert np.allclose(x, expect)
+    # 32-bit int PCM
+    s32 = np.array([-(1 << 31), 0, (1 << 31) - 1], dtype=np.int32)
+    x2, _ = decode_wav(wav_bytes(4, s32.astype("<i4").tobytes()))
+    assert np.allclose(x2, s32 / 2147483648.0)
