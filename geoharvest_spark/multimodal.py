@@ -1,9 +1,10 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The container has no codec wheels, so this module carries its OWN pure
-stdlib+numpy decoders: PCM WAV (wave), binary PPM, full PNG (all five
-filters, gray/RGB/RGBA/palette, 8/16-bit, Adam7) and baseline JFIF JPEG
-(Huffman + dequant + IDCT + 4:2:0 upsample + restart markers). Formats
+stdlib+numpy decoders: PCM WAV (wave; 8/16/24/32-bit), PNM
+(P2/P3/P5/P6), full PNG (all five filters, gray/RGB/RGBA/palette,
+1/2/4/8/16-bit, Adam7) and baseline JFIF JPEG (Huffman + dequant + IDCT
++ 4:2:0 upsample + restart markers). Formats
 beyond those (video containers, WebP, progressive JPEG) are honest gates:
 deterministic fake features or NotImplementedError behind real, tested
 Spark plumbing — schema, Arrow batch shape, mapInPandas signatures,
