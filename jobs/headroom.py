@@ -278,6 +278,74 @@ def run_round4_legs(spark) -> None:
         )
 
 
+def run_round5_legs(spark) -> None:
+    """Round-5 additions: connected components (pair-graph clustering)
+    and the narrow corpus ops (packing, PII scrub, stratified sample,
+    per-domain cap) at 8x scale — per-doc cost must be flat or falling."""
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark import textops as tx
+
+    for n_docs in (250_000, 2_000_000):
+        docs = synth_docs(spark, n_docs, n_tokens=100).cache()
+        docs.count()
+        a = F.col("doc_id")
+        ids = docs.select("doc_id")
+        chain = ids.where(a % 10 < 3).select(
+            a.alias("id_a"), (a + 1).alias("id_b")
+        )
+        star = ids.where((a % 37 != 0) & (a % 4 == 0)).select(
+            a.alias("id_a"), (a - a % 37).alias("id_b")
+        )
+        edges = chain.union(star)
+        legs = {
+            "connected_components": lambda: tx.connected_components(edges)
+            .groupBy("component")
+            .count()
+            .count(),
+            "pack_sequences": lambda: time_noop(
+                tx.pack_sequences(docs, seq_len=2048, buckets=64)
+            ),
+            "redact_pii": lambda: time_noop(tx.redact_pii(docs)),
+            "stratified_sample": lambda: time_noop(
+                tx.stratified_hash_sample(
+                    docs.withColumn(
+                        "stratum", (F.col("doc_id") % 5).cast("string")
+                    ),
+                    "stratum",
+                    {"0": 10000, "1": 5000, "2": 2500, "3": 1000, "4": 0},
+                )
+            ),
+            "cap_per_key": lambda: time_noop(
+                tx.cap_per_key(
+                    docs.withColumn("domain", (F.col("doc_id") % 10_000)),
+                    "domain",
+                    50,
+                )
+            ),
+        }
+        for name, fn in legs.items():
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                docs.cache().count()
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            print(
+                json.dumps(
+                    {
+                        "workload": name,
+                        "docs": n_docs,
+                        "sec": round(best, 3),
+                        "us_per_doc": round(best / n_docs * 1e6, 2),
+                    }
+                ),
+                flush=True,
+            )
+        docs.unpersist()
+
+
 def main() -> None:
     spark = get_spark("headroom", cores="32")
     from geoharvest_spark.simsearch import ivf_centroids_np, ivf_topk
@@ -343,6 +411,7 @@ def main() -> None:
             )
         )
     run_round4_legs(spark)
+    run_round5_legs(spark)
     run_textops_legs(spark)
     spark.stop()
 

@@ -610,3 +610,18 @@ def test_stratified_hash_sample_rates_and_determinism(spark):
             != rerolled[bmask].sort_values("doc_id")["sampled"].values).any()
     with pytest.raises(ValueError):
         tx.stratified_hash_sample(df, "stratum", {"a": 10001})
+
+
+def test_connected_components_giant_hub_no_collect_list(spark):
+    """Skew contract: one hub with 30k direct neighbors plus a chain
+    welded onto a leaf. large-star/small-star never materializes the
+    hub's neighborhood on a single row (joins + groupBy-min only), so
+    the giant star converges fast and correctly."""
+    hub_edges = [(0, i) for i in range(2, 30_002)]
+    chain = [(30_001 + i, 30_002 + i) for i in range(50)]  # welded chain
+    edges = hub_edges + [(30_001, 30_001 + 1 + 0)] + chain
+    df = spark.createDataFrame(edges, ["id_a", "id_b"]).repartition(16)
+    out = tx.connected_components(df, max_iter=10)
+    comps = out.select("component").distinct().collect()
+    assert [r["component"] for r in comps] == [0]
+    assert out.count() == 30_051  # {0} + {2..30001} + {30002..30051}
