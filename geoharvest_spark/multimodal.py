@@ -3,9 +3,10 @@
 The container has no codec wheels, so this module carries its OWN pure
 stdlib+numpy decoders: PCM WAV (wave; 8/16/24/32-bit), PNM
 (P2/P3/P5/P6), full PNG (all five filters, gray/RGB/RGBA/palette,
-1/2/4/8/16-bit, Adam7) and baseline JFIF JPEG (Huffman + dequant + IDCT
-+ 4:2:0 upsample + restart markers). Formats
-beyond those (video containers, WebP, progressive JPEG) are honest gates:
+1/2/4/8/16-bit, Adam7) and JPEG — baseline JFIF (Huffman + dequant +
+IDCT + 4:2:0 upsample + restart markers) AND progressive SOF2 (spectral
+selection + successive approximation). Formats
+beyond those (video containers, WebP, 12-bit/lossless JPEG) are honest gates:
 deterministic fake features or NotImplementedError behind real, tested
 Spark plumbing — schema, Arrow batch shape, mapInPandas signatures,
 partitioning.
@@ -653,12 +654,291 @@ def _receive_extend(bitarr: np.ndarray, pos: int, s: int) -> tuple[int, int]:
     return v, pos
 
 
+def _receive(bitarr: np.ndarray, pos: int, n: int) -> tuple[int, int]:
+    """Read n raw bits MSB-first (T.81 RECEIVE)."""
+    if n == 0:
+        return 0, pos
+    if pos + n > len(bitarr):
+        raise ValueError("JPEG bitstream exhausted mid-receive")
+    v = 0
+    for _ in range(n):
+        v = (v << 1) | int(bitarr[pos])
+        pos += 1
+    return v, pos
+
+
+def _decode_jpeg_progressive(payload: bytes) -> np.ndarray:
+    """Progressive (SOF2) JPEG decode — T.81 spectral selection +
+    successive approximation. Scans accumulate quantized coefficients
+    per component (DC first/refine, AC first with EOBRUN, AC refine with
+    correction bits, per G.1.2/G.2); dequant + IDCT + upsample + YCbCr
+    run once at the end. Shares the Huffman/receive primitives and the
+    sequential decoder's error contract (malformed -> ValueError via the
+    decode_jpeg boundary)."""
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    scans: list[tuple] = []
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", payload[pos : pos + 2])
+        data = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:
+            i = 0
+            while i < len(data):
+                prec, tq = data[i] >> 4, data[i] & 0x0F
+                i += 1
+                if prec == 0:
+                    qts[tq] = np.frombuffer(
+                        data[i : i + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    i += 64
+                else:
+                    qts[tq] = np.frombuffer(
+                        data[i : i + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    i += 128
+        elif marker == 0xC4:
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 0x0F
+                bits = list(data[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(data[i + 17 : i + 17 + n])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                i += 17 + n
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack(">BHHB", data[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC0, 0xC1):
+            raise ValueError("mixed sequential frame in progressive path")
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:
+            ns = data[0]
+            scomps = [
+                (data[1 + 2 * j], data[2 + 2 * j] >> 4, data[2 + 2 * j] & 0x0F)
+                for j in range(ns)
+            ]
+            ss, se, a = data[1 + 2 * ns], data[2 + 2 * ns], data[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            # snapshot the tables THIS scan binds to (they may be
+            # redefined between scans)
+            dc_tabs = {cid: huff.get((0, td)) for cid, td, _ in scomps}
+            ac_tabs = {cid: huff.get((1, ta)) for cid, _, ta in scomps}
+            p = pos + seglen
+            segments: list[bytes] = []
+            cur = bytearray()
+            while p < len(payload):
+                b = payload[p]
+                if b == 0xFF:
+                    nxt = payload[p + 1] if p + 1 < len(payload) else 0xD9
+                    if nxt == 0x00:
+                        cur.append(0xFF)
+                        p += 2
+                    elif 0xD0 <= nxt <= 0xD7:
+                        segments.append(bytes(cur))
+                        cur = bytearray()
+                        p += 2
+                    else:
+                        break
+                else:
+                    cur.append(b)
+                    p += 1
+            segments.append(bytes(cur))
+            scans.append(
+                (scomps, ss, se, ah, al, dc_tabs, ac_tabs, segments,
+                 restart_interval)
+            )
+            pos = p
+            continue
+        pos += seglen
+    if frame is None or not scans:
+        raise ValueError("progressive JPEG missing SOF2/SOS")
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    cinfo = {cid: (hc, vc, tq) for cid, hc, vc, tq in comps}
+    coef = {
+        cid: np.zeros((mcus_y * vc, mcus_x * hc, 64), dtype=np.int64)
+        for cid, hc, vc, _ in comps
+    }
+
+    def _comp_blocks(cid):
+        # non-interleaved scans cover ceil(comp_dim / 8) data units of
+        # the component's OWN sampling grid (T.81 A.2.2), which can be
+        # smaller than the MCU-padded array the interleaved DC scan fills
+        hc, vc, _ = cinfo[cid]
+        cw = -(-(w * hc) // hmax)
+        chh = -(-(h * vc) // vmax)
+        return -(-chh // 8), -(-cw // 8)
+
+    for scomps, ss, se, ah, al, dc_tabs, ac_tabs, segments, dri in scans:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        # the scan's data-unit sequence
+        units: list[tuple[int, int, int]] = []  # (cid, by, bx)
+        if len(scomps) > 1:
+            if ss != 0:
+                raise ValueError("interleaved progressive scan must be DC")
+            order = [c for c in comps if c[0] in {sc[0] for sc in scomps}]
+            for mcu in range(mcus_x * mcus_y):
+                my, mx = divmod(mcu, mcus_x)
+                for cid, hc, vc, _ in order:
+                    for by in range(vc):
+                        for bx in range(hc):
+                            units.append((cid, my * vc + by, mx * hc + bx))
+            per_seg_units = (
+                dri * sum(c[1] * c[2] for c in order) if dri else len(units)
+            )
+        else:
+            cid = scomps[0][0]
+            bh_, bw_ = _comp_blocks(cid)
+            units = [(cid, by, bx) for by in range(bh_) for bx in range(bw_)]
+            per_seg_units = dri if dri else len(units)
+        ui = 0
+        for seg in segments:
+            if ui >= len(units):
+                break
+            bitarr = np.unpackbits(np.frombuffer(seg, dtype=np.uint8))
+            bpos = 0
+            preds = {sc[0]: 0 for sc in scomps}
+            eobrun = 0
+            for cid, by, bx in units[ui : ui + per_seg_units]:
+                blk = coef[cid][by, bx]
+                if ss == 0 and ah == 0:  # DC first
+                    s, bpos = _read_huff(bitarr, bpos, dc_tabs[cid])
+                    diff, bpos = _receive_extend(bitarr, bpos, s)
+                    preds[cid] += diff
+                    blk[0] = preds[cid] << al
+                elif ss == 0:  # DC refine: one appended bit per block
+                    bit, bpos = _receive(bitarr, bpos, 1)
+                    if bit:
+                        blk[0] |= 1 << al
+                elif ah == 0:  # AC first
+                    if eobrun > 0:
+                        eobrun -= 1
+                    else:
+                        k = ss
+                        while k <= se:
+                            rs, bpos = _read_huff(bitarr, bpos, ac_tabs[cid])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eb, bpos = _receive(bitarr, bpos, r)
+                                eobrun = (1 << r) - 1 + eb
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            v, bpos = _receive_extend(bitarr, bpos, s)
+                            blk[_ZZ[k]] = v << al
+                            k += 1
+                else:  # AC refine (G.1.2.3 decoder dual)
+                    p1 = 1 << al
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs, bpos = _read_huff(bitarr, bpos, ac_tabs[cid])
+                            r, s = rs >> 4, rs & 0x0F
+                            val = 0
+                            if s == 0:
+                                if r != 15:
+                                    eb, bpos = _receive(bitarr, bpos, r)
+                                    eobrun = (1 << r) + eb
+                                    break
+                                # ZRL: pass 16 zero-history positions
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "AC refine magnitude must be 1 bit"
+                                    )
+                                bit, bpos = _receive(bitarr, bpos, 1)
+                                val = p1 if bit else -p1
+                            while k <= se:
+                                z = _ZZ[k]
+                                if blk[z] != 0:
+                                    bit, bpos = _receive(bitarr, bpos, 1)
+                                    if bit and (blk[z] & p1) == 0:
+                                        blk[z] += p1 if blk[z] >= 0 else -p1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val != 0 and k <= se:
+                                blk[_ZZ[k]] = val
+                            k += 1
+                    if eobrun > 0:
+                        while k <= se:
+                            z = _ZZ[k]
+                            if blk[z] != 0:
+                                bit, bpos = _receive(bitarr, bpos, 1)
+                                if bit and (blk[z] & p1) == 0:
+                                    blk[z] += p1 if blk[z] >= 0 else -p1
+                            k += 1
+                        eobrun -= 1
+                ui += 1
+
+    # dequantize + IDCT + assemble (same tail math as the sequential path)
+    planes: dict[int, np.ndarray] = {}
+    for cid, hc, vc, tq in comps:
+        if tq not in qts:
+            raise ValueError("JPEG references undefined quant table")
+        qt_nat = np.empty(64, dtype=np.int64)
+        qt_nat[_ZZ] = qts[tq]
+        by, bx = coef[cid].shape[:2]
+        deq = (coef[cid] * qt_nat).astype(np.float64).reshape(by, bx, 8, 8)
+        blks = np.einsum("ij,abjk,kl->abil", _DCT_C.T, deq, _DCT_C)
+        planes[cid] = blks.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+    out_planes = []
+    for cid, hc, vc, _ in comps:
+        pl = planes[cid]
+        if hc != hmax or vc != vmax:
+            pl = pl.repeat(vmax // vc, axis=0).repeat(hmax // hc, axis=1)
+        out_planes.append(pl[:h, :w] + 128.0)
+    if len(out_planes) == 1:
+        return np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF JPEG decode, pure stdlib+numpy: Huffman-decoded
     entropy scan, dequantization, de-zigzag, float IDCT, chroma upsample
     (4:4:4 / 4:2:2 / 4:2:0 by sample replication), YCbCr->RGB. Supports
-    8-bit sequential frames (SOF0/SOF1), 1 or 3 components, restart
-    markers (DRI/RSTn). Progressive and other frame types raise
+    8-bit sequential frames (SOF0/SOF1) AND progressive frames (SOF2 —
+    spectral selection + successive approximation, via
+    _decode_jpeg_progressive), 1 or 3 components, restart markers
+    (DRI/RSTn). Other frame types (lossless, arithmetic, 12-bit) raise
     NotImplementedError. Any malformed payload raises ValueError (the
     contract decode_image / with_resized_images rely on to null out
     undecodable rows instead of crashing the Spark task).
@@ -735,7 +1015,8 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
             frame = (h, w, comps)
         elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG not supported")
+            # progressive frame: coefficient-accumulating scan decoder
+            return _decode_jpeg_progressive(payload)
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError("non-sequential JPEG frame type")
         elif marker == 0xDD:  # DRI
@@ -1093,14 +1374,15 @@ def _sniff_decode_image(payload: bytes) -> np.ndarray | None:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image decode: PPM, PNG, and baseline JPEG decode natively (pure
-    stdlib+numpy, above); remaining formats (WebP, TIFF, progressive
-    JPEG, ...) fall through to PIL when present, else the honest gate."""
+    """Image decode: PNM, PNG, and baseline+progressive JPEG decode
+    natively (pure stdlib+numpy, above); remaining formats (WebP, TIFF,
+    lossless JPEG, ...) fall through to PIL when present, else the
+    honest gate."""
     img = None
     try:
         img = _sniff_decode_image(payload)
     except NotImplementedError:
-        img = None  # e.g. progressive JPEG -> try PIL below
+        img = None  # e.g. lossless/12-bit JPEG -> try PIL below
     if img is not None:
         return img
     if not HAVE_PIL:  # pragma: no cover

@@ -114,11 +114,16 @@ def test_gray_roundtrip():
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 8
 
 
-def test_progressive_raises():
+def test_sequential_stream_mislabeled_progressive_raises():
+    """r5: progressive (SOF2) frames now DECODE (see
+    test_multimodal_jpeg_progressive.py). A sequential bitstream merely
+    relabeled SOF2 is malformed for the progressive scan grammar
+    (sequential scans are Ss=0..Se=63, illegal interleaved-AC in
+    progressive) and must fail as ValueError, not be misread."""
     buf = bytearray(encode_jpeg(_gradient(16, 16)))
     i = buf.find(b"\xff\xc0")
     buf[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(buf))
 
 
