@@ -886,17 +886,20 @@ def redact_pii(
     chained regexp_replace in the scan stage, no UDF, narrow plan); the
     per-category counts make the scrub auditable per document.
 
-    Returns (id, redacted text, n_email, n_ipv4, n_longnum)."""
-    counts = [
-        F.regexp_count(F.col(text_col), F.lit(pat)).alias(f"n_{name}")
-        for name, pat, _ in PII_PATTERNS
-    ]
+    Preserves every other column (the scrub rewrites ``text_col`` in
+    place and appends the count columns), so it composes mid-pipeline —
+    including inside streaming plans (narrow, stateless).
+
+    Returns the input schema + (n_email, n_ipv4, n_longnum)."""
+    out = df
+    for name, pat, _ in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
     red = F.col(text_col)
     for _, pat, token in PII_PATTERNS:
         red = F.regexp_replace(red, pat, token)
-    return df.select(
-        F.col(id_col), red.alias(text_col), *counts
-    )
+    return out.withColumn(text_col, red)
 
 
 def stratified_hash_sample(

@@ -232,3 +232,67 @@ def test_sessionize_stateful_event_time_timeout(spark, tmp_path):
     assert any(u == "idle" and n == 1 for (u, _s, _d, n) in got)  # TIMEOUT
     # the final open session (a @ 10000s) must NOT be emitted
     assert len(out) == 3
+
+
+def test_streaming_pii_scrub_and_quality_narrow_ops(spark, tmp_path):
+    """The r5 corpus ops are narrow codegen transforms, so they compose
+    directly into a streaming plan: micro-batched docs flow through
+    redact_pii + stratified_hash_sample + hash_split inside readStream ->
+    memory sink, and the streamed results equal the batch run exactly."""
+    import json
+    import os
+
+    from geoharvest_spark import textops as tx
+
+    d = tmp_path / "docs"
+    d.mkdir()
+    rows = [
+        {
+            "doc_id": i,
+            "lang": ["en", "fr"][i % 2],
+            "text": f"doc {i} mail u{i}@ex{i % 3}.com ip 10.0.0.{i % 250}",
+        }
+        for i in range(120)
+    ]
+    for b, sl in enumerate([rows[:60], rows[60:]]):
+        with open(d / f"b{b}.json", "w") as f:
+            for r in sl:
+                f.write(json.dumps(r) + "\n")
+        os.utime(d / f"b{b}.json", (1_700_000_000 + b, 1_700_000_000 + b))
+
+    def pipeline(df):
+        return tx.hash_split(
+            tx.stratified_hash_sample(
+                tx.redact_pii(df.select("doc_id", "lang", "text"),
+                              id_col="doc_id"),
+                "lang",
+                {"en": 10000, "fr": 5000},
+            )
+        )
+
+    batch_df = spark.read.json(str(d))
+    expect = {
+        r["doc_id"]: (r["text"], r["n_email"], r["sampled"], r["split"])
+        for r in pipeline(batch_df).collect()
+    }
+
+    stream = spark.readStream.schema(batch_df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).json(str(d))
+    q = (
+        pipeline(stream)
+        .writeStream.format("memory")
+        .queryName("pii_stream")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        r["doc_id"]: (r["text"], r["n_email"], r["sampled"], r["split"])
+        for r in spark.sql("SELECT * FROM pii_stream").collect()
+    }
+    assert got == expect
+    assert all("@" not in v[0] and v[1] == 1 for v in got.values())
