@@ -2,7 +2,8 @@
 
 The container has no codec wheels, so this module carries its OWN pure
 stdlib+numpy decoders: PCM WAV (wave; 8/16/24/32-bit), PNM
-(P2/P3/P5/P6), full PNG (all five filters, gray/RGB/RGBA/palette,
+(P2/P3/P5/P6), BMP (BI_RGB 8/24/32-bit), GIF (87a/89a LZW incl.
+interlace), full PNG (all five filters, gray/RGB/RGBA/palette,
 1/2/4/8/16-bit, Adam7) and JPEG — baseline JFIF (Huffman + dequant +
 IDCT + 4:2:0 upsample + restart markers) AND progressive SOF2 (spectral
 selection + successive approximation). Formats
@@ -180,6 +181,295 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         arr = (arr * 255 + maxval // 2) // maxval
     out = arr.astype(np.uint8)
     return out.reshape(h, w, 3) if n_ch == 3 else out.reshape(h, w)
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """Windows BMP decode, pure numpy: BI_RGB (uncompressed) 8-bit
+    paletted, 24-bit BGR and 32-bit BGRA, bottom-up or top-down rows,
+    4-byte row padding. Returns (h, w, 3) uint8 (alpha dropped —
+    BMP alpha is near-universally unused)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP (missing BM)")
+    if len(payload) < 54:
+        raise ValueError("BMP header truncated")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    (hdr_size,) = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER BMP not supported")
+    w, h_raw = struct.unpack("<ii", payload[18:26])
+    planes, bpp = struct.unpack("<HH", payload[26:30])
+    (compression,) = struct.unpack("<I", payload[30:34])
+    if compression != 0:
+        raise NotImplementedError(f"BMP compression {compression} not supported")
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP not supported")
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w <= 0 or h <= 0:
+        raise ValueError("bad BMP dimensions")
+    if bpp == 8:
+        (n_colors,) = struct.unpack("<I", payload[46:50])
+        n_colors = n_colors or 256
+        pal_off = 14 + hdr_size
+        pal = np.frombuffer(
+            payload, dtype=np.uint8, count=n_colors * 4, offset=pal_off
+        ).reshape(-1, 4)[:, [2, 1, 0]]  # BGRX -> RGB
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    need = row_bytes * h
+    if data_off + need > len(payload):
+        raise ValueError("BMP pixel data truncated")
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=need, offset=data_off
+    ).reshape(h, row_bytes)
+    if not top_down:
+        rows = rows[::-1]
+    if bpp == 8:
+        idx = rows[:, :w]
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("BMP palette index out of range")
+        return pal[idx]
+    px = rows[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)
+    return px[:, :, [2, 1, 0]].copy()  # BGR(A) -> RGB
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """24-bit BI_RGB BMP encoder (bottom-up, 4-byte padded rows)."""
+    import struct
+
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w = img.shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    body = bytearray()
+    bgr = img[:, :, [2, 1, 0]].astype(np.uint8)
+    pad = b"\x00" * (row_bytes - w * 3)
+    for y in range(h - 1, -1, -1):
+        body += bgr[y].tobytes() + pad
+    off = 14 + 40
+    hdr = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    hdr += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(hdr + body)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW decode (variable 3..12-bit codes, LSB-first bit
+    packing, clear/end codes, dictionary rebuild)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read_code(width):
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            raise ValueError("GIF LZW stream exhausted")
+        v = 0
+        for i in range(width):
+            byte = data[(bitpos + i) >> 3]
+            v |= ((byte >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        return v
+
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    width = min_code_size + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while n_out < n_pixels:
+        code = read_code(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("bad first GIF LZW code")
+            entry = table[code]
+            if not entry:
+                raise ValueError("GIF LZW code names the clear/end slot")
+        elif code < len(table):
+            entry = table[code]
+            if not entry:
+                raise ValueError("GIF LZW code names the clear/end slot")
+            table.append(prev + entry[:1])
+        elif code == len(table):
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("GIF LZW code out of range")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], dtype=np.uint8)
+        n_out += take
+        prev = entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+    if n_out < n_pixels:
+        raise ValueError("GIF image data truncated")
+    return out
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a decode, pure stdlib+numpy: global/local color tables,
+    LZW image data, interlacing, 89a extensions skipped. Decodes the
+    FIRST image (for animations that is frame 1 — the frame-sampling
+    plan handles multi-frame media). Transparency index (GCE) maps to
+    its palette color (no alpha channel). Returns (h, w, 3) uint8."""
+    import struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF signature")
+    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(
+            payload, dtype=np.uint8, count=n * 3, offset=pos
+        ).reshape(-1, 3)
+        pos += n * 3
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(payload) and payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor
+            left, top, w, h, iflags = struct.unpack(
+                "<HHHHB", payload[pos + 1 : pos + 10]
+            )
+            pos += 10
+            pal = gct
+            if iflags & 0x80:
+                n = 2 << (iflags & 0x07)
+                pal = np.frombuffer(
+                    payload, dtype=np.uint8, count=n * 3, offset=pos
+                ).reshape(-1, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF image without any color table")
+            mcs = payload[pos]
+            pos += 1
+            if not 2 <= mcs <= 11:
+                raise ValueError(f"bad GIF LZW min code size {mcs}")
+            data = bytearray()
+            while pos < len(payload) and payload[pos] != 0:
+                ln = payload[pos]
+                data += payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            idx = _gif_lzw_decode(bytes(data), mcs, w * h)
+            if iflags & 0x40:  # interlaced: 4-pass row shuffle
+                rows = idx.reshape(h, w)
+                out_rows = np.empty_like(rows)
+                src = 0
+                for start, step in _GIF_INTERLACE:
+                    for y in range(start, h, step):
+                        out_rows[y] = rows[src]
+                        src += 1
+                rows = out_rows
+            else:
+                rows = idx.reshape(h, w)
+            if int(rows.max(initial=0)) >= len(pal):
+                raise ValueError("GIF palette index out of range")
+            return pal[rows]
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
+    """GIF89a encoder (256-color adaptive palette by exact color set —
+    raises if the image has more than 256 distinct colors; real LZW with
+    growing codes). Exists to synthesize REAL payloads for the decoder."""
+    import struct
+
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    h, w = img.shape[:2]
+    flat = img[:, :, :3].reshape(-1, 3)
+    colors, idx = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        raise ValueError("encode_gif needs <= 256 distinct colors")
+    # palette size: power of two >= max(2, n)
+    bits = max(1, int(len(colors) - 1).bit_length())
+    pal = np.zeros((1 << bits, 3), dtype=np.uint8)
+    pal[: len(colors)] = colors
+    idx = idx.astype(np.uint8).reshape(h, w)
+    if interlace:
+        order = []
+        for start, step in _GIF_INTERLACE:
+            order.extend(range(start, h, step))
+        seq = idx[order].reshape(-1)
+    else:
+        seq = idx.reshape(-1)
+
+    mcs = max(2, bits)
+    clear = 1 << mcs
+    end = clear + 1
+    out_codes: list[tuple[int, int]] = []
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    width = mcs + 1
+    out_codes.append((clear, width))
+    run = b""
+    for v in seq.tobytes():
+        cand = run + bytes([v])
+        if cand in table:
+            run = cand
+            continue
+        out_codes.append((table[run], width))
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        if next_code > 4095:
+            out_codes.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = mcs + 1
+        run = bytes([v])
+    if run:
+        out_codes.append((table[run], width))
+    out_codes.append((end, width))
+    # LSB-first bit packing
+    acc = 0
+    nbits = 0
+    lzw = bytearray()
+    for code, cw in out_codes:
+        acc |= code << nbits
+        nbits += cw
+        while nbits >= 8:
+            lzw.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+    if nbits:
+        lzw.append(acc & 0xFF)
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((bits - 1) & 7), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0x00
+    )
+    out += bytes([mcs])
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def _image_features(img: np.ndarray, dim: int = FEATURE_DIM) -> list[float]:
@@ -1366,6 +1656,10 @@ def _sniff_decode_image(payload: bytes) -> np.ndarray | None:
     JPEG) by magic bytes; None when the format is not one of ours."""
     if payload[:2] in (b"P6", b"P5", b"P3", b"P2"):
         return decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return decode_bmp(payload)
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(payload)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
