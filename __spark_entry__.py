@@ -220,6 +220,7 @@ _DRIVER_ORDER = [
     "domain_cap3",
     "doc_pii_redact",
     "lang_mix_sample",
+    "media_decode_suite",
     # -- r4-green queries follow in their original registration order --
 ]
 
@@ -911,6 +912,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     Q["lang_mix_sample"] = lang_mix_sample
+
+    def media_decode_suite(spark, sf):
+        # lossless-codec correctness end-to-end: closed-form pixel
+        # arrays -> REAL encoders (PNG / BMP / GIF / PPM) -> the real
+        # decode_image dispatch inside mapInPandas -> row-major pixel
+        # digest. The oracle recomputes the SOURCE pixels from the same
+        # closed form purely in SQL — lossless codecs must return them
+        # exactly, so the digests agree without the oracle ever touching
+        # a codec. (Channel values are 32-multiples so GIF's <=256-color
+        # bound holds by construction.)
+        import pandas as pd
+
+        ids = spark.range(24).select(F.col("id").cast("int").alias("media_id"))
+        schema = "media_id int, fmt string, h int, w int, digest string"
+
+        def _run(batches):
+            import hashlib
+
+            import numpy as np
+
+            from geoharvest_spark.multimodal import (
+                decode_image,
+                encode_bmp,
+                encode_gif,
+                encode_png,
+            )
+
+            for pdf in batches:
+                rows = []
+                for mid in pdf["media_id"]:
+                    mid = int(mid)
+                    h, w = 12 + mid % 3, 16 + mid % 5
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    img = np.stack(
+                        [
+                            (yy * 5 + mid) % 8 * 32,
+                            (xx * 3) % 8 * 32,
+                            (xx + yy) % 8 * 32,
+                        ],
+                        axis=2,
+                    ).astype(np.uint8)
+                    fmt = ["png", "bmp", "gif", "ppm"][mid % 4]
+                    if fmt == "png":
+                        payload = encode_png(img)
+                    elif fmt == "bmp":
+                        payload = encode_bmp(img)
+                    elif fmt == "gif":
+                        payload = encode_gif(img, interlace=mid % 8 == 2)
+                    else:
+                        payload = (
+                            f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+                        )
+                    dec = decode_image(payload)
+                    txt = " ".join(
+                        f"{r} {g} {b}"
+                        for r, g, b in dec.reshape(-1, 3).tolist()
+                    )
+                    rows.append(
+                        (
+                            mid,
+                            fmt,
+                            int(dec.shape[0]),
+                            int(dec.shape[1]),
+                            hashlib.md5(txt.encode()).hexdigest(),
+                        )
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "fmt", "h", "w", "digest"]
+                )
+
+        return ids.repartition(4).mapInPandas(_run, schema).orderBy("media_id")
+
+    Q["media_decode_suite"] = media_decode_suite
 
     def domain_cap3(spark, sf):
         # per-domain corpus cap (domain balancing): keep the first 3
@@ -2537,6 +2611,28 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "coalesce(n_hits, 0) AS n_hits, "
             "coalesce(n_hits, 0) > 0 AS contaminated "
             "FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id ORDER BY 1"
+        ),
+        "media_decode_suite": (
+            # Pixel ground truth from the closed form; digest = md5 of
+            # the row-major "r g b" string — no codec anywhere in SQL.
+            "WITH ids AS (SELECT cast(range AS INT) AS media_id "
+            "FROM range(24)), "
+            "dims AS (SELECT media_id, 12 + media_id % 3 AS h, "
+            "16 + media_id % 5 AS w FROM ids), "
+            "px AS (SELECT d.media_id, d.h, d.w, y.range AS y, x.range AS x "
+            "FROM dims d, range(0, 15) y, range(0, 21) x "
+            "WHERE y.range < d.h AND x.range < d.w), "
+            "v AS (SELECT media_id, h, w, y, x, "
+            "cast((y * 5 + media_id) % 8 * 32 AS INT) AS r, "
+            "cast((x * 3) % 8 * 32 AS INT) AS g, "
+            "cast((x + y) % 8 * 32 AS INT) AS b FROM px) "
+            "SELECT media_id, "
+            "(CASE media_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' "
+            "WHEN 2 THEN 'gif' ELSE 'ppm' END) AS fmt, "
+            "cast(h AS INT) AS h, cast(w AS INT) AS w, "
+            "md5(string_agg(r || ' ' || g || ' ' || b, ' ' "
+            "ORDER BY y, x)) AS digest "
+            "FROM v GROUP BY media_id, h, w ORDER BY media_id"
         ),
         "pack_sequences_512": (
             "WITH t AS (SELECT doc_id AS id, "
