@@ -1636,18 +1636,24 @@ def jpeg_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
 def decode_features(
     kind: str | None, payload: bytes | None, dim: int = FEATURE_DIM
 ) -> list[float]:
-    """Dispatch: REAL decode for WAV audio and PPM/PNG/JPEG images;
-    deterministic stub for formats whose codecs are absent in this
-    container (video, WebP, ...)."""
+    """Dispatch: REAL decode for WAV audio and every natively-decodable
+    image format (PNM, PNG, BMP, GIF, baseline+progressive JPEG — the
+    _sniff_decode_image registry); deterministic stub for formats whose
+    codecs are absent in this container (video, WebP, ...) and for
+    undecodable payloads (malformed media must not crash the task)."""
     if payload:
         if kind == "audio" and payload[:4] == b"RIFF":
-            return wav_features(payload, dim)
-        if kind == "image" and payload[:2] == b"P6":
-            return ppm_features(payload, dim)
-        if kind == "image" and payload[:8] == b"\x89PNG\r\n\x1a\n":
-            return png_features(payload, dim)
-        if kind == "image" and payload[:2] == b"\xff\xd8":
-            return jpeg_features(payload, dim)
+            try:
+                return wav_features(payload, dim)
+            except (ValueError, NotImplementedError):
+                return _fake_decode_features(payload, dim)
+        if kind == "image":
+            try:
+                img = _sniff_decode_image(payload)
+            except (ValueError, NotImplementedError):
+                img = None
+            if img is not None:
+                return _image_features(img, dim)
     return _fake_decode_features(payload, dim)
 
 
