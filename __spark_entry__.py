@@ -221,6 +221,7 @@ _DRIVER_ORDER = [
     "doc_pii_redact",
     "lang_mix_sample",
     "media_decode_suite",
+    "raster_cell_stats",
     # -- r4-green queries follow in their original registration order --
 ]
 
@@ -985,6 +986,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return ids.repartition(4).mapInPandas(_run, schema).orderBy("media_id")
 
     Q["media_decode_suite"] = media_decode_suite
+
+    def raster_cell_stats(spark, sf):
+        # raster -> vector: GeoTIFF payloads (closed-form pixel values +
+        # exact-binary geotransforms) decode inside the batch, every
+        # pixel center maps to its res-7 ghcell, and per-cell partials
+        # aggregate two-stage. Two planted junk rows (not-a-TIFF, TIFF
+        # without geo tags) prove the divert-not-crash path; the oracle
+        # regenerates pixels + the identical double arithmetic and cells
+        # via ghcell_sql — no raster code anywhere oracle-side.
+        import pandas as pd
+
+        from geoharvest_spark import raster as rst
+
+        ids = spark.range(14).select(F.col("id").cast("int").alias("rid"))
+
+        def _mk(batches):
+            import numpy as np
+
+            from geoharvest_spark.raster import encode_tiff
+
+            for pdf in batches:
+                rows = []
+                for rid in pdf["rid"]:
+                    rid = int(rid)
+                    if rid == 12:
+                        rows.append((rid, b"not a tiff at all"))
+                        continue
+                    h, w = 20 + rid % 3, 24 + rid % 5
+                    rr, cc = np.mgrid[0:h, 0:w]
+                    img = ((3 * rr + 5 * cc + rid) % 251).astype(np.uint8)
+                    if rid == 13:  # decodable but un-georeferenced
+                        rows.append((rid, encode_tiff(img)))
+                        continue
+                    lon0 = -171.0 + rid * 28.5
+                    lat0 = 80.0 - (rid % 4) * 40.0
+                    rows.append(
+                        (
+                            rid,
+                            encode_tiff(
+                                img,
+                                pixel_scale=(0.05, 0.04),
+                                tiepoint=(lon0, lat0),
+                            ),
+                        )
+                    )
+                yield pd.DataFrame(rows, columns=["rid", "payload"])
+
+        payloads = ids.repartition(4).mapInPandas(
+            _mk, "rid int, payload binary"
+        )
+        return rst.raster_cell_stats(payloads, res=7).orderBy("cell")
+
+    Q["raster_cell_stats"] = raster_cell_stats
 
     def domain_cap3(spark, sf):
         # per-domain corpus cap (domain balancing): keep the first 3
@@ -2611,6 +2665,24 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "coalesce(n_hits, 0) AS n_hits, "
             "coalesce(n_hits, 0) > 0 AS contaminated "
             "FROM tot LEFT JOIN hits ON tot.doc_id = hits.doc_id ORDER BY 1"
+        ),
+        "raster_cell_stats": (
+            # Same closed-form pixels + double arithmetic (grouping
+            # parenthesized to match numpy's evaluation order exactly),
+            # cells via the shared ghcell_sql fragment at res 7.
+            "WITH ids AS (SELECT cast(range AS BIGINT) AS id "
+            "FROM range(12)), "
+            "dims AS (SELECT id, 20 + id % 3 AS h, 24 + id % 5 AS w "
+            "FROM ids), "
+            "px AS (SELECT d.id, y.range AS row, x.range AS col "
+            "FROM dims d, range(0, 23) y, range(0, 29) x "
+            "WHERE y.range < d.h AND x.range < d.w), "
+            "v AS (SELECT id, (3 * row + 5 * col + id) % 251 AS val, "
+            "(-171.0 + id * 28.5) + col * 0.05 AS lon, "
+            "(80.0 - (id % 4) * 40.0) - row * 0.04 AS lat FROM px) "
+            f"SELECT {ix.ghcell_sql('lon', 'lat', 7)} AS cell, "
+            "count(*) AS n_pixels, cast(sum(val) AS BIGINT) AS sum_val "
+            "FROM v GROUP BY 1 ORDER BY cell"
         ),
         "media_decode_suite": (
             # Pixel ground truth from the closed form; digest = md5 of

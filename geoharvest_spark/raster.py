@@ -1,0 +1,291 @@
+"""Raster ingestion: GeoTIFF-shaped TIFF decode + raster->vector cell
+aggregation (the raster half of the north rule's raster<->vector tiling).
+
+``decode_tiff`` is a pure stdlib+numpy baseline-TIFF reader (both byte
+orders, 8-bit gray/RGB, uncompressed or PackBits strips) that also
+surfaces the GeoTIFF georeferencing tags (ModelPixelScale 33550 +
+ModelTiepoint 33922) as an affine north-up geotransform. ``encode_tiff``
+is the synthesis twin (uncompressed, little-endian, optional geo tags).
+
+``raster_cell_stats`` is the scale-shaped raster->vector operator: each
+raster decodes inside one Arrow batch, pixels map to ghcell ids with the
+vectorized numpy twin of the engine's cell index, and the UDF emits
+PER-RASTER PER-CELL PARTIAL AGGREGATES — a raster never leaves the task
+as pixels, so the shuffle carries O(cells-touched) rows (bounded by the
+grid, ~1e6 at res 7) regardless of raster resolution. The final
+groupBy(cell) merges partials with a map-side combine, exactly the
+two-stage aggregate a 100-TB raster table needs.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .index import ghcell_np
+
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data) and len(out) < expect:
+        n = data[i]
+        i += 1
+        if n < 128:  # copy n+1 literal bytes
+            out += data[i : i + n + 1]
+            i += n + 1
+        elif n > 128:  # repeat next byte 257-n times
+            out += data[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
+    if len(out) < expect:
+        raise ValueError("TIFF PackBits stream truncated")
+    return bytes(out[:expect])
+
+
+def decode_tiff(payload: bytes) -> tuple[np.ndarray, dict]:
+    """Baseline TIFF decode -> (array, meta). Supports II/MM byte order,
+    8-bit grayscale (photometric 0/1) and RGB (2), uncompressed (1) or
+    PackBits (32773) strips, first IFD only. GeoTIFF ModelPixelScale /
+    ModelTiepoint tags populate meta['geotransform'] =
+    (lon0, sx, lat0, sy) with lon = lon0 + col*sx, lat = lat0 - row*sy
+    (north-up). Malformed input raises ValueError; unsupported layouts
+    raise NotImplementedError."""
+    if payload[:4] == b"II*\x00":
+        e = "<"
+    elif payload[:4] == b"MM\x00*":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte-order/magic)")
+    try:
+        (ifd_off,) = struct.unpack(e + "I", payload[4:8])
+        (n_entries,) = struct.unpack(
+            e + "H", payload[ifd_off : ifd_off + 2]
+        )
+        tags: dict[int, tuple[int, int, bytes]] = {}
+        for i in range(n_entries):
+            o = ifd_off + 2 + 12 * i
+            tag, typ, cnt = struct.unpack(e + "HHI", payload[o : o + 8])
+            raw = payload[o + 8 : o + 12]
+            size = _TYPE_SIZES.get(typ, 1) * cnt
+            if size > 4:
+                (off,) = struct.unpack(e + "I", raw)
+                raw = payload[off : off + size]
+            tags[tag] = (typ, cnt, raw)
+    except struct.error as ex:
+        raise ValueError(f"TIFF header truncated: {ex}") from ex
+
+    def vals(tag, default=None):
+        if tag not in tags:
+            return default
+        typ, cnt, raw = tags[tag]
+        fmt = {1: "B", 3: "H", 4: "I", 12: "d"}.get(typ)
+        if fmt is None:
+            raise NotImplementedError(f"TIFF tag type {typ} not supported")
+        try:
+            return list(struct.unpack(e + fmt * cnt, raw[: _TYPE_SIZES[typ] * cnt]))
+        except struct.error as ex:
+            raise ValueError(f"TIFF tag {tag} truncated: {ex}") from ex
+
+    w = vals(256)
+    h = vals(257)
+    if not w or not h:
+        raise ValueError("TIFF missing ImageWidth/ImageLength")
+    w, h = int(w[0]), int(h[0])
+    bps = vals(258, [8])
+    if any(int(b) != 8 for b in bps):
+        raise NotImplementedError(f"{bps}-bit TIFF not supported")
+    compression = int(vals(259, [1])[0])
+    photometric = int(vals(262, [1])[0])
+    spp = int(vals(277, [1])[0])
+    if photometric == 2:
+        if spp < 3:
+            raise ValueError("RGB TIFF with <3 samples")
+    elif photometric in (0, 1):
+        if spp != 1:
+            raise NotImplementedError("extra-sample grayscale TIFF")
+    else:
+        raise NotImplementedError(f"TIFF photometric {photometric} not supported")
+    offsets = vals(273)
+    counts = vals(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing/mismatched strip tables")
+    rows_per_strip = int(vals(278, [h])[0])
+    data = bytearray()
+    for si, (off, cnt) in enumerate(zip(offsets, counts)):
+        chunk = payload[int(off) : int(off) + int(cnt)]
+        if len(chunk) < int(cnt):
+            raise ValueError("TIFF strip truncated")
+        if compression == 1:
+            data += chunk
+        elif compression == 32773:
+            n_rows = min(rows_per_strip, h - si * rows_per_strip)
+            data += _packbits_decode(chunk, n_rows * w * spp)
+        else:
+            raise NotImplementedError(
+                f"TIFF compression {compression} not supported"
+            )
+    need = h * w * spp
+    if len(data) < need:
+        raise ValueError("TIFF pixel data truncated")
+    arr = np.frombuffer(bytes(data[:need]), dtype=np.uint8).reshape(h, w, spp)
+    if photometric == 0:  # WhiteIsZero: invert to the usual polarity
+        arr = 255 - arr
+    img = arr[:, :, 0] if spp == 1 else arr[:, :, :3]
+    meta: dict = {"photometric": photometric, "compression": compression}
+    scale = vals(33550)
+    tie = vals(33922)
+    if scale and tie and len(scale) >= 2 and len(tie) >= 5:
+        # tiepoint (i, j, k, x, y, z): raster (i, j) pins world (x, y)
+        i0, j0, _, x0, y0 = (float(v) for v in tie[:5])
+        sx, sy = float(scale[0]), float(scale[1])
+        meta["geotransform"] = (x0 - i0 * sx, sx, y0 + j0 * sy, sy)
+    return img, meta
+
+
+def encode_tiff(
+    img: np.ndarray,
+    pixel_scale: tuple[float, float] | None = None,
+    tiepoint: tuple[float, float] | None = None,
+) -> bytes:
+    """Minimal little-endian uncompressed TIFF writer (8-bit gray or
+    RGB, one strip) with optional GeoTIFF georeferencing: pixel_scale
+    (sx, sy) + tiepoint (lon0, lat0) pinning raster (0,0)."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    spp = 1 if gray else 3
+    body = img.tobytes() if gray else img[:, :, :3].tobytes()
+
+    entries = []  # (tag, type, count, value_or_bytes)
+
+    def short(tag, v):
+        entries.append((tag, 3, 1, struct.pack("<HH", v, 0)))
+
+    def long_(tag, v):
+        entries.append((tag, 4, 1, struct.pack("<I", v)))
+
+    geo = pixel_scale is not None and tiepoint is not None
+    n = 9 + (2 if geo else 0)  # 9 base entries (BitsPerSample is 1 either way)
+    header_size = 8 + 2 + 12 * n + 4
+    extra = b""
+    extra_off = header_size
+    data_off = None
+
+    short(256, w)
+    short(257, h)
+    if gray:
+        short(258, 8)
+    else:
+        entries.append(
+            (258, 3, 3, struct.pack("<I", 0))
+        )  # patched below (needs extra area)
+    short(259, 1)
+    short(262, 1 if gray else 2)
+    long_(273, 0)  # patched
+    short(277, spp)
+    long_(278, h)
+    long_(279, len(body))
+    if geo:
+        entries.append((33550, 12, 3, struct.pack("<I", 0)))  # patched
+        entries.append((33922, 12, 6, struct.pack("<I", 0)))  # patched
+    entries.sort(key=lambda t: t[0])
+
+    patched = []
+    for tag, typ, cnt, raw in entries:
+        if tag == 258 and not gray:
+            raw = struct.pack("<I", extra_off + len(extra))
+            extra += struct.pack("<HHH", 8, 8, 8) + b"\x00\x00"
+        elif tag == 33550:
+            raw = struct.pack("<I", extra_off + len(extra))
+            extra += struct.pack("<ddd", pixel_scale[0], pixel_scale[1], 0.0)
+        elif tag == 33922:
+            raw = struct.pack("<I", extra_off + len(extra))
+            extra += struct.pack(
+                "<dddddd", 0.0, 0.0, 0.0, tiepoint[0], tiepoint[1], 0.0
+            )
+        patched.append((tag, typ, cnt, raw))
+    data_off = extra_off + len(extra)
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", len(patched))
+    for tag, typ, cnt, raw in patched:
+        if tag == 273:
+            raw = struct.pack("<I", data_off)
+        out += struct.pack("<HHI", tag, typ, cnt) + raw.ljust(4, b"\x00")[:4]
+    out += struct.pack("<I", 0)  # no next IFD
+    assert len(out) == extra_off, (len(out), extra_off)
+    out += extra + body
+    return bytes(out)
+
+
+def raster_cell_stats(
+    df: DataFrame,
+    res: int = 5,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Raster -> vector cell aggregation: decode each GeoTIFF payload,
+    map every pixel center to its ghcell at ``res`` via the geotransform,
+    and aggregate (n_pixels, sum_val) per cell — partials computed in
+    numpy INSIDE the batch (np.unique + bincount over the cell ids), so
+    the shuffle sees per-(raster, cell) rows, never pixels. Undecodable
+    or un-georeferenced payloads are skipped (the divert-not-crash
+    contract). Returns (cell, n_pixels, sum_val)."""
+
+    def _map(batches):
+        for pdf in batches:
+            cells_all = []
+            for payload in pdf[payload_col]:
+                try:
+                    img, meta = decode_tiff(bytes(payload))
+                except (ValueError, NotImplementedError):
+                    continue
+                gt = meta.get("geotransform")
+                if gt is None:
+                    continue
+                lon0, sx, lat0, sy = gt
+                h, w = img.shape[:2]
+                lon = lon0 + np.arange(w, dtype=np.float64) * sx
+                lat = lat0 - np.arange(h, dtype=np.float64) * sy
+                cell = ghcell_np(
+                    np.broadcast_to(lon[None, :], (h, w)).reshape(-1),
+                    np.broadcast_to(lat[:, None], (h, w)).reshape(-1),
+                    res,
+                )
+                val = (
+                    img.astype(np.int64)
+                    if img.ndim == 2
+                    else img[:, :, 0].astype(np.int64)
+                ).reshape(-1)
+                uniq, inv = np.unique(cell, return_inverse=True)
+                n = np.bincount(inv)
+                sv = np.bincount(inv, weights=val).astype(np.int64)
+                cells_all.append(
+                    pd.DataFrame(
+                        {"cell": uniq, "n_pixels": n, "sum_val": sv}
+                    )
+                )
+            yield (
+                pd.concat(cells_all)
+                if cells_all
+                else pd.DataFrame(
+                    {
+                        "cell": np.array([], dtype=np.int64),
+                        "n_pixels": np.array([], dtype=np.int64),
+                        "sum_val": np.array([], dtype=np.int64),
+                    }
+                )
+            )
+
+    partial = df.mapInPandas(
+        _map, "cell long, n_pixels long, sum_val long"
+    )
+    return partial.groupBy("cell").agg(
+        F.sum("n_pixels").alias("n_pixels"),
+        F.sum("sum_val").alias("sum_val"),
+    )

@@ -1,0 +1,134 @@
+"""GeoTIFF-shaped raster path (round 5): TIFF codec round-trips,
+PackBits, georeferencing tags, and the raster->vector cell aggregation
+operator (partials inside the batch, two-stage merge)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from geoharvest_spark.index import ghcell_np
+from geoharvest_spark.raster import (
+    _packbits_decode,
+    decode_tiff,
+    encode_tiff,
+    raster_cell_stats,
+)
+
+
+def test_tiff_roundtrip_rgb_gray_and_geo():
+    rgb = (np.arange(20 * 24 * 3).reshape(20, 24, 3) % 256).astype(np.uint8)
+    out, meta = decode_tiff(encode_tiff(rgb))
+    assert np.array_equal(out[:, :, :3], rgb)
+    assert "geotransform" not in meta
+    g = (np.arange(10 * 13).reshape(10, 13) % 256).astype(np.uint8)
+    out2, _ = decode_tiff(encode_tiff(g))
+    assert np.array_equal(out2, g)
+    out3, meta3 = decode_tiff(
+        encode_tiff(rgb, pixel_scale=(0.05, 0.04), tiepoint=(-120.0, 45.0))
+    )
+    assert meta3["geotransform"] == (-120.0, 0.05, 45.0, 0.04)
+    assert np.array_equal(out3[:, :, :3], rgb)
+
+
+def test_tiff_big_endian_and_packbits():
+    import struct
+
+    # hand-build a minimal MM (big-endian) gray TIFF with PackBits rows
+    h, w = 3, 5
+    img = np.array(
+        [[7, 7, 7, 7, 9], [1, 2, 3, 4, 5], [0, 0, 0, 0, 0]], dtype=np.uint8
+    )
+    # PackBits per full image (single strip): runs + literals
+    pb = bytes(
+        [257 - 4 & 0xFF, 7, 0, 9]  # 4x7, literal 9
+        + [4, 1, 2, 3, 4, 5]       # 5 literals
+        + [257 - 5 & 0xFF, 0]      # 5x0
+    )
+    entries = [
+        (256, 3, 1, struct.pack(">HH", w, 0)),
+        (257, 3, 1, struct.pack(">HH", h, 0)),
+        (258, 3, 1, struct.pack(">HH", 8, 0)),
+        (259, 3, 1, struct.pack(">HH", 32773, 0)),
+        (262, 3, 1, struct.pack(">HH", 1, 0)),
+        (273, 4, 1, None),  # patched
+        (277, 3, 1, struct.pack(">HH", 1, 0)),
+        (278, 4, 1, struct.pack(">I", h)),
+        (279, 4, 1, struct.pack(">I", len(pb))),
+    ]
+    data_off = 8 + 2 + 12 * len(entries) + 4
+    buf = bytearray(b"MM\x00*" + struct.pack(">I", 8))
+    buf += struct.pack(">H", len(entries))
+    for tag, typ, cnt, raw in entries:
+        if raw is None:
+            raw = struct.pack(">I", data_off)
+        buf += struct.pack(">HHI", tag, typ, cnt) + raw.ljust(4, b"\x00")[:4]
+    buf += struct.pack(">I", 0)
+    buf += pb
+    out, meta = decode_tiff(bytes(buf))
+    assert meta["compression"] == 32773
+    assert np.array_equal(out, img)
+
+
+def test_packbits_edge_cases():
+    assert _packbits_decode(bytes([0, 42]), 1) == bytes([42])
+    assert _packbits_decode(bytes([129, 9]), 128) == bytes([9] * 128)
+    with pytest.raises(ValueError):
+        _packbits_decode(bytes([4, 1, 2]), 5)  # literal run truncated
+
+
+def test_tiff_malformed_and_gates():
+    rgb = (np.arange(8 * 8 * 3).reshape(8, 8, 3) % 256).astype(np.uint8)
+    good = encode_tiff(rgb)
+    with pytest.raises(ValueError):
+        decode_tiff(b"not a tiff")
+    with pytest.raises(ValueError):
+        decode_tiff(good[:40])
+    with pytest.raises(ValueError):
+        decode_tiff(good[:-50])
+    bad = bytearray(good)
+    # patch Compression (259) value to 5 (LZW): honest gate
+    import struct as st
+
+    n = st.unpack("<H", bad[8:10])[0]
+    for i in range(n):
+        o = 10 + 12 * i
+        if st.unpack("<H", bad[o : o + 2])[0] == 259:
+            bad[o + 8 : o + 10] = st.pack("<H", 5)
+    with pytest.raises(NotImplementedError):
+        decode_tiff(bytes(bad))
+
+
+def test_raster_cell_stats_matches_numpy(spark):
+    import pandas as pd
+
+    rows = []
+    expect: dict[int, tuple[int, int]] = {}
+    for rid in range(4):
+        h, w = 6 + rid, 9 + rid
+        rr, cc = np.mgrid[0:h, 0:w]
+        img = ((rr * 2 + cc + rid) % 100).astype(np.uint8)
+        lon0, lat0 = -30.0 + rid * 3.25, 10.0 - rid * 2.5
+        rows.append(
+            (rid, encode_tiff(img, pixel_scale=(0.5, 0.5),
+                              tiepoint=(lon0, lat0)))
+        )
+        lon = lon0 + np.arange(w) * 0.5
+        lat = lat0 - np.arange(h) * 0.5
+        cells = ghcell_np(
+            np.broadcast_to(lon[None, :], (h, w)).reshape(-1),
+            np.broadcast_to(lat[:, None], (h, w)).reshape(-1),
+            5,
+        )
+        for c, v in zip(cells.tolist(), img.reshape(-1).tolist()):
+            n, s = expect.get(c, (0, 0))
+            expect[c] = (n + 1, s + v)
+    # planted junk: undecodable + un-georeferenced must be skipped
+    rows.append((90, b"junk"))
+    rows.append((91, encode_tiff(np.zeros((4, 4), dtype=np.uint8))))
+    df = spark.createDataFrame(rows, "rid int, payload binary")
+    got = {
+        r["cell"]: (r["n_pixels"], r["sum_val"])
+        for r in raster_cell_stats(df, res=5).collect()
+    }
+    assert got == expect
