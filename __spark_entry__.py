@@ -222,6 +222,7 @@ _DRIVER_ORDER = [
     "lang_mix_sample",
     "media_decode_suite",
     "raster_cell_stats",
+    "raster_tile_pyramid",
     # -- r4-green queries follow in their original registration order --
 ]
 
@@ -1039,6 +1040,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return rst.raster_cell_stats(payloads, res=7).orderBy("cell")
 
     Q["raster_cell_stats"] = raster_cell_stats
+
+    def raster_tile_pyramid(spark, sf):
+        # raster -> vector TILES end-to-end: the same synthetic GeoTIFFs
+        # aggregate at res 7, then roll up the 5..7 pyramid (weighted
+        # ancestor explode). The oracle computes EVERY level by direct
+        # pixel->cell assignment — pyramid == direct is the aperture-4
+        # floor-commute property, here proven for weighted raster sums.
+        from geoharvest_spark import raster as rst
+
+        # call the sibling query FUNCTION directly (not via Q — the
+        # driver-order re-emit at the bottom pops entries out of Q)
+        cells = raster_cell_stats(spark, sf)
+        return rst.raster_tile_pyramid(cells, (5, 6, 7)).orderBy(
+            "res", "cell"
+        )
+
+    Q["raster_tile_pyramid"] = raster_tile_pyramid
 
     def domain_cap3(spark, sf):
         # per-domain corpus cap (domain balancing): keep the first 3
@@ -2683,6 +2701,25 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             f"SELECT {ix.ghcell_sql('lon', 'lat', 7)} AS cell, "
             "count(*) AS n_pixels, cast(sum(val) AS BIGINT) AS sum_val "
             "FROM v GROUP BY 1 ORDER BY cell"
+        ),
+        "raster_tile_pyramid": (
+            "WITH ids AS (SELECT cast(range AS BIGINT) AS id "
+            "FROM range(12)), "
+            "dims AS (SELECT id, 20 + id % 3 AS h, 24 + id % 5 AS w "
+            "FROM ids), "
+            "px AS (SELECT d.id, y.range AS row, x.range AS col "
+            "FROM dims d, range(0, 23) y, range(0, 29) x "
+            "WHERE y.range < d.h AND x.range < d.w), "
+            "v AS (SELECT id, (3 * row + 5 * col + id) % 251 AS val, "
+            "(-171.0 + id * 28.5) + col * 0.05 AS lon, "
+            "(80.0 - (id % 4) * 40.0) - row * 0.04 AS lat FROM px) "
+            + " UNION ALL ".join(
+                f"SELECT {r} AS res, {ix.ghcell_sql('lon', 'lat', r)} "
+                "AS cell, count(*) AS n_pixels, "
+                "cast(sum(val) AS BIGINT) AS sum_val FROM v GROUP BY 1, 2"
+                for r in (5, 6, 7)
+            )
+            + " ORDER BY res, cell"
         ),
         "media_decode_suite": (
             # Pixel ground truth from the closed form; digest = md5 of

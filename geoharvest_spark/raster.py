@@ -289,3 +289,41 @@ def raster_cell_stats(
         F.sum("n_pixels").alias("n_pixels"),
         F.sum("sum_val").alias("sum_val"),
     )
+
+
+def raster_tile_pyramid(
+    cell_stats: DataFrame,
+    resolutions: tuple[int, ...] = (5, 6, 7),
+) -> DataFrame:
+    """Raster tile materialization: roll the finest-level raster cell
+    aggregates (output of ``raster_cell_stats`` at ``max(resolutions)``)
+    up the tile pyramid. Same single-linear-plan ancestor explode as
+    tiles.tile_pyramid_counts_rollup — one pass over the (bounded)
+    finest cell table, weighted sums instead of point counts; exactness
+    rests on the same aperture-4 floor-commute property the point
+    pyramid proves. Returns (res, cell, n_pixels, sum_val)."""
+    from .index import ghcell_parent
+
+    rs = sorted(resolutions)
+    finest = rs[-1]
+    anc = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("res"),
+                (
+                    F.col("cell")
+                    if r == finest
+                    else ghcell_parent(F.col("cell"), r, finest)
+                ).alias("acell"),
+            )
+            for r in rs
+        ]
+    )
+    return (
+        cell_stats.select(F.explode(anc).alias("_a"), "n_pixels", "sum_val")
+        .groupBy(F.col("_a.res").alias("res"), F.col("_a.acell").alias("cell"))
+        .agg(
+            F.sum("n_pixels").alias("n_pixels"),
+            F.sum("sum_val").alias("sum_val"),
+        )
+    )

@@ -132,3 +132,32 @@ def test_raster_cell_stats_matches_numpy(spark):
         for r in raster_cell_stats(df, res=5).collect()
     }
     assert got == expect
+
+
+def test_raster_tile_pyramid_equals_direct(spark):
+    """Weighted pyramid rollup == direct per-level assignment (the
+    aperture-4 floor-commute property, for raster sums)."""
+    from geoharvest_spark.raster import raster_tile_pyramid
+
+    rows = []
+    for rid in range(3):
+        h, w = 8, 11
+        rr, cc = np.mgrid[0:h, 0:w]
+        img = ((rr + cc * 3 + rid) % 97).astype(np.uint8)
+        rows.append(
+            (rid, encode_tiff(img, pixel_scale=(0.3, 0.25),
+                              tiepoint=(-10.0 + rid * 7.0, 20.0)))
+        )
+    df = spark.createDataFrame(rows, "rid int, payload binary")
+    fine = raster_cell_stats(df, res=7)
+    pyr = {
+        (r["res"], r["cell"]): (r["n_pixels"], r["sum_val"])
+        for r in raster_tile_pyramid(fine, (5, 6, 7)).collect()
+    }
+    for res in (5, 6, 7):
+        direct = {
+            (res, r["cell"]): (r["n_pixels"], r["sum_val"])
+            for r in raster_cell_stats(df, res=res).collect()
+        }
+        sub = {k: v for k, v in pyr.items() if k[0] == res}
+        assert sub == direct, res
