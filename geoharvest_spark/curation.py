@@ -155,10 +155,17 @@ def curate(
     # 1c. per-domain cap (optional): anti-boilerplate guard — keep the
     # first cfg.domain_cap docs per registered domain in doc_id order
     if cfg.domain_cap is not None:
+        # re-spread after the cap: the per-key window hash-partitions on
+        # the domain, and a low-cardinality domain set (worst case: one
+        # registered domain) collapses the stage output to ~1 partition,
+        # single-threading every downstream scan (measured 5x on the
+        # quality stage). The repartition restores the task grid before
+        # the stage write so the staged files read back parallel.
         ext = (
             tx.cap_per_key(ext, "domain", cfg.domain_cap)
             .where(F.col("kept"))
             .drop("kept")
+            .repartition(spark.sparkContext.defaultParallelism)
         )
         ext, n_cap = _stage(spark, ext, out_dir, "domain_cap")
         rep.record("domain_cap", n_ext, n_cap)

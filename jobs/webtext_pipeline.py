@@ -7,7 +7,11 @@ per-stage row accounting plus per-split counts.
 
 Usage:
     spark-submit --driver-memory 48g --py-files ghs.zip \
-        jobs/webtext_pipeline.py [n_docs] [out_dir]
+        jobs/webtext_pipeline.py [n_docs] [out_dir] [full]
+
+Passing "full" as the 3rd arg enables the optional stages too
+(per-domain cap + PII scrub) — note the synthetic corpus shares ONE
+registered domain (example.com), so the cap bounds the whole run.
 
 --driver-memory matters under spark-submit: the driver JVM starts before
 get_spark's conf applies, and the default 1g cannot build the pipeline's
@@ -101,8 +105,17 @@ def main() -> None:
             ).alias("robots_txt"),
         )
     )
+    full = len(sys.argv) > 3 and sys.argv[3] == "full"
+    cfg = None
+    if full:
+        from geoharvest_spark.curation import CurationConfig
+
+        cfg = CurationConfig(domain_cap=max(1000, n * 9 // 10),
+                             redact_pii=True)
     t0 = time.perf_counter()
-    final, rep = curate(spark, pages, bench, out_dir, robots=robots)
+    final, rep = curate(
+        spark, pages, bench, out_dir, cfg=cfg, robots=robots
+    )
     elapsed = round(time.perf_counter() - t0, 2)
     splits = {
         r["split"]: r["n"]

@@ -159,3 +159,25 @@ def test_empty_pipeline_flows_through(spark, pages, bench, tmp_path):
     assert {s["stage"] for s in rep.stages} >= {"extract", "split_write"}
     for s in rep.stages:
         assert s["rows_in"] == s["rows_out"] == 0
+
+
+def test_domain_cap_stage_keeps_parallelism(spark, pages, bench, tmp_path):
+    """Regression (r5): cap_per_key's window hash-partitions on the
+    domain; with one registered domain everything collapsed to a single
+    partition and every downstream stage ran single-threaded (measured
+    5x on quality). The stage must re-spread before writing."""
+    import os
+
+    curate(
+        spark,
+        pages,
+        bench,
+        str(tmp_path / "par"),
+        cfg=CurationConfig(domain_cap=1500),
+    )
+    files = [
+        f
+        for f in os.listdir(str(tmp_path / "par/stages/domain_cap"))
+        if f.startswith("part-")
+    ]
+    assert len(files) > 1, "domain_cap stage collapsed to one partition"
