@@ -2696,8 +2696,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "FROM dims d, range(0, 23) y, range(0, 29) x "
             "WHERE y.range < d.h AND x.range < d.w), "
             "v AS (SELECT id, (3 * row + 5 * col + id) % 251 AS val, "
-            "(-171.0 + id * 28.5) + col * 0.05 AS lon, "
-            "(80.0 - (id % 4) * 40.0) - row * 0.04 AS lat FROM px) "
+            "(-171.0 + id * 28.5) + (col + 0.5) * 0.05 AS lon, "
+            "(80.0 - (id % 4) * 40.0) - (row + 0.5) * 0.04 AS lat FROM px) "
             f"SELECT {ix.ghcell_sql('lon', 'lat', 7)} AS cell, "
             "count(*) AS n_pixels, cast(sum(val) AS BIGINT) AS sum_val "
             "FROM v GROUP BY 1 ORDER BY cell"
@@ -2711,8 +2711,8 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "FROM dims d, range(0, 23) y, range(0, 29) x "
             "WHERE y.range < d.h AND x.range < d.w), "
             "v AS (SELECT id, (3 * row + 5 * col + id) % 251 AS val, "
-            "(-171.0 + id * 28.5) + col * 0.05 AS lon, "
-            "(80.0 - (id % 4) * 40.0) - row * 0.04 AS lat FROM px) "
+            "(-171.0 + id * 28.5) + (col + 0.5) * 0.05 AS lon, "
+            "(80.0 - (id % 4) * 40.0) - (row + 0.5) * 0.04 AS lat FROM px) "
             + " UNION ALL ".join(
                 f"SELECT {r} AS res, {ix.ghcell_sql('lon', 'lat', r)} "
                 "AS cell, count(*) AS n_pixels, "
@@ -2768,21 +2768,28 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "(CASE WHEN doc_id % 4 = 0 THEN ' ip 10.' || (doc_id % 250) "
             "|| '.0.' || (doc_id % 100) ELSE '' END) || "
             "(CASE WHEN doc_id % 5 = 0 THEN ' acct ' "
-            "|| (doc_id + 1000000000) ELSE '' END) AS t FROM documents) "
-            "SELECT doc_id, md5(regexp_replace(regexp_replace("
-            "regexp_replace(t, "
-            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
-            "'<EMAIL>', 'g'), "
-            "'\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), "
-            "'\\b\\d{9,}\\b', '<NUM>', 'g')) AS redacted_md5, "
+            "|| (doc_id + 1000000000) ELSE '' END) AS t FROM documents), "
+            # progressive counting (mirrors redact_pii): each category is
+            # counted on the text AFTER the previous categories were
+            # replaced, so counts == emitted placeholder tokens
+            "s1 AS (SELECT doc_id, "
             "cast(len(regexp_extract_all(t, "
             "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
             "AS INT) AS n_email, "
+            "regexp_replace(t, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g') AS t FROM d), "
+            "s2 AS (SELECT doc_id, n_email, "
             "cast(len(regexp_extract_all(t, "
             "'\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS n_ipv4, "
+            "regexp_replace(t, "
+            "'\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS t FROM s1) "
+            "SELECT doc_id, "
+            "md5(regexp_replace(t, '\\b\\d{9,}\\b', '<NUM>', 'g')) "
+            "AS redacted_md5, n_email, n_ipv4, "
             "cast(len(regexp_extract_all(t, '\\b\\d{9,}\\b')) AS INT) "
             "AS n_longnum "
-            "FROM d ORDER BY doc_id"
+            "FROM s2 ORDER BY doc_id"
         ),
         "lang_mix_sample": (
             "WITH d AS (SELECT lang, doc_id, "

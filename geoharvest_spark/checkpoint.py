@@ -152,20 +152,20 @@ def run_with_checkpoint(
     # deployment replaces this block with overwritePartitions.
     import shutil
 
-    if "://" in out_dir and not out_dir.startswith("file://"):
+    # Spark/Hadoop accept BOTH 'file:///path' and the single-slash
+    # 'file:/path' form, but shutil only takes plain paths — rmtree on
+    # either URI form raises FileNotFoundError, which the purge loop would
+    # swallow, silently reviving the stale-row bug. urlparse normalizes
+    # both forms; any OTHER scheme (s3a, hdfs, ...) is refused loudly — a
+    # silent local no-op could not purge object-store partitions.
+    parsed = urllib.parse.urlparse(out_dir)
+    if parsed.scheme and parsed.scheme != "file":
         raise ValueError(
             f"run_with_checkpoint requires a local-filesystem out_dir for "
             f"the stale-partition purge; got {out_dir!r} (use Iceberg "
             "overwritePartitions for object-store/HDFS outputs)"
         )
-    # Spark accepts file:// URIs but shutil only takes plain paths —
-    # rmtree("file:///...") raises FileNotFoundError, which the purge loop
-    # would swallow, silently reviving the stale-row bug for file:// callers.
-    local_out = (
-        urllib.parse.urlparse(out_dir).path
-        if out_dir.startswith("file://")
-        else out_dir
-    )
+    local_out = parsed.path if parsed.scheme == "file" else out_dir
     for pid in attempted:
         try:
             shutil.rmtree(f"{local_out}/data/{partition_col}={pid}")

@@ -327,7 +327,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
 
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF signature")
-    sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    sw, sh, flags, bg_idx, _ar = struct.unpack("<HHBBB", payload[6:13])
     pos = 13
     gct = None
     if flags & 0x80:
@@ -381,7 +381,29 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 rows = idx.reshape(h, w)
             if int(rows.max(initial=0)) >= len(pal):
                 raise ValueError("GIF palette index out of range")
-            return pal[rows]
+            frame = pal[rows]
+            if (left, top) == (0, 0) and (w, h) == (sw, sh):
+                return frame
+            # Real-world optimized GIFs crop the first frame to its
+            # changed region: the image descriptor places a w×h
+            # sub-image at (left, top) on the sw×sh logical screen.
+            # Composite onto the screen canvas filled with the global
+            # background color so dimensions/content match the file's
+            # declared geometry instead of the bare sub-image.
+            if left + w > sw or top + h > sh:
+                raise ValueError(
+                    "GIF frame extends beyond the logical screen"
+                )
+            bg = (
+                gct[bg_idx]
+                if gct is not None and bg_idx < len(gct)
+                else np.zeros(3, dtype=np.uint8)
+            )
+            canvas = np.broadcast_to(
+                bg.astype(np.uint8), (sh, sw, 3)
+            ).copy()
+            canvas[top : top + h, left : left + w] = frame
+            return canvas
         elif b == 0x3B:  # trailer
             break
         else:

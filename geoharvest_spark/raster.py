@@ -250,8 +250,11 @@ def raster_cell_stats(
                     continue
                 lon0, sx, lat0, sy = gt
                 h, w = img.shape[:2]
-                lon = lon0 + np.arange(w, dtype=np.float64) * sx
-                lat = lat0 - np.arange(h, dtype=np.float64) * sy
+                # GeoTIFF tiepoints are PixelIsArea (upper-left CORNER of
+                # pixel 0,0) — the +0.5 offset maps each pixel CENTER to
+                # its cell, as the docstring promises.
+                lon = lon0 + (np.arange(w, dtype=np.float64) + 0.5) * sx
+                lat = lat0 - (np.arange(h, dtype=np.float64) + 0.5) * sy
                 cell = ghcell_np(
                     np.broadcast_to(lon[None, :], (h, w)).reshape(-1),
                     np.broadcast_to(lat[:, None], (h, w)).reshape(-1),

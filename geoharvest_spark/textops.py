@@ -736,6 +736,7 @@ def connected_components(
 
     e = e.localCheckpoint(eager=True)
     prev = _fingerprint(e)
+    converged = False
     for _ in range(max_iter):
         # large-star: for every node u, link each LARGER neighbor v to
         # m(u) = min(neighborhood(u) + {u})
@@ -769,8 +770,21 @@ def connected_components(
         e = small.localCheckpoint(eager=True)
         cur = _fingerprint(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # The final label extraction assumes the edge set is a star
+        # forest; a non-converged edge set would silently assign wrong
+        # components (and near-dedup would then drop/keep the wrong
+        # documents). O(log^2 n) rounds suffice for any real graph, so
+        # exhausting max_iter means the caller set it far too low.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds (last edge-set fingerprint {prev}); "
+            "raise max_iter — the star-forest extraction is invalid on "
+            "a non-converged edge set"
+        )
 
     # Fixed point is a star forest: every edge is (root=a, node=b) with
     # a == component min. Roots map to themselves.
@@ -890,16 +904,25 @@ def redact_pii(
     place and appends the count columns), so it composes mid-pipeline —
     including inside streaming plans (narrow, stateless).
 
+    Count semantics: each category is counted against the PROGRESSIVELY
+    redacted text (emails first, then IPs on the email-redacted text,
+    then long numbers), so every count equals the number of placeholder
+    tokens actually emitted for that category — a dotted quad embedded
+    inside an email address vanishes into <EMAIL> and is NOT also
+    counted as an IP. Plan shape: each stage's redacted text is its own
+    projection alias referenced twice (next count + next replace), which
+    CollapseProject keeps staged, so each regexp_replace evaluates once
+    per row (the inline-reuse trap from CLAUDE.md).
+
     Returns the input schema + (n_email, n_ipv4, n_longnum)."""
     out = df
-    for name, pat, _ in PII_PATTERNS:
+    for name, pat, token in PII_PATTERNS:
         out = out.withColumn(
             f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
+        ).withColumn(
+            text_col, F.regexp_replace(F.col(text_col), pat, token)
         )
-    red = F.col(text_col)
-    for _, pat, token in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, token)
-    return out.withColumn(text_col, red)
+    return out
 
 
 def stratified_hash_sample(

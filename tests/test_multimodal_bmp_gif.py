@@ -139,3 +139,41 @@ def test_gif_malformed():
         decode_gif(good[: len(good) - 6])  # truncated mid-data
     with pytest.raises(ValueError):
         decode_gif(good[:13] + b"\x3b")  # no image before trailer
+
+
+def test_gif_offset_frame_composited_on_screen_canvas():
+    """Optimized GIFs crop frame 1 to its changed region: a sub-image at
+    (left, top) on a larger logical screen must come back as the full
+    screen canvas (bg-filled), not the bare sub-image (ADVICE r5)."""
+    import struct
+
+    import numpy as np
+
+    from geoharvest_spark.multimodal import decode_gif, encode_gif
+
+    rng = np.random.default_rng(7)
+    img = (rng.integers(0, 4, (5, 4, 3)) * 60).astype(np.uint8)
+    raw = bytearray(encode_gif(img))
+    # widen the logical screen to 10x8 and move the frame to (left=2, top=1)
+    sw, sh, left, top = 10, 8, 2, 1
+    raw[6:10] = struct.pack("<HH", sw, sh)
+    flags = raw[10]
+    gct_n = 2 << (flags & 7)
+    desc = 13 + gct_n * 3
+    assert raw[desc] == 0x2C
+    raw[desc + 1 : desc + 5] = struct.pack("<HH", left, top)
+    out = decode_gif(bytes(raw))
+    assert out.shape == (sh, sw, 3)
+    # frame placed at (top, left)
+    assert (out[top : top + 5, left : left + 4] == img).all()
+    # everything else is the background color (GCT entry 0)
+    pal0 = np.frombuffer(bytes(raw[13:16]), dtype=np.uint8)
+    mask = np.ones((sh, sw), dtype=bool)
+    mask[top : top + 5, left : left + 4] = False
+    assert (out[mask] == pal0).all()
+    # frame exceeding the screen is an honest error, not silent wrap
+    raw[desc + 1 : desc + 5] = struct.pack("<HH", 8, 5)
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_gif(bytes(raw))

@@ -113,8 +113,8 @@ def test_raster_cell_stats_matches_numpy(spark):
             (rid, encode_tiff(img, pixel_scale=(0.5, 0.5),
                               tiepoint=(lon0, lat0)))
         )
-        lon = lon0 + np.arange(w) * 0.5
-        lat = lat0 - np.arange(h) * 0.5
+        lon = lon0 + (np.arange(w) + 0.5) * 0.5
+        lat = lat0 - (np.arange(h) + 0.5) * 0.5
         cells = ghcell_np(
             np.broadcast_to(lon[None, :], (h, w)).reshape(-1),
             np.broadcast_to(lat[:, None], (h, w)).reshape(-1),

@@ -625,3 +625,41 @@ def test_connected_components_giant_hub_no_collect_list(spark):
     comps = out.select("component").distinct().collect()
     assert [r["component"] for r in comps] == [0]
     assert out.count() == 30_051  # {0} + {2..30001} + {30002..30051}
+
+
+def test_redact_pii_progressive_counts_equal_emitted_tokens(spark):
+    """ADVICE r5: counts are taken on the progressively-redacted text, so
+    a dotted quad or long digit run swallowed by <EMAIL> is not also
+    counted in its own category — counts == placeholder tokens emitted."""
+    rows = [
+        (0, "bob@10.1.2.3.net and acct123456789@mail.org"),  # ip+num inside emails
+        (1, "standalone 10.1.2.3 and 123456789 plus x@y.io"),
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in tx.redact_pii(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert out[0]["n_email"] == 2
+    assert out[0]["n_ipv4"] == 0 and out[0]["n_longnum"] == 0
+    assert out[0]["text"].count("<EMAIL>") == 2
+    assert "<IP>" not in out[0]["text"] and "<NUM>" not in out[0]["text"]
+    assert (out[1]["n_email"], out[1]["n_ipv4"], out[1]["n_longnum"]) == (1, 1, 1)
+    for r in out.values():
+        assert r["text"].count("<EMAIL>") == r["n_email"]
+        assert r["text"].count("<IP>") == r["n_ipv4"]
+        assert r["text"].count("<NUM>") == r["n_longnum"]
+
+
+def test_connected_components_max_iter_exhaustion_raises(spark):
+    """ADVICE r5: a non-converged edge set is NOT a star forest — the
+    label extraction would silently assign wrong components. Exhausting
+    max_iter must raise, not return garbage."""
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        tx.connected_components(chain, max_iter=1)
+    ok = tx.connected_components(chain).toPandas()
+    assert (ok["component"] == 0).all() and len(ok) == 61

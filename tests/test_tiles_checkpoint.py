@@ -229,3 +229,40 @@ def test_checkpoint_file_uri_purges_stale_partitions(tmp_path, spark):
     assert out1.where(F.col("y") < 0).count() == 0
     cur = store.current().toPandas().set_index("partition_id")
     assert cur.loc[2, "rows"] == 0
+
+
+def test_checkpoint_single_slash_file_uri_purges(tmp_path, spark):
+    """ADVICE r5: Hadoop also accepts the single-slash 'file:/path' form,
+    which slipped past the old '://'-based guard and skipped the purge
+    normalization — reviving the stale-partition bug for that URI form.
+    Same scenario as the file:// test, single-slash spelling."""
+    out = "file:" + str(tmp_path / "outs")  # 'file:/abs/path'
+    assert out.startswith("file:/") and not out.startswith("file://")
+    store = CheckpointStore(spark, str(tmp_path / "lineages"))
+    work = spark.range(40).withColumn(
+        "partition_id", (F.col("id") % 4).cast("int")
+    )
+    (
+        work.where(F.col("partition_id") == 2)
+        .withColumn("y", F.lit(-1).cast("long"))
+        .write.partitionBy("partition_id")
+        .parquet(out + "/data")
+    )
+
+    def process(df):
+        return df.where(F.col("partition_id") != 2).withColumn(
+            "y", F.col("id") * 2
+        )
+
+    out1 = run_with_checkpoint(
+        spark, work, process, store, "js", "s1", out
+    )
+    assert out1.count() == 30
+    assert out1.where(F.col("y") < 0).count() == 0
+    # non-local schemes still refuse loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="local-filesystem"):
+        run_with_checkpoint(
+            spark, work, process, store, "js2", "s1", "s3a://bucket/x"
+        )
