@@ -177,54 +177,47 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
-# Driver check-window ordering (round 5; VERDICT r4 "Next round" #1).
+# Driver check-window ordering (round 6; VERDICT r5 "Next round" #1).
 #
 # The correctness driver runs the oracle compare on the FIRST 50 registered
-# queries only.  Round 4 registered 71, so the last 21 (every streaming /
-# media / ANN / skew contract query) never got a driver-side CORRECTNESS
-# row — 10 of them had never had one in any round.  This list pins a stable
-# registration order: the 21 previously-unchecked queries first, then the
-# round-5 additions, then the 50 queries already green in
-# CORRECTNESS_r04.json (in their r4 order).  The union of r4 + r5 driver
-# rows therefore covers every registered query.  Keep this list stable; add
-# new queries immediately after the NEW-IN-R5 block so they land inside the
-# 50-query window on their debut round.
-_DRIVER_ORDER = [
-    # -- 21 queries without a driver row as of CORRECTNESS_r04.json --
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "embed_topk_cosine",
-    "embed_lsh_ann",
-    "embed_ivf_ann",
-    "sink_pooled_events",
-    "sink_failure_rollup",
-    "source_alma_pruning",
-    "media_features",
-    "s7_time_travel",
-    "harvest_normalize",
-    "stream_last_event",
-    "checkpoint_resume",
-    "dedup_embed_cosine",
-    "stream_windowed_counts",
-    "session_window_native",
-    "stream_sessionize_timeout",
-    "pip_skew_hot_cell",
-    "media_resize",
-    "media_resize_pixels",
-    "media_frame_plan",
-    # -- NEW IN R5 (debut queries must sit inside the check window) --
-    "near_dup_components",
-    "robots_wildcard_filter",
-    "doc_decontaminate_norm",
-    "pack_sequences_512",
-    "domain_cap3",
-    "doc_pii_redact",
-    "lang_mix_sample",
-    "media_decode_suite",
-    "raster_cell_stats",
-    "raster_tile_pyramid",
-    # -- r4-green queries follow in their original registration order --
-]
+# queries only.  ROTATION RULE (computed, not pinned): every round, emit
+# queries ordered by the round of their most recent driver-green
+# CORRECTNESS_r*.json row, OLDEST FIRST — and queries with no green row in
+# ANY round (new debuts, or red rows needing a re-check) most urgent of
+# all.  Ties keep registration order.  The order is recomputed from the
+# CORRECTNESS files at call time, so each round automatically rotates the
+# stalest queries back into the 50-query window: with Q total queries no
+# driver row ever goes more than ceil(Q/50) rounds stale, and a debut
+# always lands inside the window on its first round (the r4 incident this
+# mechanism exists for).  tests/test_contract_window.py pins both
+# invariants.
+
+
+def _driver_order(registered: list[str]) -> list[str]:
+    """Stalest-first rotation over the driver's 50-query check window."""
+    import glob
+    import json
+    import os
+    import re as _re
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    last_green: dict[str, int] = {}
+    for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)\.json$", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = json.load(open(f))
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if row.get("hash_match") or (
+                row.get("rows_match") and row.get("err") is None
+            ):
+                last_green[name] = max(last_green.get(name, -1), rnd)
+    reg = {name: i for i, name in enumerate(registered)}
+    return sorted(registered, key=lambda n: (last_green.get(n, -1), reg[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -2035,13 +2028,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["media_frame_plan"] = media_frame_plan
 
-    # Re-emit in the pinned driver-window order (see _DRIVER_ORDER above):
-    # previously-unchecked queries first so every query gets a driver-green
-    # CORRECTNESS row across rounds.  Unlisted queries keep their original
-    # relative order after the pinned block.
-    ordered = {k: Q.pop(k) for k in _DRIVER_ORDER if k in Q}
-    ordered.update(Q)
-    return ordered
+    # Re-emit in rotation order (see _driver_order above): stalest driver
+    # row first, never-green queries (debuts) most urgent, so the union of
+    # rounds keeps every query's CORRECTNESS row fresh.
+    return {k: Q[k] for k in _driver_order(list(Q))}
 
 
 def _repetition_oracle_sql() -> str:

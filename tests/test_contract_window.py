@@ -58,3 +58,37 @@ def test_every_query_has_oracle_or_is_known_rows_only():
         f"queries without oracle_sql entries (expected none as of r5): "
         f"{rows_only}"
     )
+
+
+def _last_green_round() -> dict[str, int]:
+    last: dict[str, int] = {}
+    import re
+
+    for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
+        for name, row in json.load(open(f)).items():
+            if row.get("hash_match") or (
+                row.get("rows_match") and row.get("err") is None
+            ):
+                last[name] = max(last.get(name, -1), rnd)
+    return last
+
+
+def test_rotation_emits_stalest_queries_first():
+    """Round-6 rotation rule: the emitted order must be non-decreasing in
+    last-green-round (never-green queries = -1, most urgent), so the
+    50-query driver window always holds the queries whose CORRECTNESS
+    rows are stalest — no row ever goes more than ceil(Q/50) rounds
+    stale and debuts land inside the window on their first round."""
+    import __spark_entry__ as E
+
+    qs = list(E.queries().keys())
+    last = _last_green_round()
+    rounds = [last.get(q, -1) for q in qs]
+    assert rounds == sorted(rounds), (
+        "queries() not emitted stalest-first: "
+        + str([(q, r) for q, r in zip(qs, rounds)])
+    )
+    # every never-green query (debut) must sit inside the check window
+    debuts = [q for q in qs if q not in last]
+    assert all(qs.index(q) < 50 for q in debuts), debuts
