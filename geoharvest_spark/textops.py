@@ -34,13 +34,24 @@ def tokens_col(text: Column) -> Column:
     return F.split(text, r"\s+")
 
 
-def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def with_token_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    bpe_merges: "list[tuple[str, str]] | None" = None,
+) -> DataFrame:
     """Token & char counts + a BPE-ish subword estimate (~chars/4 heuristic
-    blended with word count, the common LLM token estimator).
+    blended with word count, the common LLM token estimator). Pass a
+    trained ``bpe_merges`` table (see bpe.train_bpe) to ALSO get the
+    exact subword count as ``n_tokens_bpe`` — the real-pipeline token
+    accounting; the estimate column stays for comparison.
 
     The token array is staged once per row (``_toks`` alias referenced
     twice — CollapseProject keeps it; see BASELINE.md round-4 on the
     inline-split trap)."""
+    if bpe_merges is not None:
+        from geoharvest_spark import bpe
+
+        df = bpe.with_bpe_token_count(df, bpe_merges, text_col=text_col)
     toks = F.col("_toks")
     return (
         df.withColumn("_toks", tokens_col(F.col(text_col)))
@@ -346,6 +357,7 @@ def chunk_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     emit_text: bool = False,
+    tokenizer: "Callable[[Column], Column] | None" = None,
 ) -> DataFrame:
     """Sub-document exact dedup: split every document into fixed
     ``chunk_tokens``-token chunks, keep only the globally FIRST occurrence
@@ -369,9 +381,15 @@ def chunk_dedup(
 
     The token array is staged through its own projection so the doc is
     split once, not once per chunk (see repetition_stats).
+
+    ``tokenizer`` swaps the token stream (Column -> array<string>), e.g.
+    ``lambda c: bpe.tokens_array_expr(c, merges)`` chunks on real
+    subword tokens; chunk text is the space-join of its tokens either
+    way, so chunk identity/hashing is tokenizer-agnostic.
     """
+    tok_fn = tokenizer if tokenizer is not None else tokens_col
     base = df.select(
-        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+        F.col(id_col), tok_fn(F.col(text_col)).alias("_toks")
     )
     toks = F.col("_toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
@@ -809,6 +827,7 @@ def pack_sequences(
     buckets: int = 32,
     id_col: str = "doc_id",
     text_col: str = "text",
+    token_count: Column | None = None,
 ) -> DataFrame:
     """Training-sequence packing plan (concat-and-chunk): documents are
     concatenated in deterministic (bucket, id) order and cut into
@@ -828,8 +847,18 @@ def pack_sequences(
     Returns (id, bucket, n_tokens, tok_offset, first_seq, last_seq).
     Docs with 0 tokens occupy no window (first_seq == last_seq ==
     the window their offset falls in, n_tokens == 0 — kept so
-    accounting stays total)."""
-    n_tok = F.size(tokens_col(F.col(text_col)))
+    accounting stays total).
+
+    ``token_count`` swaps the tokenizer: pass any Column expression
+    (e.g. bpe-exact counts via bpe.with_bpe_token_count's column, or
+    bpe.token_count_udf for large merge tables) to pack by REAL subword
+    tokens instead of whitespace words — the packing math is tokenizer-
+    agnostic."""
+    n_tok = (
+        token_count
+        if token_count is not None
+        else F.size(tokens_col(F.col(text_col)))
+    )
     b = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
         .cast("long") % buckets
