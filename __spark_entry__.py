@@ -1030,17 +1030,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["media_decode_suite"] = media_decode_suite
 
-    def raster_cell_stats(spark, sf):
-        # raster -> vector: GeoTIFF payloads (closed-form pixel values +
-        # exact-binary geotransforms) decode inside the batch, every
-        # pixel center maps to its res-7 ghcell, and per-cell partials
-        # aggregate two-stage. Two planted junk rows (not-a-TIFF, TIFF
-        # without geo tags) prove the divert-not-crash path; the oracle
-        # regenerates pixels + the identical double arithmetic and cells
-        # via ghcell_sql — no raster code anywhere oracle-side.
+    def _raster_payloads(spark):
+        # shared synthetic GeoTIFF payloads (closed-form pixel values +
+        # exact-binary geotransforms) for the raster query family; rows
+        # 12/13 are planted junk (not-a-TIFF, un-georeferenced TIFF)
+        # proving the divert-not-crash path.
         import pandas as pd
-
-        from geoharvest_spark import raster as rst
 
         ids = spark.range(14).select(F.col("id").cast("int").alias("rid"))
 
@@ -1076,12 +1071,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     )
                 yield pd.DataFrame(rows, columns=["rid", "payload"])
 
-        payloads = ids.repartition(4).mapInPandas(
+        return ids.repartition(4).mapInPandas(
             _mk, "rid int, payload binary"
         )
-        return rst.raster_cell_stats(payloads, res=7).orderBy("cell")
+
+    def raster_cell_stats(spark, sf):
+        # raster -> vector: the GeoTIFF payloads decode inside the
+        # batch, every pixel CENTER maps to its res-7 ghcell, and
+        # per-cell partials aggregate two-stage. The oracle regenerates
+        # pixels + the identical double arithmetic and cells via
+        # ghcell_sql — no raster code anywhere oracle-side.
+        from geoharvest_spark import raster as rst
+
+        return rst.raster_cell_stats(
+            _raster_payloads(spark), res=7
+        ).orderBy("cell")
 
     Q["raster_cell_stats"] = raster_cell_stats
+
+    def raster_zonal_stats(spark, sf):
+        # zonal statistics — the raster x vector JOIN (VERDICT r5 #3):
+        # per-cell raster partials (pixels never shuffle) -> cell
+        # centers assigned to the nation-grid zones via the salted PIP
+        # machinery -> per-zone count/sum/mean. Cell centers are exact
+        # binary doubles (step 45/2^res), so the oracle reproduces the
+        # assignment with closed range predicates on the synthetic
+        # axis-aligned zones — no geometry code oracle-side.
+        from geoharvest_spark import raster as rst
+
+        payloads = _raster_payloads(spark)
+        zones = _nation_boxes(spark, sf)
+        return rst.raster_zonal_stats(
+            payloads, zones, res=7, pip_res=5
+        ).orderBy("poly_id")
+
+    Q["raster_zonal_stats"] = raster_zonal_stats
 
     def raster_tile_pyramid(spark, sf):
         # raster -> vector TILES end-to-end: the same synthetic GeoTIFFs
@@ -2782,6 +2806,43 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
                 for r in (5, 6, 7)
             )
             + " ORDER BY res, cell"
+        ),
+        "raster_zonal_stats": (
+            # Same closed-form pixels; cells as (x, y) at res 7; cell
+            # centers are exact binary doubles (step 45/2^7 =
+            # 0.3515625); zones are the nation 5x5 grid with closed
+            # range predicates (no center ever sits on a zone edge:
+            # edges end in .005, centers are odd multiples of half the
+            # cell step). mean = one double division of BIGINT sums.
+            "WITH ids AS (SELECT cast(range AS BIGINT) AS id "
+            "FROM range(12)), "
+            "dims AS (SELECT id, 20 + id % 3 AS h, 24 + id % 5 AS w "
+            "FROM ids), "
+            "px AS (SELECT d.id, y.range AS row, x.range AS col "
+            "FROM dims d, range(0, 23) y, range(0, 29) x "
+            "WHERE y.range < d.h AND x.range < d.w), "
+            "v AS (SELECT id, (3 * row + 5 * col + id) % 251 AS val, "
+            "(-171.0 + id * 28.5) + (col + 0.5) * 0.05 AS lon, "
+            "(80.0 - (id % 4) * 40.0) - (row + 0.5) * 0.04 AS lat FROM px), "
+            "cxy AS (SELECT least(greatest(cast(floor((lon + 180.0) / 360.0 "
+            "* 1024.0) AS BIGINT), 0), 1023) AS x, "
+            "least(greatest(cast(floor((lat + 90.0) / 180.0 * 512.0) "
+            "AS BIGINT), 0), 511) AS y, val FROM v), "
+            "cells AS (SELECT x, y, count(*) AS n_pixels, "
+            "cast(sum(val) AS BIGINT) AS sum_val FROM cxy GROUP BY 1, 2), "
+            "ctr AS (SELECT (x + 0.5) * 0.3515625 - 180.0 AS clon, "
+            "(y + 0.5) * 0.3515625 - 90.0 AS clat, n_pixels, sum_val "
+            "FROM cells), "
+            f"zones AS (SELECT n_name AS poly_id, {_GRID_W} AS zw, "
+            f"{_GRID_S} AS zs FROM nation) "
+            "SELECT poly_id, count(*) AS n_cells, "
+            "cast(sum(n_pixels) AS BIGINT) AS n_pixels, "
+            "cast(sum(sum_val) AS BIGINT) AS sum_val, "
+            "cast(sum(sum_val) AS DOUBLE) / cast(sum(n_pixels) AS DOUBLE) "
+            "AS mean_val "
+            "FROM ctr JOIN zones ON clon >= zw AND clon <= zw + 72.0 "
+            "AND clat >= zs AND clat <= zs + 36.0 "
+            "GROUP BY poly_id ORDER BY poly_id"
         ),
         "media_decode_suite": (
             # Pixel ground truth from the closed form; digest = md5 of

@@ -161,3 +161,84 @@ def test_raster_tile_pyramid_equals_direct(spark):
         }
         sub = {k: v for k, v in pyr.items() if k[0] == res}
         assert sub == direct, res
+
+
+def test_raster_zonal_stats_matches_numpy(spark):
+    """Zonal stats (raster x vector join) vs a direct numpy reference:
+    pixel -> res-6 cell partials -> cell-center-in-rect assignment ->
+    per-zone count/sum/mean. Zones partially overlap rasters and one
+    zone is empty."""
+    import pandas as pd
+
+    from geoharvest_spark.index import ghcell_nx, ghcell_ny
+    from geoharvest_spark.raster import raster_zonal_stats
+
+    res = 6
+    nx, ny = ghcell_nx(res), ghcell_ny(res)
+    step_x, step_y = 360.0 / nx, 180.0 / ny
+
+    rows = []
+    pix = []  # (lon, lat, val) pixel centers
+    for rid in range(5):
+        h, w = 10 + rid, 14 + rid
+        rr, cc = np.mgrid[0:h, 0:w]
+        img = ((rr * 3 + cc * 2 + rid) % 97).astype(np.uint8)
+        lon0, lat0 = -40.0 + rid * 13.25, 25.0 - rid * 6.5
+        rows.append((rid, encode_tiff(img, pixel_scale=(0.5, 0.5),
+                                      tiepoint=(lon0, lat0))))
+        lon = lon0 + (np.arange(w) + 0.5) * 0.5
+        lat = lat0 - (np.arange(h) + 0.5) * 0.5
+        for yi in range(h):
+            for xi in range(w):
+                pix.append((lon[xi], lat[yi], int(img[yi, xi])))
+    rows.append((99, b"junk"))
+
+    zones = [
+        ("z_west", -40.005, -10.005, -20.005, 30.005),
+        ("z_east", -20.005, -10.005, 10.005, 30.005),
+        ("z_empty", 100.005, 70.005, 120.005, 80.005),
+    ]
+
+    # numpy reference
+    cells: dict[tuple[int, int], list[int]] = {}
+    for lo, la, v in pix:
+        x = min(max(int(np.floor((lo + 180.0) / 360.0 * nx)), 0), nx - 1)
+        y = min(max(int(np.floor((la + 90.0) / 180.0 * ny)), 0), ny - 1)
+        c = cells.setdefault((x, y), [0, 0])
+        c[0] += 1
+        c[1] += v
+    expect: dict[str, list[int]] = {}
+    for (x, y), (n, s) in cells.items():
+        clon = (x + 0.5) * step_x - 180.0
+        clat = (y + 0.5) * step_y - 90.0
+        for zid, zw, zs, ze, zn in zones:
+            if zw <= clon <= ze and zs <= clat <= zn:
+                e = expect.setdefault(zid, [0, 0, 0])
+                e[0] += 1
+                e[1] += n
+                e[2] += s
+
+    def rect_wkt(w, s, e, n):
+        return (
+            f"POLYGON (({w} {s}, {e} {s}, {e} {n}, {w} {n}, {w} {s}))"
+        )
+
+    zdf = spark.createDataFrame(
+        [
+            (zid, rect_wkt(zw, zs, ze, zn),
+             {"w": zw, "e": ze, "n": zn, "s": zs})
+            for zid, zw, zs, ze, zn in zones
+        ],
+        "poly_id string, wkt string, bbox struct<w:double,e:double,n:double,s:double>",
+    )
+    df = spark.createDataFrame(rows, "rid int, payload binary")
+    got = {
+        r["poly_id"]: (r["n_cells"], r["n_pixels"], r["sum_val"], r["mean_val"])
+        for r in raster_zonal_stats(df, zdf, res=res, pip_res=4).collect()
+    }
+    assert set(got) == set(expect)  # empty zone absent from both
+    for zid, (n_cells, n_pix, s_val) in expect.items():
+        assert got[zid][0] == n_cells
+        assert got[zid][1] == n_pix
+        assert got[zid][2] == s_val
+        assert got[zid][3] == s_val / n_pix
