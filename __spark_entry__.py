@@ -1107,6 +1107,224 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["raster_zonal_stats"] = raster_zonal_stats
 
+    def harvest_ops_suite(spark, sf):
+        # Consolidated driver-oracle coverage (VERDICT r5 #6) for the 8
+        # SURVEY operators that were pytest-only: F3 filename-strategy
+        # XOR (sources.py filename_strategy_filter), F5 MARC 4-predicate
+        # geo filter (alma_geospatial_filter; reference alma.py:194-231),
+        # F9 deleted derivation (marc_event, leader[5]), F10 empty-input
+        # early exit (is_empty), K2 per-record filenames
+        # (with_output_filenames; reference record.py:172-197), A3 run
+        # stats (run_stats single-pass), A6/D1 case-preference dedupe
+        # (dedupe_array_udf; reference utils.py:24-72), J2 format
+        # dispatch (get_normalizer_class registry). Output: uniform
+        # (op, k, v) string rows, one section per operator. The MARC
+        # fixture plants each predicate on its own residue class so
+        # geospatial-ness has a closed form the oracle states in SQL.
+        import pandas as pd
+
+        from geoharvest_spark import sinks as sk
+        from geoharvest_spark import sources as src
+        from geoharvest_spark.functions import dedupe_array_udf
+        from geoharvest_spark.synth import FORMATS, web_pages_df
+
+        def _r3(op, k, v):
+            return F.struct(
+                F.lit(op).alias("op"),
+                k.cast("string").alias("k") if hasattr(k, "cast") else F.lit(k).alias("k"),
+                v.cast("string").alias("v") if hasattr(v, "cast") else F.lit(v).alias("v"),
+            )
+
+        probe: list[tuple[str, str, str]] = []
+        # F3: the XOR config validation is a PLAN-TIME contract — both
+        # modes / no mode must refuse before any plan exists
+        for kwargs, key in (
+            ({"filename_regex": "x", "file_directory": "y"}, "both"),
+            ({}, "neither"),
+        ):
+            try:
+                src.filename_strategy_filter(None, **kwargs)
+                probe.append(("f3_xor_guard", key, "no-raise"))
+            except ValueError:
+                probe.append(("f3_xor_guard", key, "raise"))
+
+        pages = web_pages_df(spark, 300).select("url")
+        f3 = (
+            src.filename_strategy_filter(
+                pages, filename_regex=r"gis/data_\d+\.zip"
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(_r3("f3_regex", F.lit("count"), F.col("n")).alias("s"))
+        ).unionByName(
+            src.filename_strategy_filter(pages, file_directory="metadata")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(_r3("f3_dir", F.lit("count"), F.col("n")).alias("s"))
+        )
+
+        # F10: empty-input early exit on a filtered-to-empty scan, plus
+        # the non-empty control
+        probe.append(
+            ("f10_empty_exit", "filtered",
+             str(src.is_empty(pages.where(F.lit(False)))).lower())
+        )
+        probe.append(
+            ("f10_empty_exit", "nonempty",
+             str(src.is_empty(pages)).lower())
+        )
+
+        # F5 + F9: synthetic MARC-XML fixture — each of the four
+        # geospatial predicates rides its own residue class, leader[5]
+        # cycles c/x/d/a so event derivation covers created/deleted and
+        # the invalid-leader divert
+        ids = spark.range(60).select(F.col("id").cast("int").alias("rid"))
+
+        def _mk_marc(batches):
+            for pdf in batches:
+                rows = []
+                for rid in pdf["rid"]:
+                    rid = int(rid)
+                    l5 = "cxda"[rid % 4]
+                    g655 = "Maps." if rid % 3 == 0 else "Atlases."
+                    k949 = "MAP" if rid % 5 < 3 else "BOOK"
+                    aa985 = "GIS" if rid % 7 < 4 else "ZZZ"
+                    xml = (
+                        '<record xmlns="http://www.loc.gov/MARC21/slim">'
+                        f"<leader>00000{l5}em a2200000 a 4500</leader>"
+                        f'<controlfield tag="001">rec{rid}</controlfield>'
+                        '<datafield tag="655" ind1=" " ind2="7">'
+                        f'<subfield code="a">{g655}</subfield></datafield>'
+                        '<datafield tag="949" ind1=" " ind2=" ">'
+                        f'<subfield code="k">{k949}</subfield></datafield>'
+                        '<datafield tag="985" ind1=" " ind2=" ">'
+                        f'<subfield code="aa">{aa985}</subfield></datafield>'
+                        "</record>"
+                    ).encode()
+                    rows.append((rid, xml))
+                yield pd.DataFrame(rows, columns=["rid", "metadata"])
+
+        marc_df = ids.repartition(4).mapInPandas(
+            _mk_marc, "rid int, metadata binary"
+        )
+        f5 = src.alma_geospatial_filter(marc_df).select(
+            _r3("f5_geo_filter", F.col("rid"), F.lit("geo")).alias("s")
+        )
+
+        def _events(batches):
+            from geoharvest_spark.normalize.marc import MarcRecord, marc_event
+
+            for pdf in batches:
+                rows = []
+                for rid, blob in zip(pdf["rid"], pdf["metadata"]):
+                    try:
+                        ev = marc_event(MarcRecord(bytes(blob)))
+                    except Exception:
+                        ev = "invalid"
+                    rows.append((int(rid), ev))
+                yield pd.DataFrame(rows, columns=["rid", "event"])
+
+        f9 = marc_df.mapInPandas(_events, "rid int, event string").select(
+            _r3("f9_event", F.col("rid"), F.col("event")).alias("s")
+        )
+
+        # K2: filename convention over deterministic (identifier, format)
+        docs = _t(spark, sf, "documents").where(F.col("doc_id") < 30)
+        fmt = F.element_at(
+            F.array(*[F.lit(x) for x in FORMATS]),
+            (F.col("doc_id") % 5 + 1).cast("int"),
+        )
+        k2_in = docs.select(
+            F.concat(F.lit("id"), F.col("doc_id")).alias("identifier"),
+            fmt.alias("metadata_format"),
+        )
+        k2 = sk.with_output_filenames(k2_in).select(
+            _r3(
+                "k2_filenames",
+                F.col("identifier"),
+                F.concat_ws(
+                    "|",
+                    F.col("source_metadata_filename"),
+                    F.col("normalized_metadata_filename"),
+                ),
+            ).alias("s")
+        )
+
+        # A3: single-pass run stats over a planted error pattern
+        norm_like = _t(spark, sf, "documents").select(
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.struct(
+                    F.lit("normalize").alias("stage"),
+                    F.lit("boom").alias("exception"),
+                ),
+            ).alias("error")
+        )
+        stats = sk.run_stats(norm_like)
+        for key in ("processed", "successful", "failed"):
+            probe.append(("a3_run_stats", key, str(stats[key])))
+
+        # A6/D1: case-preference dedupe on planted variant arrays
+        d1_arr = (
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.array(F.lit("Alpha"), F.lit("ALPHA"), F.lit("alpha")),
+            )
+            .when(F.col("doc_id") % 4 == 1, F.array(F.lit("BETA"), F.lit("beta")))
+            .when(
+                F.col("doc_id") % 4 == 2,
+                F.array(F.lit("gamma"), F.lit("Delta"), F.lit("gamma")),
+            )
+            .otherwise(F.array(F.lit("Eps"), F.lit("eps"), F.lit("EPS")))
+        )
+        d1 = (
+            _t(spark, sf, "documents")
+            .where(F.col("doc_id") < 40)
+            .select(
+                _r3(
+                    "d1_dedupe",
+                    F.col("doc_id"),
+                    F.concat_ws("|", dedupe_array_udf(d1_arr)),
+                ).alias("s")
+            )
+        )
+
+        # J2: registry dispatch executed INSIDE the task (not a driver
+        # constant) — each format resolves its normalizer class there
+        fmt_df = spark.createDataFrame([(f,) for f in FORMATS], ["fmt"])
+
+        def _dispatch(batches):
+            from geoharvest_spark.normalize.base import get_normalizer_class
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "fmt": pdf["fmt"],
+                        "cls": [
+                            get_normalizer_class(f).__name__
+                            for f in pdf["fmt"]
+                        ],
+                    }
+                )
+
+        j2 = fmt_df.mapInPandas(_dispatch, "fmt string, cls string").select(
+            _r3("j2_dispatch", F.col("fmt"), F.col("cls")).alias("s")
+        )
+
+        probe_df = spark.createDataFrame(probe, ["op", "k", "v"]).select(
+            F.struct("op", "k", "v").alias("s")
+        )
+        return (
+            probe_df.unionByName(f3)
+            .unionByName(f5)
+            .unionByName(f9)
+            .unionByName(k2)
+            .unionByName(d1)
+            .unionByName(j2)
+            .select("s.op", "s.k", "s.v")
+            .orderBy("op", "k", "v")
+        )
+
+    Q["harvest_ops_suite"] = harvest_ops_suite
+
     def raster_tile_pyramid(spark, sf):
         # raster -> vector TILES end-to-end: the same synthetic GeoTIFFs
         # aggregate at res 7, then roll up the 5..7 pyramid (weighted
@@ -2843,6 +3061,69 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "FROM ctr JOIN zones ON clon >= zw AND clon <= zw + 72.0 "
             "AND clat >= zs AND clat <= zs + 36.0 "
             "GROUP BY poly_id ORDER BY poly_id"
+        ),
+        "harvest_ops_suite": (
+            # Independent SQL statements per operator section: F3 regex
+            # counts re-run the patterns with RE2 over the staged urls;
+            # F5/F9 state the planted residue-class closed forms; K2
+            # rebuilds the filename convention with CASE maps; A3
+            # recounts the planted error pattern; D1 pins the verified
+            # case-preference outputs; guard/J2 rows are contract
+            # constants.
+            "WITH f3 AS ("
+            "SELECT 'f3_regex' AS op, 'count' AS k, "
+            "cast(count(*) AS VARCHAR) AS v "
+            f"FROM read_parquet('{stage['pages']}') "
+            "WHERE regexp_matches(url, 'gis/data_\\d+\\.zip') "
+            "UNION ALL SELECT 'f3_dir', 'count', "
+            "cast(count(*) AS VARCHAR) "
+            f"FROM read_parquet('{stage['pages']}') "
+            "WHERE regexp_matches(url, '.+?/metadata/.+?\\.json')), "
+            "guard AS (SELECT * FROM (VALUES "
+            "('f3_xor_guard', 'both', 'raise'), "
+            "('f3_xor_guard', 'neither', 'raise'), "
+            "('f10_empty_exit', 'filtered', 'true'), "
+            "('f10_empty_exit', 'nonempty', 'false')) t(op, k, v)), "
+            "f5 AS (SELECT 'f5_geo_filter' AS op, "
+            "cast(r AS VARCHAR) AS k, 'geo' AS v FROM range(60) t(r) "
+            "WHERE r % 4 != 1 AND r % 3 = 0 AND r % 5 < 3 AND r % 7 < 4), "
+            "f9 AS (SELECT 'f9_event', cast(r AS VARCHAR), "
+            "CASE WHEN r % 4 = 1 THEN 'invalid' "
+            "WHEN r % 4 = 2 THEN 'deleted' ELSE 'created' END "
+            "FROM range(60) t(r)), "
+            "k2b AS (SELECT doc_id, "
+            "CASE doc_id % 5 WHEN 0 THEN 'fgdc' WHEN 1 THEN 'iso19139' "
+            "WHEN 2 THEN 'gbl1' WHEN 3 THEN 'aardvark' ELSE 'marc' END "
+            "AS fmt, "
+            "CASE WHEN doc_id % 5 IN (2, 3) THEN 'json' ELSE 'xml' END "
+            "AS ext FROM documents WHERE doc_id < 30), "
+            "k2 AS (SELECT 'k2_filenames', 'id' || doc_id, "
+            "'id' || doc_id || '.source.' || fmt || '.' || ext || '|' || "
+            "'id' || doc_id || '.normalized.aardvark.json' FROM k2b), "
+            "a3c AS (SELECT count(*) AS np, "
+            "sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END) AS nf "
+            "FROM documents), "
+            "a3 AS (SELECT 'a3_run_stats', 'processed', "
+            "cast(np AS VARCHAR) FROM a3c "
+            "UNION ALL SELECT 'a3_run_stats', 'successful', "
+            "cast(np - nf AS VARCHAR) FROM a3c "
+            "UNION ALL SELECT 'a3_run_stats', 'failed', "
+            "cast(nf AS VARCHAR) FROM a3c), "
+            "d1 AS (SELECT 'd1_dedupe', cast(doc_id AS VARCHAR), "
+            "CASE doc_id % 4 WHEN 0 THEN 'Alpha' WHEN 1 THEN 'BETA' "
+            "WHEN 2 THEN 'gamma|Delta' ELSE 'Eps' END "
+            "FROM documents WHERE doc_id < 40), "
+            "j2 AS (SELECT * FROM (VALUES "
+            "('j2_dispatch', 'fgdc', 'FGDC'), "
+            "('j2_dispatch', 'iso19139', 'ISO19139'), "
+            "('j2_dispatch', 'gbl1', 'GBL1'), "
+            "('j2_dispatch', 'aardvark', 'Aardvark'), "
+            "('j2_dispatch', 'marc', 'MARC')) t(op, k, v)) "
+            "SELECT op, k, v FROM (SELECT * FROM f3 "
+            "UNION ALL SELECT * FROM guard UNION ALL SELECT * FROM f5 "
+            "UNION ALL SELECT * FROM f9 UNION ALL SELECT * FROM k2 "
+            "UNION ALL SELECT * FROM a3 UNION ALL SELECT * FROM d1 "
+            "UNION ALL SELECT * FROM j2) ORDER BY op, k, v"
         ),
         "media_decode_suite": (
             # Pixel ground truth from the closed form; digest = md5 of
