@@ -1566,6 +1566,116 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["stream_page_ingest"] = stream_page_ingest
 
+    def stream_curate_ingest(spark, sf):
+        """Streaming curation slice (VERDICT r5 #7): extract -> quality
+        gate -> PII redaction -> stateful exact CONTENT dedup as one
+        Structured Streaming pipeline over micro-batched crawl pages.
+        Every curation stage is a narrow codegen expression, so the
+        batch operators run unchanged inside the micro-batch plan; the
+        stateful stage is dropDuplicates on the redacted-text md5
+        (first arrival wins). Content keys on doc_id % 300 — ids 300+
+        are recrawls of earlier content under NEW urls — and batches
+        split 0-249 / 250-399 / 400-499, so each content's first
+        arrival is its id < 300 and the oracle is that closed form plus
+        the same extraction/gate/PII chains replayed in SQL. The PII
+        decoration keys on the CONTENT id so duplicates stay
+        byte-identical."""
+        from geoharvest_spark import webops as wb
+
+        docs = _t(spark, sf, "documents").select(
+            F.col("doc_id").alias("cid"), "text"
+        )
+        c = F.col("cid")
+        s = lambda col: col.cast("string")  # noqa: E731
+        decorated = F.concat(
+            F.col("text"),
+            F.lit(" contact user"), s(c), F.lit("@ex"), s(c % 7),
+            F.lit(".com"),
+            F.when(
+                c % 3 == 0,
+                F.concat(F.lit(" ip 10."), s(c % 250), F.lit(".0."), s(c % 99)),
+            ).otherwise(F.lit("")),
+            F.when(
+                c % 4 == 0, F.concat(F.lit(" acct "), s(c + 1000000000))
+            ).otherwise(F.lit("")),
+        )
+        pages = (
+            _messy_urls(spark, sf, mod=500)
+            .withColumn("cid", F.col("doc_id") % 300)
+            .join(docs, "cid")
+            .select(
+                "doc_id",
+                "url",
+                F.concat(
+                    F.lit("<html><head><title>Doc "),
+                    s(c),
+                    F.lit(
+                        "</title><style>p{color:red}</style>"
+                        "<script>var x=1;</script></head>"
+                        "<body><nav>Home &gt; Docs</nav><p>"
+                    ),
+                    decorated,
+                    F.lit(
+                        "</p><!-- footer --><div>&copy; 2026</div></body></html>"
+                    ),
+                ).alias("html"),
+            )
+        )
+        base = _scratch("stream_ci_")
+        in_dir = f"{base}/in"
+        import os as _os
+
+        for i, (lo, hi) in enumerate(((0, 250), (250, 400), (400, 500))):
+            pages.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+            for f in _os.listdir(in_dir):
+                if f.endswith(".parquet"):
+                    p = f"{in_dir}/{f}"
+                    if _os.path.getmtime(p) > 1_000_000_000 + (i + 1) * 1000:
+                        _os.utime(p, (1_000_000_000 + i * 1000,) * 2)
+        stream = (
+            spark.readStream.schema("doc_id long, url string, html string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        d = wb.with_canonical_url(stream).withColumn(
+            "text", wb.extract_text_from_html(F.col("html"))
+        )
+        d = tx.with_quality(d).where(
+            (F.col("n_words") >= 40) & (F.col("distinct_ratio") >= 0.35)
+        )
+        d = tx.redact_pii(d)
+        d = d.withColumn("text_md5", F.md5("text")).dropDuplicates(
+            ["text_md5"]
+        )
+        sink = "stream_curate_ingest_sink"
+        spark.catalog.dropTempView(sink)
+        q = (
+            d.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return (
+            spark.table(sink)
+            .select(
+                "doc_id",
+                "canonical_url",
+                F.col("n_words").cast("long").alias("n_words"),
+                "n_email",
+                "n_ipv4",
+                "n_longnum",
+                "text_md5",
+            )
+            .orderBy("doc_id")
+        )
+
+    Q["stream_curate_ingest"] = stream_curate_ingest
+
     def robots_crawl_filter(spark, sf):
         """Crawl governance: per-domain robots.txt (three deterministic
         variants incl. a non-* section, a shared user-agent run, and an
@@ -2441,18 +2551,22 @@ def _url_canonical_cte(synth_sql: str | None = None) -> str:
     )
 
 
-def _html_page_cte() -> str:
-    """h = documents wrapped in the page template; e = the extraction
-    chain (independent RE2 re-implementation of
-    webops.extract_text_from_html, same step order incl. amp-last)."""
+def _html_page_cte(
+    src: str = "documents", id_expr: str = "doc_id", text_expr: str = "text"
+) -> str:
+    """h = ``src`` rows wrapped in the page template (title keyed on
+    ``id_expr``, body = ``text_expr``); e = the extraction chain
+    (independent RE2 re-implementation of webops.extract_text_from_html,
+    same step order incl. amp-last). DuckDB lateral column aliases let
+    the html build reference the just-aliased doc_id/text."""
     return (
-        "h AS (SELECT doc_id, text, "
+        f"h AS (SELECT {id_expr} AS doc_id, {text_expr} AS text, "
         "'<html><head><title>Doc ' || doc_id || "
         "'</title><style>p{color:red}</style>"
         "<script>var x=1;</script></head>"
         "<body><nav>Home &gt; Docs</nav><p>' || text || "
         "'</p><!-- footer --><div>&copy; 2026</div></body></html>' "
-        "AS html FROM documents), "
+        f"AS html FROM {src}), "
         "e AS (SELECT doc_id, text, trim(regexp_replace("
         "replace(replace(replace(replace(replace(replace("
         "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
@@ -3335,6 +3449,44 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "FROM dom JOIN e ON dom.doc_id = e.doc_id) "
             "SELECT canonical_url, doc_id, domain, text_md5 FROM r "
             "WHERE rn = 1 ORDER BY canonical_url"
+        ),
+        "stream_curate_ingest": (
+            # Closed-form first-arrival (winners are exactly the ids
+            # < 300 — recrawl ids 300+ land in later batches) + the same
+            # extraction / quality-gate / progressive-PII chains in SQL.
+            f"WITH {_url_canonical_cte(_url_synth_sql(500))}, "
+            "cdoc AS (SELECT doc_id AS ccid, text || ' contact user' || "
+            "doc_id || '@ex' || (doc_id % 7) || '.com' || "
+            "(CASE WHEN doc_id % 3 = 0 THEN ' ip 10.' || (doc_id % 250) "
+            "|| '.0.' || (doc_id % 99) ELSE '' END) || "
+            "(CASE WHEN doc_id % 4 = 0 THEN ' acct ' || "
+            "(doc_id + 1000000000) ELSE '' END) AS dtext "
+            "FROM documents WHERE doc_id < 300), "
+            f"{_html_page_cte('cdoc', 'ccid', 'dtext')}, "
+            "q AS (SELECT doc_id AS cid, ex, "
+            "cast(len(string_split(ex, ' ')) AS BIGINT) AS n_words, "
+            "len(list_distinct(string_split(ex, ' '))) * 1.0 / "
+            "len(string_split(ex, ' ')) AS dr FROM e), "
+            "g AS (SELECT * FROM q WHERE n_words >= 40 AND dr >= 0.35), "
+            "p1 AS (SELECT cid, n_words, "
+            "cast(len(regexp_extract_all(ex, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "AS INT) AS n_email, "
+            "regexp_replace(ex, "
+            "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', "
+            "'<EMAIL>', 'g') AS ex FROM g), "
+            "p2 AS (SELECT cid, n_words, n_email, "
+            "cast(len(regexp_extract_all(ex, "
+            "'\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS INT) AS n_ipv4, "
+            "regexp_replace(ex, "
+            "'\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g') AS ex FROM p1) "
+            "SELECT cid AS doc_id, canonical_url, n_words, n_email, "
+            "n_ipv4, "
+            "cast(len(regexp_extract_all(ex, '\\b\\d{9,}\\b')) AS INT) "
+            "AS n_longnum, "
+            "md5(regexp_replace(ex, '\\b\\d{9,}\\b', '<NUM>', 'g')) "
+            "AS text_md5 "
+            "FROM p2 JOIN dom ON dom.doc_id = p2.cid ORDER BY doc_id"
         ),
         "robots_crawl_filter": (
             f"WITH {_url_canonical_cte()}, "

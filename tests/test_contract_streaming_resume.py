@@ -225,3 +225,92 @@ def test_stream_windowed_counts_matches_batch(spark, entrymod):
     )
     assert len(m) == len(truth)
     assert (m.n_x == m.n_y).all()
+
+
+def _curate_stream_to_parquet(spark, in_dir, out_dir, ckpt):
+    """The stream_curate_ingest stage chain (extract -> quality gate ->
+    PII -> stateful content dedup) against a parquet file sink."""
+    from geoharvest_spark import textops as tx
+    from geoharvest_spark import webops as wb
+
+    stream = (
+        spark.readStream.schema("doc_id long, url string, html string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    d = wb.with_canonical_url(stream).withColumn(
+        "text", wb.extract_text_from_html(F.col("html"))
+    )
+    d = tx.with_quality(d).where(
+        (F.col("n_words") >= 5) & (F.col("distinct_ratio") >= 0.2)
+    )
+    d = tx.redact_pii(d)
+    d = d.withColumn("text_md5", F.md5("text")).dropDuplicates(["text_md5"])
+    out = d.select("doc_id", "canonical_url", "n_email", "text_md5")
+    return (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+
+
+def test_stream_curate_restart_from_checkpoint(spark, tmp_path):
+    """Kill/restart across the same checkpointLocation for the curation
+    slice: stop after batch 1, append batches 2-3 (which recrawl batch-1
+    content under new urls + bring new content), restart — the recovered
+    run's output must equal an uninterrupted twin (state-store recovery
+    keeps batch-1 content winners; exactly-once file sink)."""
+    import pandas as pd
+
+    def _page(i):
+        cid = i % 8  # ids 8+ recrawl content of ids < 8
+        body = (
+            f"alpha beta gamma delta epsilon zeta eta theta c{cid} "
+            f"mail u{cid}@ex.com num {1000000000 + cid}"
+        )
+        return {
+            "doc_id": i,
+            "url": f"https://ex{i}.test/p/{i}",
+            "html": f"<html><body><p>{body}</p></body></html>",
+        }
+
+    batches = [[_page(i) for i in rng] for rng in
+               (range(0, 6), range(6, 10), range(10, 16))]
+
+    def _write(in_dir, rows):
+        spark.createDataFrame(pd.DataFrame(rows)).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    in_a, out_a, ck_a = (str(tmp_path / x) for x in ("ia", "oa", "ca"))
+    _write(in_a, batches[0])
+    q = _curate_stream_to_parquet(spark, in_a, out_a, ck_a)
+    q.processAllAvailable()
+    q.stop()  # "crash" between micro-batches
+    for rows in batches[1:]:
+        _write(in_a, rows)
+    q = _curate_stream_to_parquet(spark, in_a, out_a, ck_a)
+    q.processAllAvailable()
+    q.stop()
+
+    in_b, out_b, ck_b = (str(tmp_path / x) for x in ("ib", "ob", "cb"))
+    for rows in batches:
+        _write(in_b, rows)
+    q = _curate_stream_to_parquet(spark, in_b, out_b, ck_b)
+    q.processAllAvailable()
+    q.stop()
+
+    cols = ["doc_id", "canonical_url", "n_email", "text_md5"]
+    got = (
+        spark.read.parquet(out_a).toPandas()[cols]
+        .sort_values(cols).reset_index(drop=True)
+    )
+    want = (
+        spark.read.parquet(out_b).toPandas()[cols]
+        .sort_values(cols).reset_index(drop=True)
+    )
+    assert got.equals(want) and len(want) == 8  # one winner per content
+    assert set(want["doc_id"]) == set(range(8))  # first arrivals
+    assert (want["n_email"] == 1).all()  # PII ran inside the stream
