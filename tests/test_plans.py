@@ -255,10 +255,13 @@ def test_pack_and_cap_minimal_plans(spark):
     p = _plan(tx.pack_sequences(d, seq_len=512, buckets=8))
     assert p.count("Exchange") == 1 and p.count("Window") == 1
     assert "EvalPython" not in p
-    c = _plan(
-        tx.cap_per_key(
-            d.select("doc_id", (F.col("doc_id") % 7).alias("dom")), "dom", 3
-        )
-    )
+    keyed = d.select("doc_id", (F.col("doc_id") % 7).alias("dom"))
+    # window-only mode: exactly one exchange + one window
+    c = _plan(tx.cap_per_key(keyed, "dom", 3, hot_threshold=None))
     assert c.count("Exchange") == 1 and c.count("Window") == 1
     assert "EvalPython" not in c
+    # default (hot-census-guarded) mode: the window exists ONLY in the
+    # cold branch — the hot branch is the bounded min-k aggregation
+    cg = _plan(tx.cap_per_key(keyed, "dom", 3))
+    assert cg.count("Window") == 1
+    assert "EvalPython" not in cg
