@@ -65,13 +65,24 @@ def materialize(df) -> int:
 # a bench sample carry its own phase evidence instead of a uniform
 # inflation being misread as a code regression (see BENCH/BASELINE.md).
 _QUIET_MEM = 0.24
+# 8-thread parallel-sort floor measured the same way (min of repeated
+# idle-box samples, 2026-08-17: 0.225/0.228/0.236). The multi-core probe
+# exists because the single-thread kernel provably misses contention
+# that only multi-core legs see (VERDICT r5 "What's wrong" #1): eight
+# concurrent DRAM streams saturate the shared memory controllers the way
+# a 32-thread Spark stage does, so neighbor pressure that leaves one
+# stream untouched still inflates this one.
+_QUIET_MEM8 = 0.22
 _NOISY_RATIO = 1.5
 
 
 def host_phase_probe() -> dict:
-    """~1s single-threaded DRAM probe (min of 3 sort reps of a 16 MB
-    array); ratio vs the pinned quiet-phase reference classifies the
-    current host phase."""
+    """~2s DRAM probe, two kernels: single-thread (min of 3 reps of 10
+    sorts of a 16 MB array) and 8-thread parallel (min of 3 reps, each
+    thread 6 sorts of its own 16 MB array). The ratio of either kernel
+    vs its pinned quiet-phase floor classifies the host phase."""
+    from concurrent.futures import ThreadPoolExecutor
+
     import numpy as np
 
     rs = np.random.RandomState(0)
@@ -82,9 +93,24 @@ def host_phase_probe() -> dict:
         for _ in range(10):
             np.sort(a)
         mem = min(mem, time.perf_counter() - t0)
+
+    def _one(seed: int) -> None:
+        arr = np.random.RandomState(seed).rand(2_000_000)
+        for _ in range(6):
+            np.sort(arr)
+
+    mem8 = float("inf")
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            list(ex.map(_one, range(8)))
+            mem8 = min(mem8, time.perf_counter() - t0)
     return {
         "mem_sec": round(mem, 3),
-        "ratio_vs_quiet": round(mem / _QUIET_MEM, 2),
+        "mem8_sec": round(mem8, 3),
+        "ratio_vs_quiet": round(
+            max(mem / _QUIET_MEM, mem8 / _QUIET_MEM8), 2
+        ),
     }
 
 

@@ -62,6 +62,7 @@ for r in runs:
 cores_sorted = sorted(by_cores)
 n, n4 = cores_sorted[0], cores_sorted[-1]
 keys = ["normalize", "pip_join", "tiles", "knn", "chunk_dedup"]
+extra_keys = [k for k in ["tiles_4x"] if k in runs[0]["seconds"]]
 
 def best(cores, k):
     return min(r["seconds"][k] for r in by_cores[cores])
@@ -71,6 +72,7 @@ klass = {
     "normalize": "alu",   # python string/XML parsing, small working set
     "pip_join": "mem",    # Arrow transfer + pandas/numpy refine, DRAM-bound
     "tiles": "mem",       # cell-count shuffles
+    "tiles_4x": "mem",    # same, 4x points (scale-representative leg)
     "knn": "mem",         # candidate-join + window shuffles
     "chunk_dedup": "mem", # explode + hash-agg + join shuffles
     "total": "mem",
@@ -108,11 +110,13 @@ lines += [
     "|---|---|---|---|---|---|---|---|",
 ]
 tot1 = tot4 = 0.0
-for k in keys:
+for k in keys + extra_keys:
     t1, t4 = best(n, k), best(n4, k)
-    tot1 += t1; tot4 += t4
+    if k in keys:  # extra legs are reported but kept out of the
+        tot1 += t1; tot4 += t4  # cross-round-comparable total
     rows = rows_meta.get(
-        {"normalize": "pages", "chunk_dedup": "docs"}.get(k, "points"), ""
+        {"normalize": "pages", "chunk_dedup": "docs",
+         "tiles_4x": "points4"}.get(k, "points"), ""
     )
     sp = t1 / t4
     eff = sp / (n4 / n)
@@ -127,6 +131,14 @@ lines += [
     "",
     f"**Total throughput scaling efficiency {n} -> {n4} cores: {eff:.2f} raw, "
     f"{min(eff / cal['mem']['efficiency'], 1.0):.2f} host-normalized.**",
+    "",
+    "The `tiles_4x` row (4x the base points; 19.2M at the default rep=8) is",
+    "the scale-representative tiles number: the base tiles leg carries the",
+    "bounded res-9 rollup-tail constant (<= 8.4M-cell grid, DRAM-bound on",
+    "one box) as a fixed fraction,",
+    "which vanishes as points grow — see the preserved round-5 profile below.",
+    "tiles_4x is reported alongside and excluded from the total so totals stay",
+    "comparable across rounds.",
     "",
     "Raw JSON (per-cycle calibrations, then each cycle):",
     "```json",

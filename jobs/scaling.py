@@ -129,6 +129,31 @@ def main() -> None:
 
     seconds["tiles"] = _timed_min(w3)
 
+    # W3b tiles at 4x points (VERDICT r5 #8): on the base leg the bounded
+    # res-9 rollup tail (the <=8.4M-cell grid constant, DRAM-bound on one
+    # box) is a large fixed fraction of the wall time and drags measured
+    # scaling below the operator's true shape. At 4x points the
+    # point-sized aggregation dominates, so this leg is the
+    # scale-representative tiles number (round-5 profile adjudication,
+    # preserved section of BENCH/BASELINE.md).
+    from geoharvest_spark.tiles import tile_pyramid_counts_rollup
+
+    pts4 = (
+        pts.withColumn("r4", F.explode(F.array(*[F.lit(i) for i in range(4)])))
+        .select(
+            (F.col("point_id") * 4 + F.col("r4")).alias("point_id"),
+            "lon",
+            "lat",
+        )
+        .repartition(N_PART)
+        .cache()
+    )
+    rows["points4"] = pts4.count()
+    seconds["tiles_4x"] = _timed_min(
+        lambda: _noop(tile_pyramid_counts_rollup(pts4, (5, 6, 7, 8, 9)))
+    )
+    pts4.unpersist()
+
     # W4 kNN. Two measurement fixes vs r1:
     # - 2000 queries (not 300): ~126M candidate distances, so compute >>
     #   fixed overhead;
