@@ -957,6 +957,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["pack_sequences_bpe"] = pack_sequences_bpe
 
+    def chunk_dedup_bpe(spark, sf):
+        # chunk-level dedup over the BPE token stream (the third BPE
+        # injection seam): chunk boundaries fall on subword counts, so
+        # boilerplate dedup no longer depends on whitespace tokens. The
+        # oracle extracts the token list from the replayed merge stream
+        # (split on the end sentinel, strip the start sentinel, drop
+        # space tokens) and reuses the chunk-dedup SQL skeleton.
+        from geoharvest_spark import bpe
+
+        merges = list(bpe.corpus_merges(sf, 200, 64))
+        return tx.chunk_dedup(
+            _t(spark, sf, "documents"),
+            chunk_tokens=20,
+            tokenizer=lambda c: bpe.tokens_array_expr(c, merges),
+        ).orderBy("doc_id")
+
+    Q["chunk_dedup_bpe"] = chunk_dedup_bpe
+
     def media_decode_suite(spark, sf):
         # lossless-codec correctness end-to-end: closed-form pixel
         # arrays -> REAL encoders (PNG / BMP / GIF / PPM) -> the real
@@ -2455,14 +2473,21 @@ def _repetition_oracle_sql() -> str:
     )
 
 
-def _chunk_dedup_oracle_sql(chunk: int = 20) -> str:
+def _chunk_dedup_oracle_sql(
+    chunk: int = 20,
+    tokens_expr: str = "string_split(text, ' ')",
+    prefix_cte: str = "",
+    src: str = "documents",
+) -> str:
     """Independent chunk-dedup oracle: 1-based list slices build the
     chunks, a row_number window picks the global first occurrence per
     md5 (same (doc_id, chunk_idx) order as the engine's min-struct
-    keeper), string_agg ORDER BY rebuilds the text."""
+    keeper), string_agg ORDER BY rebuilds the text. ``tokens_expr``
+    swaps the token stream (e.g. the BPE token list), ``src`` the table
+    it reads; ``prefix_cte`` lets the caller stage CTEs it needs."""
     return (
-        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS l "
-        "FROM documents), "
+        f"WITH {prefix_cte}t AS (SELECT doc_id, {tokens_expr} AS l "
+        f"FROM {src}), "
         "c AS (SELECT doc_id, unnest(list_transform("
         f"range(0, cast(ceil(len(l) / {chunk}.0) AS INT)), "
         f"i -> {{'idx': i, 'chunk': array_to_string("
@@ -3300,6 +3325,17 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "tok_offset // 512 AS first_seq, "
             "(tok_offset + greatest(n_tokens - 1, 0)) // 512 AS last_seq "
             "FROM o ORDER BY id"
+        ),
+        "chunk_dedup_bpe": _chunk_dedup_oracle_sql(
+            20,
+            "list_filter(list_transform(string_split(m, '\x1f'), "
+            "s -> s[2:]), s -> s <> '' AND s <> ' ')",
+            # the bpe_n/bpe_m CTEs from the shared builder, without the
+            # WITH keyword or the trailing count CTE
+            _bpe_count_cte(sf_dir)
+            .removeprefix("WITH ")
+            .rsplit("bpe_t AS", 1)[0],
+            "bpe_m",
         ),
         "doc_pii_redact": (
             # Same decoration + the same RE2-subset patterns; DuckDB

@@ -221,8 +221,28 @@ def main() -> None:
         )
         return connected_components(chain.union(star))
 
+    # BPE token accounting over the same 250k docs, both application
+    # paths: the codegen replace-chain (oracle-able reference path) and
+    # the Arrow rank-dict UDF with a per-executor word cache (the
+    # large-merge-table production path). Merge-table training is
+    # driver-side, untimed (tiny shared config, lru_cached).
+    from geoharvest_spark.bpe import (
+        corpus_merges,
+        token_count_udf,
+        with_bpe_token_count,
+    )
+
+    bpe_merges = list(corpus_merges(sf_dir, 200, 64))
+    bpe_udf = token_count_udf(bpe_merges)
+
     webtext: dict = {
         "chunk_dedup_250k": lambda: chunk_dedup(bench_docs, chunk_tokens=20),
+        "bpe_count_codegen_250k": lambda: with_bpe_token_count(
+            bench_docs, bpe_merges
+        ).select("doc_id", "n_tokens_bpe"),
+        "bpe_count_udf_250k": lambda: bench_docs.select(
+            "doc_id", bpe_udf(F.col("text")).alias("n_tokens_bpe")
+        ),
         "decontaminate_250k": lambda: contamination_stats(
             bench_docs.where(F.col("doc_id") % 50 != 0), bench_subset, n=8
         ),
