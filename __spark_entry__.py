@@ -977,7 +977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def media_decode_suite(spark, sf):
         # lossless-codec correctness end-to-end: closed-form pixel
-        # arrays -> REAL encoders (PNG / BMP / GIF / PPM) -> the real
+        # arrays -> REAL encoders (PNG / BMP / GIF / PPM / LZW TIFF) -> the real
         # decode_image dispatch inside mapInPandas -> row-major pixel
         # digest. The oracle recomputes the SOURCE pixels from the same
         # closed form purely in SQL — lossless codecs must return them
@@ -1000,6 +1000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 encode_gif,
                 encode_png,
             )
+            from geoharvest_spark.raster import encode_tiff
 
             for pdf in batches:
                 rows = []
@@ -1015,13 +1016,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         ],
                         axis=2,
                     ).astype(np.uint8)
-                    fmt = ["png", "bmp", "gif", "ppm"][mid % 4]
+                    fmt = ["png", "bmp", "gif", "ppm", "tiff"][mid % 5]
                     if fmt == "png":
                         payload = encode_png(img)
                     elif fmt == "bmp":
                         payload = encode_bmp(img)
                     elif fmt == "gif":
                         payload = encode_gif(img, interlace=mid % 8 == 2)
+                    elif fmt == "tiff":
+                        payload = encode_tiff(
+                            img, compression=5, predictor=2
+                        )
                     else:
                         payload = (
                             f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
@@ -3279,8 +3284,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "cast((x * 3) % 8 * 32 AS INT) AS g, "
             "cast((x + y) % 8 * 32 AS INT) AS b FROM px) "
             "SELECT media_id, "
-            "(CASE media_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' "
-            "WHEN 2 THEN 'gif' ELSE 'ppm' END) AS fmt, "
+            "(CASE media_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' "
+            "WHEN 2 THEN 'gif' WHEN 3 THEN 'ppm' ELSE 'tiff' END) "
+            "AS fmt, "
             "cast(h AS INT) AS h, cast(w AS INT) AS w, "
             "md5(string_agg(r || ' ' || g || ' ' || b, ' ' "
             "ORDER BY y, x)) AS digest "

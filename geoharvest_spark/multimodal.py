@@ -1680,8 +1680,9 @@ def decode_features(
 
 
 def _sniff_decode_image(payload: bytes) -> np.ndarray | None:
-    """Decode any natively-supported image payload (PPM/PNG/baseline
-    JPEG) by magic bytes; None when the format is not one of ours."""
+    """Decode any natively-supported image payload (PNM/BMP/GIF/PNG/
+    JPEG/TIFF incl. LZW+predictor) by magic bytes; None when the format
+    is not one of ours."""
     if payload[:2] in (b"P6", b"P5", b"P3", b"P2"):
         return decode_ppm(payload)
     if payload[:2] == b"BM":
@@ -1692,14 +1693,19 @@ def _sniff_decode_image(payload: bytes) -> np.ndarray | None:
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         return decode_jpeg(payload)
+    if payload[:4] in (b"II*\x00", b"MM\x00*"):
+        from .raster import decode_tiff
+
+        return decode_tiff(payload)[0]
     return None
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Image decode: PNM, PNG, and baseline+progressive JPEG decode
-    natively (pure stdlib+numpy, above); remaining formats (WebP, TIFF,
-    lossless JPEG, ...) fall through to PIL when present, else the
-    honest gate."""
+    """Image decode: PNM, BMP, GIF, PNG, baseline+progressive JPEG and
+    TIFF (uncompressed/PackBits/LZW, horizontal predictor) decode
+    natively (pure stdlib+numpy); remaining formats (WebP, Deflate
+    TIFF, lossless JPEG, ...) fall through to PIL when present, else
+    the honest gate."""
     img = None
     try:
         img = _sniff_decode_image(payload)

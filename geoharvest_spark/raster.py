@@ -49,6 +49,114 @@ def _packbits_decode(data: bytes, expect: int) -> bytes:
     return bytes(out[:expect])
 
 
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
+    """TIFF 6.0 LZW decode (Compression=5): MSB-first bit packing,
+    9->12-bit codes with EARLY CHANGE — the ENCODER widens at next-free
+    511/1023/2047, and the decoder (whose table lags one entry behind)
+    at 510/1022/2046; getting either side of that pair wrong desyncs
+    the stream at the first width boundary (the classic interop trap).
+    Clear=256 resets the table, EOI=257 ends the strip."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitbuf = nbits = pos = 0
+    table: dict[int, bytes] = {}
+    width, next_code, prev = 9, 258, -1
+
+    def _reset() -> None:
+        nonlocal table, width, next_code, prev
+        table = {i: bytes([i]) for i in range(256)}
+        width, next_code, prev = 9, 258, -1
+
+    _reset()
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("TIFF LZW stream truncated (no EOI)")
+            bitbuf = (bitbuf << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == EOI:
+            break
+        if code == CLEAR:
+            _reset()
+            continue
+        if prev < 0:
+            if code > 255:
+                raise ValueError("TIFF LZW: non-literal after Clear")
+            s = table[code]
+        elif code < next_code:
+            s = table[code]
+            table[next_code] = table[prev] + s[:1]
+            next_code += 1
+            # early change, decoder side: the decoder's table lags the
+            # encoder's by ONE entry (no entry on the first code after
+            # Clear), so it must widen one code earlier than the
+            # encoder's 511/1023/2047 — at 510/1022/2046 (TIFF 6.0).
+            if next_code == (1 << width) - 2 and width < 12:
+                width += 1
+        elif code == next_code:
+            s = table[prev] + table[prev][:1]
+            table[next_code] = s
+            next_code += 1
+            if next_code == (1 << width) - 2 and width < 12:
+                width += 1
+        else:
+            raise ValueError(f"TIFF LZW: code {code} beyond table")
+        out += s
+        prev = code
+    if len(out) < expect:
+        raise ValueError("TIFF LZW output short of strip size")
+    return bytes(out[:expect])
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 LZW encode — exact inverse of _tiff_lzw_decode (same
+    early-change width schedule; emits Clear when the table nears the
+    12-bit ceiling). Exists to synthesize REAL payloads for tests."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    bitbuf = nbits = 0
+
+    def _emit(code: int, w: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << w) | code
+        nbits += w
+        while nbits >= 8:
+            out.append((bitbuf >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    def _fresh() -> dict[bytes, int]:
+        return {bytes([i]): i for i in range(256)}
+
+    table = _fresh()
+    width, next_code = 9, 258
+    _emit(CLEAR, width)
+    run = b""
+    for b in data:
+        cand = run + bytes([b])
+        if cand in table:
+            run = cand
+            continue
+        _emit(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
+        run = bytes([b])
+        if next_code >= 4093:  # spec: Clear before the early-change 4094
+            _emit(CLEAR, width)
+            table = _fresh()
+            width, next_code = 9, 258
+    if run:
+        _emit(table[run], width)
+    _emit(EOI, width)
+    if nbits:
+        out.append((bitbuf << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
 def decode_tiff(payload: bytes) -> tuple[np.ndarray, dict]:
     """Baseline TIFF decode -> (array, meta). Supports II/MM byte order,
     8-bit grayscale (photometric 0/1) and RGB (2), uncompressed (1) or
@@ -127,6 +235,9 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, dict]:
         elif compression == 32773:
             n_rows = min(rows_per_strip, h - si * rows_per_strip)
             data += _packbits_decode(chunk, n_rows * w * spp)
+        elif compression == 5:
+            n_rows = min(rows_per_strip, h - si * rows_per_strip)
+            data += _tiff_lzw_decode(chunk, n_rows * w * spp)
         else:
             raise NotImplementedError(
                 f"TIFF compression {compression} not supported"
@@ -135,6 +246,15 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, dict]:
     if len(data) < need:
         raise ValueError("TIFF pixel data truncated")
     arr = np.frombuffer(bytes(data[:need]), dtype=np.uint8).reshape(h, w, spp)
+    predictor = int(vals(317, [1])[0])
+    if predictor == 2:
+        # horizontal differencing: stored samples are per-channel row
+        # deltas; reconstruct with a wrapping cumsum along columns
+        arr = (np.cumsum(arr.astype(np.int64), axis=1) % 256).astype(
+            np.uint8
+        )
+    elif predictor != 1:
+        raise NotImplementedError(f"TIFF predictor {predictor}")
     if photometric == 0:  # WhiteIsZero: invert to the usual polarity
         arr = 255 - arr
     img = arr[:, :, 0] if spp == 1 else arr[:, :, :3]
@@ -153,15 +273,30 @@ def encode_tiff(
     img: np.ndarray,
     pixel_scale: tuple[float, float] | None = None,
     tiepoint: tuple[float, float] | None = None,
+    compression: int = 1,
+    predictor: int = 1,
 ) -> bytes:
-    """Minimal little-endian uncompressed TIFF writer (8-bit gray or
-    RGB, one strip) with optional GeoTIFF georeferencing: pixel_scale
-    (sx, sy) + tiepoint (lon0, lat0) pinning raster (0,0)."""
+    """Minimal little-endian TIFF writer (8-bit gray or RGB, one strip)
+    with optional GeoTIFF georeferencing (pixel_scale (sx, sy) +
+    tiepoint (lon0, lat0) pinning raster (0,0)), LZW compression
+    (``compression=5``), and horizontal differencing
+    (``predictor=2``)."""
+    if compression not in (1, 5):
+        raise ValueError(f"encode_tiff compression {compression}")
+    if predictor not in (1, 2):
+        raise ValueError(f"encode_tiff predictor {predictor}")
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
     spp = 1 if gray else 3
-    body = img.tobytes() if gray else img[:, :, :3].tobytes()
+    samples = (img[:, :, None] if gray else img[:, :, :3]).astype(np.int16)
+    if predictor == 2:
+        d = samples.copy()
+        d[:, 1:] = (samples[:, 1:] - samples[:, :-1]) % 256
+        samples = d
+    body = samples.astype(np.uint8).tobytes()
+    if compression == 5:
+        body = _tiff_lzw_encode(body)
 
     entries = []  # (tag, type, count, value_or_bytes)
 
@@ -172,7 +307,8 @@ def encode_tiff(
         entries.append((tag, 4, 1, struct.pack("<I", v)))
 
     geo = pixel_scale is not None and tiepoint is not None
-    n = 9 + (2 if geo else 0)  # 9 base entries (BitsPerSample is 1 either way)
+    # 9 base entries (BitsPerSample is 1 either way) + geo + predictor
+    n = 9 + (2 if geo else 0) + (1 if predictor == 2 else 0)
     header_size = 8 + 2 + 12 * n + 4
     extra = b""
     extra_off = header_size
@@ -186,12 +322,14 @@ def encode_tiff(
         entries.append(
             (258, 3, 3, struct.pack("<I", 0))
         )  # patched below (needs extra area)
-    short(259, 1)
+    short(259, compression)
     short(262, 1 if gray else 2)
     long_(273, 0)  # patched
     short(277, spp)
     long_(278, h)
     long_(279, len(body))
+    if predictor == 2:
+        short(317, 2)
     if geo:
         entries.append((33550, 12, 3, struct.pack("<I", 0)))  # patched
         entries.append((33922, 12, 6, struct.pack("<I", 0)))  # patched

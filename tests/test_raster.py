@@ -87,16 +87,87 @@ def test_tiff_malformed_and_gates():
     with pytest.raises(ValueError):
         decode_tiff(good[:-50])
     bad = bytearray(good)
-    # patch Compression (259) value to 5 (LZW): honest gate
+    # patch Compression (259) value to 8 (Deflate): honest gate (LZW is
+    # now implemented; Deflate/JPEG-in-TIFF are not)
     import struct as st
 
     n = st.unpack("<H", bad[8:10])[0]
     for i in range(n):
         o = 10 + 12 * i
         if st.unpack("<H", bad[o : o + 2])[0] == 259:
-            bad[o + 8 : o + 10] = st.pack("<H", 5)
+            bad[o + 8 : o + 10] = st.pack("<H", 8)
     with pytest.raises(NotImplementedError):
         decode_tiff(bytes(bad))
+    # patched-to-LZW without recompressing: garbage stream must raise a
+    # clean ValueError, not crash or return wrong pixels
+    lzwbad = bytearray(good)
+    for i in range(n):
+        o = 10 + 12 * i
+        if st.unpack("<H", lzwbad[o : o + 2])[0] == 259:
+            lzwbad[o + 8 : o + 10] = st.pack("<H", 5)
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(lzwbad))
+
+
+def test_tiff_lzw_roundtrip_and_conformance():
+    """TIFF 6.0 LZW: hand-packed spec fixture, early-change width
+    boundaries (decoder widens at 510/1022/2046 — one earlier than the
+    encoder's 511/1023/2047), table clears, and the horizontal
+    predictor, through full encode_tiff/decode_tiff."""
+    from geoharvest_spark.raster import _tiff_lzw_decode, _tiff_lzw_encode
+
+    # hand trace of "ababab": Clear, 97 (+ab=258), 98 (+ba), 258 (+aba),
+    # final run "ab" -> 258, EOI — all at 9 bits
+    codes = [256, 97, 98, 258, 258, 257]
+    bits = "".join(format(c, "09b") for c in codes)
+    bits += "0" * ((8 - len(bits) % 8) % 8)
+    ref = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    assert _tiff_lzw_encode(b"ababab") == ref
+    assert _tiff_lzw_decode(ref, 6) == b"ababab"
+
+    rng = np.random.default_rng(3)
+    # alphabets sized to cross each width boundary and force table clears
+    for n, alpha in ((50, 2), (5000, 4), (60000, 8), (200000, 256)):
+        data = bytes(rng.integers(0, alpha, n).astype(np.uint8))
+        assert _tiff_lzw_decode(_tiff_lzw_encode(data), n) == data
+
+    for shape in ((23, 31), (17, 19, 3)):
+        img = rng.integers(0, 256, shape).astype(np.uint8)
+        for comp, pred in ((5, 1), (5, 2), (1, 2)):
+            p = encode_tiff(
+                img, pixel_scale=(0.5, 0.5), tiepoint=(-30.0, 10.0),
+                compression=comp, predictor=pred,
+            )
+            out, meta = decode_tiff(p)
+            assert (out == img).all()
+            assert meta["compression"] == comp
+            assert meta["geotransform"] is not None
+    # predictor earns its keep on smooth gradients
+    g = np.tile(np.arange(256, dtype=np.uint8), (64, 4))
+    assert len(encode_tiff(g, compression=5, predictor=2)) < len(
+        encode_tiff(g, compression=5)
+    )
+
+
+def test_raster_cell_stats_accepts_lzw_payloads(spark):
+    """LZW+predictor GeoTIFFs flow through the distributed raster path
+    identically to uncompressed ones."""
+    from geoharvest_spark.raster import raster_cell_stats
+
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (12, 15)).astype(np.uint8)
+    raw = encode_tiff(img, pixel_scale=(0.5, 0.5), tiepoint=(-10.0, 20.0))
+    lzw = encode_tiff(
+        img, pixel_scale=(0.5, 0.5), tiepoint=(-10.0, 20.0),
+        compression=5, predictor=2,
+    )
+    a = raster_cell_stats(
+        spark.createDataFrame([(0, raw)], "rid int, payload binary"), res=5
+    ).toPandas().sort_values("cell").reset_index(drop=True)
+    b = raster_cell_stats(
+        spark.createDataFrame([(0, lzw)], "rid int, payload binary"), res=5
+    ).toPandas().sort_values("cell").reset_index(drop=True)
+    assert a.equals(b) and len(a) > 0
 
 
 def test_raster_cell_stats_matches_numpy(spark):
