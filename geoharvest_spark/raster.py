@@ -2,7 +2,8 @@
 aggregation (the raster half of the north rule's raster<->vector tiling).
 
 ``decode_tiff`` is a pure stdlib+numpy baseline-TIFF reader (both byte
-orders, 8-bit gray/RGB, uncompressed or PackBits strips) that also
+orders, 8-bit gray/RGB; uncompressed, PackBits, LZW, or Deflate strips;
+horizontal predictor) that also
 surfaces the GeoTIFF georeferencing tags (ModelPixelScale 33550 +
 ModelTiepoint 33922) as an affine north-up geotransform. ``encode_tiff``
 is the synthesis twin (uncompressed, little-endian, optional geo tags).
@@ -159,8 +160,9 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
 
 def decode_tiff(payload: bytes) -> tuple[np.ndarray, dict]:
     """Baseline TIFF decode -> (array, meta). Supports II/MM byte order,
-    8-bit grayscale (photometric 0/1) and RGB (2), uncompressed (1) or
-    PackBits (32773) strips, first IFD only. GeoTIFF ModelPixelScale /
+    8-bit grayscale (photometric 0/1) and RGB (2); uncompressed (1),
+    PackBits (32773), LZW (5), or Deflate (8/32946) strips; horizontal
+    predictor (317=2); first IFD only. GeoTIFF ModelPixelScale /
     ModelTiepoint tags populate meta['geotransform'] =
     (lon0, sx, lat0, sy) with lon = lon0 + col*sx, lat = lat0 - row*sy
     (north-up). Malformed input raises ValueError; unsupported layouts
@@ -238,6 +240,17 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, dict]:
         elif compression == 5:
             n_rows = min(rows_per_strip, h - si * rows_per_strip)
             data += _tiff_lzw_decode(chunk, n_rows * w * spp)
+        elif compression in (8, 32946):  # Adobe / legacy Deflate
+            import zlib
+
+            n_rows = min(rows_per_strip, h - si * rows_per_strip)
+            try:
+                raw = zlib.decompress(chunk)
+            except zlib.error as ex:
+                raise ValueError(f"TIFF Deflate strip: {ex}") from ex
+            if len(raw) < n_rows * w * spp:
+                raise ValueError("TIFF Deflate strip short of size")
+            data += raw[: n_rows * w * spp]
         else:
             raise NotImplementedError(
                 f"TIFF compression {compression} not supported"
@@ -281,7 +294,7 @@ def encode_tiff(
     tiepoint (lon0, lat0) pinning raster (0,0)), LZW compression
     (``compression=5``), and horizontal differencing
     (``predictor=2``)."""
-    if compression not in (1, 5):
+    if compression not in (1, 5, 8):
         raise ValueError(f"encode_tiff compression {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"encode_tiff predictor {predictor}")
@@ -297,6 +310,10 @@ def encode_tiff(
     body = samples.astype(np.uint8).tobytes()
     if compression == 5:
         body = _tiff_lzw_encode(body)
+    elif compression == 8:
+        import zlib
+
+        body = zlib.compress(body, 6)
 
     entries = []  # (tag, type, count, value_or_bytes)
 

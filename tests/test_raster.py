@@ -86,27 +86,27 @@ def test_tiff_malformed_and_gates():
         decode_tiff(good[:40])
     with pytest.raises(ValueError):
         decode_tiff(good[:-50])
-    bad = bytearray(good)
-    # patch Compression (259) value to 8 (Deflate): honest gate (LZW is
-    # now implemented; Deflate/JPEG-in-TIFF are not)
+    # patch Compression (259): 7 (JPEG-in-TIFF) stays an honest gate;
+    # 5 (LZW) and 8 (Deflate) are implemented, so an UNrecompressed body
+    # must fail with a clean ValueError, not crash or emit wrong pixels
     import struct as st
 
-    n = st.unpack("<H", bad[8:10])[0]
-    for i in range(n):
-        o = 10 + 12 * i
-        if st.unpack("<H", bad[o : o + 2])[0] == 259:
-            bad[o + 8 : o + 10] = st.pack("<H", 8)
+    n = st.unpack("<H", good[8:10])[0]
+
+    def _patched(comp):
+        b = bytearray(good)
+        for i in range(n):
+            o = 10 + 12 * i
+            if st.unpack("<H", b[o : o + 2])[0] == 259:
+                b[o + 8 : o + 10] = st.pack("<H", comp)
+        return bytes(b)
+
     with pytest.raises(NotImplementedError):
-        decode_tiff(bytes(bad))
-    # patched-to-LZW without recompressing: garbage stream must raise a
-    # clean ValueError, not crash or return wrong pixels
-    lzwbad = bytearray(good)
-    for i in range(n):
-        o = 10 + 12 * i
-        if st.unpack("<H", lzwbad[o : o + 2])[0] == 259:
-            lzwbad[o + 8 : o + 10] = st.pack("<H", 5)
+        decode_tiff(_patched(7))
     with pytest.raises(ValueError):
-        decode_tiff(bytes(lzwbad))
+        decode_tiff(_patched(5))
+    with pytest.raises(ValueError):
+        decode_tiff(_patched(8))
 
 
 def test_tiff_lzw_roundtrip_and_conformance():
@@ -133,7 +133,7 @@ def test_tiff_lzw_roundtrip_and_conformance():
 
     for shape in ((23, 31), (17, 19, 3)):
         img = rng.integers(0, 256, shape).astype(np.uint8)
-        for comp, pred in ((5, 1), (5, 2), (1, 2)):
+        for comp, pred in ((5, 1), (5, 2), (1, 2), (8, 1), (8, 2)):
             p = encode_tiff(
                 img, pixel_scale=(0.5, 0.5), tiepoint=(-30.0, 10.0),
                 compression=comp, predictor=pred,
