@@ -235,8 +235,55 @@ def main() -> None:
     bpe_merges = list(corpus_merges(sf_dir, 200, 64))
     bpe_udf = token_count_udf(bpe_merges)
 
+    # raster -> vector throughput: 200 synthetic 256x256 GeoTIFFs
+    # (13.1M pixels; 1 in 8 LZW-compressed to keep the codec on the
+    # timed path) staged untimed; the timed leg is decode + per-cell
+    # numpy partials + the two-stage merge
+    from geoharvest_spark import raster as rst
+
+    def _mk_rast(batches):
+        import numpy as np
+
+        from geoharvest_spark.raster import encode_tiff
+
+        for pdf in batches:
+            rows = []
+            for rid in pdf["rid"]:
+                rid = int(rid)
+                rng = np.random.default_rng(rid)
+                img = rng.integers(0, 256, (256, 256)).astype(np.uint8)
+                rows.append(
+                    (
+                        rid,
+                        encode_tiff(
+                            img,
+                            pixel_scale=(0.02, 0.02),
+                            tiepoint=(
+                                -175.0 + (rid % 50) * 7.0,
+                                80.0 - (rid % 4) * 40.0,
+                            ),
+                            compression=5 if rid % 8 == 0 else 1,
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["rid", "payload"])
+
+    import pandas as pd
+
+    rast_dir = tempfile.mkdtemp(prefix="bench_rast_")
+    atexit.register(shutil.rmtree, rast_dir, True)
+    spark.range(200).select(F.col("id").cast("int").alias("rid")).repartition(
+        n_cores
+    ).mapInPandas(_mk_rast, "rid int, payload binary").write.mode(
+        "overwrite"
+    ).parquet(rast_dir)
+    bench_rasters = spark.read.parquet(rast_dir)
+
     webtext: dict = {
         "chunk_dedup_250k": lambda: chunk_dedup(bench_docs, chunk_tokens=20),
+        "raster_cells_13M": lambda: rst.raster_cell_stats(
+            bench_rasters, res=7
+        ),
         "bpe_count_codegen_250k": lambda: with_bpe_token_count(
             bench_docs, bpe_merges
         ).select("doc_id", "n_tokens_bpe"),
