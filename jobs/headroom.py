@@ -346,6 +346,133 @@ def run_round5_legs(spark) -> None:
         docs.unpersist()
 
 
+def run_round6_legs(spark) -> None:
+    """Round-6 additions at 8x scale: BPE token accounting (both
+    application paths) and zonal statistics (raster x vector join).
+    Per-unit cost must be flat or falling."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark import raster as rst
+    from geoharvest_spark.bpe import (
+        corpus_merges,
+        token_count_udf,
+        with_bpe_token_count,
+    )
+
+    merges = list(corpus_merges("/root/testdata/sf0.1", 200, 64))
+    udf = token_count_udf(merges)
+    for n_docs in (250_000, 2_000_000):
+        docs = synth_docs(spark, n_docs, n_tokens=100).cache()
+        docs.count()
+        legs = {
+            "bpe_count_codegen": lambda: time_noop(
+                with_bpe_token_count(docs, merges).select(
+                    "doc_id", "n_tokens_bpe"
+                )
+            ),
+            "bpe_count_udf": lambda: time_noop(
+                docs.select("doc_id", udf(F.col("text")).alias("n"))
+            ),
+        }
+        for name, fn in legs.items():
+            best = float("inf")
+            for _ in range(2):
+                spark.catalog.clearCache()
+                docs.cache().count()
+                t0 = time.perf_counter()
+                fn()
+                best = min(best, time.perf_counter() - t0)
+            print(
+                json.dumps(
+                    {
+                        "workload": name,
+                        "docs": n_docs,
+                        "sec": round(best, 3),
+                        "us_per_doc": round(best / n_docs * 1e6, 2),
+                    }
+                ),
+                flush=True,
+            )
+        docs.unpersist()
+
+    # zonal stats: rasters x world-grid zones, pixels never shuffle
+    def _mk_rast(batches):
+        from geoharvest_spark.raster import encode_tiff
+
+        for pdf in batches:
+            rows = []
+            for rid in pdf["rid"]:
+                rid = int(rid)
+                rng = np.random.default_rng(rid)
+                img = rng.integers(0, 256, (256, 256)).astype(np.uint8)
+                rows.append(
+                    (
+                        rid,
+                        encode_tiff(
+                            img,
+                            pixel_scale=(0.02, 0.02),
+                            tiepoint=(
+                                -175.0 + (rid % 50) * 7.0,
+                                80.0 - (rid % 4) * 40.0,
+                            ),
+                        ),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["rid", "payload"])
+
+    zones = spark.createDataFrame(
+        [
+            (
+                f"z{k}",
+                "POLYGON (({w} {s}, {e} {s}, {e} {n}, {w} {n}, {w} {s}))".format(
+                    w=-180.005 + (k % 5) * 72.0,
+                    s=-90.005 + (k // 5) * 36.0,
+                    e=-180.005 + (k % 5) * 72.0 + 72.0,
+                    n=-90.005 + (k // 5) * 36.0 + 36.0,
+                ),
+                {
+                    "w": -180.005 + (k % 5) * 72.0,
+                    "e": -180.005 + (k % 5) * 72.0 + 72.0,
+                    "n": -90.005 + (k // 5) * 36.0 + 36.0,
+                    "s": -90.005 + (k // 5) * 36.0,
+                },
+            )
+            for k in range(25)
+        ],
+        "poly_id string, wkt string, bbox struct<w:double,e:double,n:double,s:double>",
+    )
+    for n_rast in (200, 1600):
+        rasters = (
+            spark.range(n_rast)
+            .select(F.col("id").cast("int").alias("rid"))
+            .repartition(64)
+            .mapInPandas(_mk_rast, "rid int, payload binary")
+            .cache()
+        )
+        rasters.count()
+        best = float("inf")
+        for _ in range(2):
+            spark.catalog.clearCache()
+            rasters.cache().count()
+            t0 = time.perf_counter()
+            time_noop(rst.raster_zonal_stats(rasters, zones, res=7, pip_res=5))
+            best = min(best, time.perf_counter() - t0)
+        px = n_rast * 256 * 256
+        print(
+            json.dumps(
+                {
+                    "workload": "raster_zonal_stats",
+                    "pixels": px,
+                    "sec": round(best, 3),
+                    "ns_per_pixel": round(best / px * 1e9, 2),
+                }
+            ),
+            flush=True,
+        )
+        rasters.unpersist()
+
+
 def main() -> None:
     spark = get_spark("headroom", cores="32")
     from geoharvest_spark.simsearch import ivf_centroids_np, ivf_topk
@@ -412,6 +539,7 @@ def main() -> None:
         )
     run_round4_legs(spark)
     run_round5_legs(spark)
+    run_round6_legs(spark)
     run_textops_legs(spark)
     spark.stop()
 
