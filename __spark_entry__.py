@@ -975,6 +975,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["chunk_dedup_bpe"] = chunk_dedup_bpe
 
+    def doc_lm_score(spark, sf):
+        # perplexity-style quality filter (CCNet/Gopher): score every
+        # document against a small bigram LM trained driver-side on
+        # trusted text (shared-config pattern). Costs are INTEGER
+        # micronats so per-doc sums are order-free and bit-identical;
+        # scoring is one broadcast join over exploded bigrams + a
+        # two-stage hash aggregate — no UDF, no corpus-sized state.
+        from geoharvest_spark import lm
+
+        model = lm.corpus_lm(sf)
+        return lm.with_lm_score(_t(spark, sf, "documents"), model).orderBy(
+            "doc_id"
+        )
+
+    Q["doc_lm_score"] = doc_lm_score
+
     def media_decode_suite(spark, sf):
         # lossless-codec correctness end-to-end: closed-form pixel
         # arrays -> REAL encoders (PNG / BMP / GIF / PPM / LZW TIFF) -> the real
@@ -2790,6 +2806,14 @@ def _ivf_oracle_sql(
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect) — one per SQL-expressible query above
 # ---------------------------------------------------------------------------
+def _lm_oov_cost(sf_dir: str) -> int:
+    """Unseen-bigram cost from the shared bigram LM (lm.corpus_lm is
+    lru_cached, so this re-reads nothing)."""
+    from geoharvest_spark.lm import corpus_lm
+
+    return int(corpus_lm(sf_dir)["oov_cost"])
+
+
 def _bpe_count_cte(sf_dir: str) -> str:
     """Shared WITH-prefix computing exact BPE token counts in DuckDB:
     normalize -> wrap every char -> replay the merge table as literal
@@ -3342,6 +3366,29 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             .removeprefix("WITH ")
             .rsplit("bpe_t AS", 1)[0],
             "bpe_m",
+        ),
+        "doc_lm_score": (
+            # Same staged model table (shared config), independent
+            # scoring engine: unnest bigrams, LEFT JOIN costs, integer
+            # sum, one final double division.
+            "WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l "
+            "FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_transform("
+            "range(1, len(l)), i -> {'w1': l[i], 'w2': l[i+1]})) AS s "
+            "FROM toks WHERE len(l) >= 2), "
+            "j AS (SELECT doc_id, coalesce(m.cost, "
+            f"{_lm_oov_cost(sf_dir)}) AS c FROM g "
+            f"LEFT JOIN read_parquet('{stage['lm_bigrams']}') m "
+            "ON g.s.w1 = m.w1 AND g.s.w2 = m.w2), "
+            "a AS (SELECT doc_id, count(*) AS n_bigrams, "
+            "cast(sum(c) AS BIGINT) AS cost_micronats FROM j GROUP BY 1) "
+            "SELECT d.doc_id AS doc_id, "
+            "coalesce(n_bigrams, 0) AS n_bigrams, "
+            "coalesce(cost_micronats, 0) AS cost_micronats, "
+            "cast(cost_micronats AS DOUBLE) / cast(n_bigrams AS DOUBLE) "
+            "AS avg_cost_micronats "
+            "FROM (SELECT DISTINCT doc_id FROM documents) d "
+            "LEFT JOIN a ON d.doc_id = a.doc_id ORDER BY doc_id"
         ),
         "doc_pii_redact": (
             # Same decoration + the same RE2-subset patterns; DuckDB

@@ -204,6 +204,18 @@ def stage_media_resize(out_h: int = 12, out_w: int = 16, n: int = 60) -> str:
     return _write(pdf, "media_resize.parquet")
 
 
+def stage_lm(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Bigram-LM cost table (w1, w2, cost) from the SAME shared-config
+    training the engine uses (lm.corpus_lm — pure pandas, no Spark);
+    the oracle SQL replays the scoring join + integer aggregation."""
+    from .lm import corpus_lm, model_rows
+
+    rows = model_rows(corpus_lm(sf_dir))
+    return _write(
+        pd.DataFrame(rows, columns=["w1", "w2", "cost"]), "lm_bigrams.parquet"
+    )
+
+
 def stage_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
         "normalized": stage_normalized(),
@@ -215,4 +227,5 @@ def stage_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "session_events": stage_session_events(),
         "media_resize": stage_media_resize(),
         "media_payloads": stage_media_payloads(),
+        "lm_bigrams": stage_lm(sf_dir),
     }
