@@ -1393,6 +1393,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["domain_cap3"] = domain_cap3
 
+    def domain_sample5(spark, sf):
+        # deterministic uniform 5-per-domain sample (reservoir
+        # equivalent, no RNG): bottom-5 by md5(salt || doc_id) per
+        # registered domain — resume/cluster-size invariant, salt
+        # re-rolls; rides the census-guarded cap machinery
+        from geoharvest_spark import webops as wb
+
+        u = wb.with_canonical_url(_messy_urls(spark, sf)).select(
+            "doc_id", "domain"
+        )
+        return tx.sample_k_per_key(u, "domain", k=5).orderBy("doc_id")
+
+    Q["domain_sample5"] = domain_sample5
+
     def near_dup_components(spark, sf):
         # distributed connected components (large-star/small-star) over a
         # planted chain+clique+long-link pair graph — the clustering pass
@@ -3444,6 +3458,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "r AS (SELECT doc_id, domain, row_number() OVER ("
             "PARTITION BY domain ORDER BY doc_id) AS rnk FROM dom) "
             "SELECT doc_id, domain, rnk <= 3 AS kept FROM r ORDER BY doc_id"
+        ),
+        "domain_sample5": (
+            f"WITH {_url_canonical_cte()}, "
+            "r AS (SELECT doc_id, domain, row_number() OVER ("
+            "PARTITION BY domain "
+            "ORDER BY md5('sample' || doc_id)) AS rnk FROM dom) "
+            "SELECT doc_id, domain, rnk <= 5 AS kept FROM r "
+            "ORDER BY doc_id"
         ),
         "robots_wildcard_filter": (
             # Independent RE2 re-implementation of the RFC 9309 rule

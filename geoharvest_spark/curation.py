@@ -58,6 +58,12 @@ from .webops import (
 class CurationConfig:
     domain_cap: int | None = None  # keep first N docs per domain (None = off)
     redact_pii: bool = False       # scrub emails/IPs/long numbers pre-dedup
+    # perplexity filter (CCNet-style): drop docs whose avg bigram cost vs
+    # lm_model exceeds this many micronats (None = stage off). The model
+    # is trained by the CALLER on trusted text (lm.train_bigram_lm /
+    # lm.corpus_lm) — curation never trains on the corpus it filters.
+    lm_max_avg_cost: float | None = None
+    lm_model: dict | None = None
     chunk_tokens: int = 20
     ngram_n: int = 8
     shingle: int = 5
@@ -198,6 +204,27 @@ def curate(
     )
     q, n_q = _stage(spark, q, out_dir, "quality")
     rep.record("quality", n_url, n_q)
+
+    # 3a2. perplexity filter (optional): score vs the caller-trained
+    # bigram LM and drop the high-cost tail; zero-bigram docs pass (the
+    # min_words gate owns that policy). Integer micronat costs keep the
+    # stage deterministic across resumes/cluster sizes.
+    if cfg.lm_max_avg_cost is not None:
+        if cfg.lm_model is None:
+            raise ValueError(
+                "lm_max_avg_cost set but lm_model is None — train one "
+                "with lm.train_bigram_lm on trusted text"
+            )
+        from .lm import with_lm_score
+
+        scores = with_lm_score(q, cfg.lm_model).where(
+            (F.col("n_bigrams") == 0)
+            | (F.col("avg_cost_micronats") <= cfg.lm_max_avg_cost)
+        )
+        q = q.join(scores.select("doc_id"), "doc_id", "left_semi")
+        q, n_lm = _stage(spark, q, out_dir, "lm_filter")
+        rep.record("lm_filter", n_q, n_lm)
+        n_q = n_lm
 
     # 3b. PII scrub (optional): redact emails / dotted quads / long digit
     # runs BEFORE dedup so near-dup decisions see the scrubbed text a

@@ -966,6 +966,41 @@ def cap_per_key(
     return cold_out.unionByName(hot_out.select(cold_out.columns))
 
 
+def sample_k_per_key(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    hot_threshold: int | None = 1_000_000,
+    hot_salt_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic uniform k-per-key sample (reservoir-sampling
+    equivalent): keep the k rows with the SMALLEST md5(salt || id) per
+    key. Each key's sample is a uniform k-subset, yet there is no RNG —
+    resumes, retries, and different cluster sizes reproduce the same
+    sample, and changing ``salt`` re-rolls it (the same contract as
+    stratified_hash_sample, here with an exact per-key count instead of
+    a rate). Adds ``kept`` rather than filtering.
+
+    Implementation: the hash IS the order column, so this rides
+    cap_per_key's census-guarded machinery — ordinary keys take the
+    one-shuffle window, mega-hot keys the bounded min-k pre-aggregation.
+    ``id_col`` values must be distinct (md5 ties would cut arbitrarily)."""
+    out = cap_per_key(
+        df.withColumn(
+            "_skey",
+            F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))),
+        ),
+        key_col,
+        k,
+        order_col="_skey",
+        hot_threshold=hot_threshold,
+        hot_salt_buckets=hot_salt_buckets,
+    )
+    return out.drop("_skey")
+
+
 # PII patterns shared by the engine and the SQL oracle. Deliberately the
 # RE2-compatible subset (no lookaround/backrefs) so Spark's Java regex
 # and DuckDB/RE2 agree byte-for-byte; ordering matters — emails first

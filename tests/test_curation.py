@@ -129,13 +129,26 @@ def test_optional_domain_cap_and_pii_stages(spark, pages, bench, tmp_path):
         # it must stay above ~500 because the bench fixture's texts
         # duplicate docs 0-499 (planted contamination) and the cap keeps
         # the LOWEST ids — a tighter cap leaves only contaminated docs
-        cfg=CurationConfig(domain_cap=1500, redact_pii=True),
+        cfg=CurationConfig(
+            domain_cap=1500,
+            redact_pii=True,
+            # CCNet-style perplexity stage: model trained on a slice of
+            # trusted text, generous threshold so the stage runs without
+            # emptying the small fixture corpus
+            lm_max_avg_cost=20_000_000.0,
+            lm_model=__import__(
+                "geoharvest_spark.lm", fromlist=["train_bigram_lm"]
+            ).train_bigram_lm(
+                [r["text"] for r in bench.limit(50).collect()]
+            ),
+        ),
     )
     names = [s["stage"] for s in rep.stages]
-    assert "domain_cap" in names and "pii" in names
+    assert "domain_cap" in names and "pii" in names and "lm_filter" in names
     by = {s["stage"]: s for s in rep.stages}
     assert by["domain_cap"]["dropped"] > 0
     assert by["pii"]["dropped"] == 0  # scrub rewrites text, drops nothing
+    assert by["lm_filter"]["rows_out"] > 0  # generous threshold keeps docs
     # cap honored on the staged table
     import pyspark.sql.functions as SF
 
@@ -181,3 +194,13 @@ def test_domain_cap_stage_keeps_parallelism(spark, pages, bench, tmp_path):
         if f.startswith("part-")
     ]
     assert len(files) > 1, "domain_cap stage collapsed to one partition"
+
+
+def test_lm_filter_requires_model(spark, pages, bench, tmp_path):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="lm_model"):
+        curate(
+            spark, pages.limit(5), bench, str(tmp_path / "nolm"),
+            cfg=CurationConfig(lm_max_avg_cost=1.0),
+        )

@@ -721,3 +721,36 @@ def test_cap_per_key_hot_path_parity_with_window(spark):
     assert [r.asDict() for r in a] == [r.asDict() for r in b]
     with pytest.raises(ValueError):
         tx.cap_per_key(df, "domain", 5, hot_threshold=2)
+
+
+def test_sample_k_per_key_deterministic_uniform(spark):
+    """Reservoir-equivalent per-key sampling: exact k per key (all rows
+    when group < k), no RNG (rerun identical), salt re-rolls, and the
+    hot-key path agrees with the window path."""
+    rows = [(f"d{i % 7}", i) for i in range(7_000)]
+    df = spark.createDataFrame(rows, ["domain", "doc_id"])
+    out = tx.sample_k_per_key(df, "domain", 10).toPandas()
+    by = out[out["kept"]].groupby("domain").size()
+    assert (by == 10).all() and len(by) == 7
+    assert len(out) == 7_000  # audit column, nothing dropped
+    again = tx.sample_k_per_key(df, "domain", 10).toPandas()
+    assert (
+        out.sort_values("doc_id")["kept"].values
+        == again.sort_values("doc_id")["kept"].values
+    ).all()
+    rerolled = tx.sample_k_per_key(df, "domain", 10, salt="other").toPandas()
+    assert (
+        out.sort_values("doc_id")["kept"].values
+        != rerolled.sort_values("doc_id")["kept"].values
+    ).any()
+    # hot-key path parity
+    hot = tx.sample_k_per_key(
+        df, "domain", 10, hot_threshold=100, hot_salt_buckets=16
+    ).toPandas()
+    assert (
+        out.sort_values("doc_id")["kept"].values
+        == hot.sort_values("doc_id")["kept"].values
+    ).all()
+    # tiny group: all kept
+    tiny = spark.createDataFrame([("t", 1), ("t", 2)], ["domain", "doc_id"])
+    assert tx.sample_k_per_key(tiny, "domain", 10).toPandas()["kept"].all()
