@@ -1407,6 +1407,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["domain_sample5"] = domain_sample5
 
+    def sitemap_urls(spark, sf):
+        # crawl-frontier expansion: REAL sitemaps.org-0.9 XML payloads
+        # (urlset + sitemapindex + a non-sitemap divert row, namespaced,
+        # with an entity-escaped loc) parsed by the tolerant-XML
+        # operator; the oracle regenerates the closed-form rows — the
+        # parser must invert the synthesis exactly, including &amp;
+        # decoding and absent lastmod/priority children.
+        import pandas as pd
+
+        from geoharvest_spark import webops as wb
+
+        ids = spark.range(40).select(F.col("id").alias("sitemap_id"))
+
+        def _mk(batches):
+            for pdf in batches:
+                rows = []
+                for sid in pdf["sitemap_id"]:
+                    sid = int(sid)
+                    if sid % 11 == 5:
+                        rows.append(
+                            (sid, b"<html><body>not a sitemap</body></html>")
+                        )
+                        continue
+                    if sid % 7 == 3:
+                        body = "".join(
+                            f"<sitemap><loc>https://cdn{sid}.example/"
+                            f"sitemap_{j}.xml</loc>"
+                            f"<lastmod>2024-0{j + 1}-01</lastmod></sitemap>"
+                            for j in range(3)
+                        )
+                        xml = (
+                            '<?xml version="1.0" encoding="UTF-8"?>'
+                            "<sitemapindex xmlns="
+                            '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                            f"{body}</sitemapindex>"
+                        )
+                    else:
+                        ent = []
+                        for j in range(sid % 5 + 1):
+                            loc = f"https://site{sid}.example/page/{j}" + (
+                                "?a=1&amp;b=2" if j == 2 else ""
+                            )
+                            lm = (
+                                f"<lastmod>2024-01-"
+                                f"{(j % 27) + 1:02d}</lastmod>"
+                                if j % 2 == 0
+                                else ""
+                            )
+                            pr = (
+                                f"<priority>0.{(j % 9) + 1}</priority>"
+                                if j % 3 == 1
+                                else ""
+                            )
+                            ent.append(
+                                f"<url><loc>{loc}</loc>{lm}{pr}</url>"
+                            )
+                        xml = (
+                            '<?xml version="1.0" encoding="UTF-8"?>'
+                            "<urlset xmlns="
+                            '"http://www.sitemaps.org/schemas/sitemap/0.9">'
+                            f"{''.join(ent)}</urlset>"
+                        )
+                    rows.append((sid, xml.encode()))
+                yield pd.DataFrame(
+                    rows, columns=["sitemap_id", "sitemap_xml"]
+                )
+
+        payloads = ids.repartition(4).mapInPandas(
+            _mk, "sitemap_id long, sitemap_xml binary"
+        )
+        return wb.parse_sitemaps(payloads).orderBy("sitemap_id", "loc")
+
+    Q["sitemap_urls"] = sitemap_urls
+
     def near_dup_components(spark, sf):
         # distributed connected components (large-star/small-star) over a
         # planted chain+clique+long-link pair graph — the clustering pass
@@ -3466,6 +3540,33 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "ORDER BY md5('sample' || doc_id)) AS rnk FROM dom) "
             "SELECT doc_id, domain, rnk <= 5 AS kept FROM r "
             "ORDER BY doc_id"
+        ),
+        "sitemap_urls": (
+            # closed-form regeneration of the synthesized sitemap rows
+            "WITH ids AS (SELECT cast(range AS BIGINT) AS sid "
+            "FROM range(40)), "
+            "inval AS (SELECT sid, 'invalid' AS kind, "
+            "cast(NULL AS VARCHAR) AS loc, cast(NULL AS VARCHAR) AS "
+            "lastmod, cast(NULL AS DOUBLE) AS priority FROM ids "
+            "WHERE sid % 11 = 5), "
+            "smidx AS (SELECT sid, 'sitemap', "
+            "'https://cdn' || sid || '.example/sitemap_' || j || '.xml', "
+            "'2024-0' || (j + 1) || '-01', cast(NULL AS DOUBLE) "
+            "FROM ids, range(3) t(j) "
+            "WHERE sid % 11 != 5 AND sid % 7 = 3), "
+            "urls AS (SELECT sid, 'url', "
+            "'https://site' || sid || '.example/page/' || j || "
+            "(CASE WHEN j = 2 THEN '?a=1&b=2' ELSE '' END), "
+            "CASE WHEN j % 2 = 0 THEN '2024-01-' || "
+            "lpad(cast((j % 27) + 1 AS VARCHAR), 2, '0') END, "
+            "CASE WHEN j % 3 = 1 THEN "
+            "cast((j % 9) + 1 AS DOUBLE) / 10.0 END "
+            "FROM ids, range(5) t(j) "
+            "WHERE sid % 11 != 5 AND sid % 7 != 3 AND j < sid % 5 + 1) "
+            "SELECT sid AS sitemap_id, kind, loc, lastmod, priority "
+            "FROM (SELECT * FROM inval UNION ALL SELECT * FROM smidx "
+            "UNION ALL SELECT * FROM urls) "
+            "ORDER BY sitemap_id, loc"
         ),
         "robots_wildcard_filter": (
             # Independent RE2 re-implementation of the RFC 9309 rule

@@ -351,3 +351,77 @@ def with_crawl_allowed(
         )
         .drop("_path", "_allowed_by_rule")
     )
+
+
+def parse_sitemaps(
+    df: DataFrame,
+    xml_col: str = "sitemap_xml",
+    id_col: str = "sitemap_id",
+) -> DataFrame:
+    """Crawl-frontier expansion: parse sitemap XML payloads into one row
+    per referenced URL — both flavors of the sitemaps.org 0.9 protocol:
+
+    - ``<urlset>``: rows (kind='url', loc, lastmod, priority) per
+      ``<url>`` entry (lastmod/priority NULL when the child is absent);
+    - ``<sitemapindex>``: rows (kind='sitemap', loc, lastmod, NULL) per
+      ``<sitemap>`` entry — the loc feeds the next fetch round;
+    - undecodable XML diverts to ONE row (kind='invalid', NULLs), the
+      F7 divert-not-crash contract.
+
+    XML parse is per-payload Python (namespace-tolerant, same parser the
+    MARC/ISO normalizers use) inside an Arrow batch — the operator's
+    shuffle sees only the emitted rows, so a sitemap never costs more
+    than its URL count regardless of payload size. Entity-escaped locs
+    (&amp; in query strings) come back decoded by the XML parser."""
+    import pandas as pd
+
+    out_schema = (
+        f"{id_col} long, kind string, loc string, "
+        "lastmod string, priority double"
+    )
+
+    def _map(batches):
+        from .normalize.base import tolerant_fromstring
+
+        def _local(tag: str) -> str:
+            return tag.rsplit("}", 1)[-1]
+
+        for pdf in batches:
+            rows = []
+            for sid, blob in zip(pdf[id_col], pdf[xml_col]):
+                sid = int(sid)
+                try:
+                    root = tolerant_fromstring(
+                        bytes(blob) if not isinstance(blob, bytes) else blob
+                    )
+                    rname = _local(root.tag)
+                    if rname not in ("urlset", "sitemapindex"):
+                        raise ValueError(f"not a sitemap root: {rname}")
+                    kind = "url" if rname == "urlset" else "sitemap"
+                    for entry in root:
+                        if _local(entry.tag) not in ("url", "sitemap"):
+                            continue
+                        loc = lastmod = None
+                        prio = None
+                        for child in entry:
+                            cn = _local(child.tag)
+                            txt = (child.text or "").strip()
+                            if cn == "loc":
+                                loc = txt
+                            elif cn == "lastmod":
+                                lastmod = txt
+                            elif cn == "priority":
+                                try:
+                                    prio = float(txt)
+                                except ValueError:
+                                    prio = None
+                        if loc:
+                            rows.append((sid, kind, loc, lastmod, prio))
+                except Exception:
+                    rows.append((sid, "invalid", None, None, None))
+            yield pd.DataFrame(
+                rows,
+                columns=[id_col, "kind", "loc", "lastmod", "priority"],
+            )
+
+    return df.mapInPandas(_map, out_schema)

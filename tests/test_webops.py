@@ -286,3 +286,48 @@ def test_crawl_wildcard_precedence_raw_length_tie(spark):
     }
     assert out["m/Path/4"] is True
     assert out["/Path/44"] is False
+
+
+def test_parse_sitemaps_flavors_and_diverts(spark):
+    """Both sitemaps.org flavors, entity-escaped locs, absent optional
+    children, namespace-free XML, empty urlset, and the divert rows for
+    non-sitemap/undecodable payloads."""
+    from geoharvest_spark.webops import parse_sitemaps
+
+    cases = [
+        (0, b'<?xml version="1.0"?><urlset '
+            b'xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            b"<url><loc>https://a.test/p?x=1&amp;y=2</loc>"
+            b"<lastmod>2024-03-01</lastmod><priority>0.8</priority></url>"
+            b"<url><loc>https://a.test/q</loc></url></urlset>"),
+        (1, b"<sitemapindex><sitemap><loc>https://a.test/sm1.xml</loc>"
+            b"</sitemap></sitemapindex>"),  # namespace-free
+        (2, b"<urlset></urlset>"),          # empty: zero rows
+        (3, b"<html><body>nope</body></html>"),  # wrong root -> invalid
+        (4, b"\x00\xff definitely not xml"),     # undecodable -> invalid
+        (5, b"<urlset><url><priority>0.5</priority></url>"
+            b"<url><loc>https://b.test/ok</loc>"
+            b"<priority>bogus</priority></url></urlset>"),
+    ]
+    df = spark.createDataFrame(cases, "sitemap_id long, sitemap_xml binary")
+    out = parse_sitemaps(df).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["sitemap_id"], []).append(r)
+    a = sorted(by[0], key=lambda r: r["loc"])
+    assert [r["loc"] for r in a] == [
+        "https://a.test/p?x=1&y=2", "https://a.test/q"
+    ]
+    assert a[0]["lastmod"] == "2024-03-01" and a[0]["priority"] == 0.8
+    assert a[1]["lastmod"] is None and a[1]["priority"] is None
+    assert all(r["kind"] == "url" for r in a)
+    assert by[1][0]["kind"] == "sitemap"
+    assert by[1][0]["loc"] == "https://a.test/sm1.xml"
+    assert 2 not in by  # empty urlset emits nothing
+    for sid in (3, 4):
+        assert len(by[sid]) == 1 and by[sid][0]["kind"] == "invalid"
+        assert by[sid][0]["loc"] is None
+    # loc-less url skipped; bogus priority -> NULL, loc kept
+    assert len(by[5]) == 1
+    assert by[5][0]["loc"] == "https://b.test/ok"
+    assert by[5][0]["priority"] is None
