@@ -7,7 +7,7 @@ interlace), full PNG (all five filters, gray/RGB/RGBA/palette,
 1/2/4/8/16-bit, Adam7) and JPEG — baseline JFIF (Huffman + dequant +
 IDCT + 4:2:0 upsample + restart markers) AND progressive SOF2 (spectral
 selection + successive approximation). Formats
-beyond those (video containers, WebP, 12-bit/lossless JPEG) are honest gates:
+beyond those (video containers, WebP, lossless JPEG) are honest gates:
 deterministic fake features or NotImplementedError behind real, tested
 Spark plumbing — schema, Arrow batch shape, mapInPandas signatures,
 partitioning.
@@ -1247,10 +1247,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     """Baseline JFIF JPEG decode, pure stdlib+numpy: Huffman-decoded
     entropy scan, dequantization, de-zigzag, float IDCT, chroma upsample
     (4:4:4 / 4:2:2 / 4:2:0 by sample replication), YCbCr->RGB. Supports
-    8-bit sequential frames (SOF0/SOF1) AND progressive frames (SOF2 —
-    spectral selection + successive approximation, via
-    _decode_jpeg_progressive), 1 or 3 components, restart markers
-    (DRI/RSTn). Other frame types (lossless, arithmetic, 12-bit) raise
+    8-bit baseline (SOF0), 8/12-bit extended sequential (SOF1 — 12-bit
+    samples level-shift at 2048 and scale >>4 to the uint8 contract)
+    AND progressive frames (SOF2 — spectral selection + successive
+    approximation, via _decode_jpeg_progressive), 1 or 3 components,
+    restart markers (DRI/RSTn). Other frame types (lossless,
+    arithmetic, 12-bit progressive) raise
     NotImplementedError. Any malformed payload raises ValueError (the
     contract decode_image / with_resized_images rely on to null out
     undecodable rows instead of crashing the Spark task).
@@ -1319,13 +1321,19 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
                 i += 17 + n
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
             prec, h, w, nc = struct.unpack(">BHHB", data[:6])
-            if prec != 8:
-                raise NotImplementedError(f"{prec}-bit JPEG not supported")
+            # 12-bit is only legal in EXTENDED sequential (SOF1); the
+            # huffman/receive-extend machinery below is width-agnostic,
+            # so the only 12-bit differences are the level shift/center
+            # (2048) and the final >>4 scale to the uint8 contract.
+            if prec not in (8, 12) or (prec == 12 and marker == 0xC0):
+                raise NotImplementedError(
+                    f"{prec}-bit JPEG frame (marker {marker:#x}) not supported"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = data[6 + 3 * c : 9 + 3 * c]
                 comps.append((cid, hv >> 4, hv & 0x0F, tq))
-            frame = (h, w, comps)
+            frame = (h, w, comps, prec)
         elif marker == 0xC2:
             # progressive frame: coefficient-accumulating scan decoder
             return _decode_jpeg_progressive(payload)
@@ -1344,7 +1352,9 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
         pos += seglen
     if frame is None or scan_comps is None or scan_start is None:
         raise ValueError("JPEG missing SOF/SOS")
-    h, w, comps = frame
+    h, w, comps, prec = frame
+    center = float(1 << (prec - 1))
+    maxval = (1 << prec) - 1
 
     # entropy-coded segments: unstuff 0xFF00, split at RST markers
     segments: list[bytes] = []
@@ -1433,14 +1443,21 @@ def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
         pl = planes[cid]
         if hc != hmax or vc != vmax:
             pl = pl.repeat(vmax // vc, axis=0).repeat(hmax // hc, axis=1)
-        out_planes.append(pl[:h, :w] + 128.0)
+        out_planes.append(pl[:h, :w] + center)
+
+    def _to_u8(arr: np.ndarray) -> np.ndarray:
+        v = np.clip(np.rint(arr), 0, maxval).astype(np.int64)
+        if prec > 8:  # uint8 pipeline contract: keep the top 8 bits
+            v >>= prec - 8
+        return v.astype(np.uint8)
+
     if len(out_planes) == 1:
-        return np.clip(np.rint(out_planes[0]), 0, 255).astype(np.uint8)
+        return _to_u8(out_planes[0])
     y, cb, cr = out_planes
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    return np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+    r = y + 1.402 * (cr - center)
+    g = y - 0.344136 * (cb - center) - 0.714136 * (cr - center)
+    b = y + 1.772 * (cb - center)
+    return _to_u8(np.stack([r, g, b], axis=2))
 
 
 class _BitWriter:
@@ -1484,9 +1501,10 @@ def _encode_block(
     dc_tab: dict,
     ac_tab: dict,
     bw: _BitWriter,
+    center: float = 128.0,
 ) -> int:
     """FDCT + quantize + Huffman-encode one 8x8 block; returns new DC pred."""
-    coef = _DCT_C @ (blk - 128.0) @ _DCT_C.T
+    coef = _DCT_C @ (blk - center) @ _DCT_C.T
     q = np.rint(coef.reshape(-1) / qt_nat).astype(np.int64)
     zz = q[_ZZ]
 
@@ -1538,14 +1556,21 @@ def encode_jpeg(
     quality: int = 90,
     subsample: str = "420",
     restart_interval: int = 0,
+    precision: int = 8,
 ) -> bytes:
-    """Minimal baseline JFIF encoder (stdlib struct + numpy): 8-bit gray
+    """Minimal sequential JFIF encoder (stdlib struct + numpy): 8-bit
+    baseline (SOF0) or 12-bit extended sequential (SOF1, samples
+    0..4095, 16x-scaled 16-bit quant tables, full-range fixed-length
+    Huffman tables covering DC categories 0..15 / AC sizes 1..14), gray
     or RGB, 4:4:4 or 4:2:0, Annex K tables scaled by IJG quality,
     optional restart markers (so tests exercise the decoder's RST path).
     Exists to synthesize REAL compressed payloads for the decoder and the
     media pipeline — not a rate-optimized codec."""
     import struct
 
+    if precision not in (8, 12):
+        raise ValueError(f"encode_jpeg precision {precision}")
+    center = float(1 << (precision - 1))
     img = np.asarray(img)
     gray = img.ndim == 2 or img.shape[2] == 1
     if gray:
@@ -1555,13 +1580,19 @@ def encode_jpeg(
         rgb = img[:, :, :3].astype(np.float64)
         r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
         y = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + center
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + center
         planes = [y, cb, cr]
     h, w = planes[0].shape
     # scaled tables are in NATURAL order (the base tables are); the DQT
     # wire format wants zigzag, emitted as qt[_ZZ] below
     qt_l_nat, qt_c_nat = _quality_tables(quality)
+    if precision == 12:
+        # keep the RELATIVE quantization of the 8-bit tables: samples
+        # carry 4 extra bits, so scale the step sizes by 16 (forces the
+        # 16-bit Pq=1 DQT wire format)
+        qt_l_nat = qt_l_nat * 16
+        qt_c_nat = qt_c_nat * 16
 
     sub420 = (not gray) and subsample == "420"
     if sub420:
@@ -1582,10 +1613,34 @@ def encode_jpeg(
     mcus_x = -(-w // (8 * hmax))
     mcus_y = -(-h // (8 * vmax))
 
-    dc_l = _huff_encode_table(*_HUFF_DC_LUM)
-    ac_l = _huff_encode_table(*_HUFF_AC_LUM)
-    dc_c = _huff_encode_table(*_HUFF_DC_CHR)
-    ac_c = _huff_encode_table(*_HUFF_AC_CHR)
+    if precision == 12:
+        # the Annex K tables stop at DC category 11 / AC size 10 — too
+        # small for 12-bit magnitudes. Use full-range canonical tables:
+        # DC = 16 categories at 6 bits, AC = EOB + ZRL + every
+        # (run, size 1..14) at 8 bits (226 codes; the all-ones code is
+        # never assigned). Fixed-length = poor compression, valid JPEG.
+        dht_dc = ([0, 0, 0, 0, 0, 16] + [0] * 10, list(range(16)))
+        dht_ac = (
+            [0] * 7 + [226] + [0] * 8,
+            [0x00, 0xF0]
+            + [(r << 4) | s for r in range(16) for s in range(1, 15)],
+        )
+        dc_l = dc_c = _huff_encode_table(*dht_dc)
+        ac_l = ac_c = _huff_encode_table(*dht_ac)
+        dht_emit = [(0, 0, dht_dc), (1, 0, dht_ac)]
+        if not gray:
+            dht_emit += [(0, 1, dht_dc), (1, 1, dht_ac)]
+    else:
+        dc_l = _huff_encode_table(*_HUFF_DC_LUM)
+        ac_l = _huff_encode_table(*_HUFF_AC_LUM)
+        dc_c = _huff_encode_table(*_HUFF_DC_CHR)
+        ac_c = _huff_encode_table(*_HUFF_AC_CHR)
+        dht_emit = [
+            (0, 0, _HUFF_DC_LUM),
+            (1, 0, _HUFF_AC_LUM),
+            (0, 1, _HUFF_DC_CHR),
+            (1, 1, _HUFF_AC_CHR),
+        ]
     tabs = [(dc_l, ac_l, qt_l_nat)] + [(dc_c, ac_c, qt_c_nat)] * (len(planes) - 1)
 
     body = bytearray()
@@ -1601,7 +1656,9 @@ def encode_jpeg(
                     y0 = (my * vc + by) * 8
                     x0 = (mx * hc + bx) * 8
                     blk = planes[ci][y0 : y0 + 8, x0 : x0 + 8]
-                    preds[ci] = _encode_block(blk, qt, preds[ci], dct, act, bw)
+                    preds[ci] = _encode_block(
+                        blk, qt, preds[ci], dct, act, bw, center
+                    )
         if (
             restart_interval
             and (mcu + 1) % restart_interval == 0
@@ -1619,22 +1676,26 @@ def encode_jpeg(
     def seg(marker: int, data: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(data) + 2) + data
 
+    def dqt(tq: int, qt: np.ndarray) -> bytes:
+        if precision == 12:  # Pq=1: 16-bit big-endian entries
+            return seg(
+                0xDB,
+                bytes([0x10 | tq]) + qt[_ZZ].astype(">u2").tobytes(),
+            )
+        return seg(0xDB, bytes([tq]) + bytes(qt[_ZZ].astype(np.uint8)))
+
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00" + struct.pack(">HHBB", 1, 1, 0, 0))
-    out += seg(0xDB, bytes([0x00]) + bytes(qt_l_nat[_ZZ].astype(np.uint8)))
+    out += dqt(0, qt_l_nat)
     if not gray:
-        out += seg(0xDB, bytes([0x01]) + bytes(qt_c_nat[_ZZ].astype(np.uint8)))
+        out += dqt(1, qt_c_nat)
     nc = len(planes)
-    sof = struct.pack(">BHHB", 8, h, w, nc)
+    sof = struct.pack(">BHHB", precision, h, w, nc)
     for ci, (hc, vc) in enumerate(samp):
         sof += bytes([ci + 1, (hc << 4) | vc, 0 if ci == 0 else 1])
-    out += seg(0xC0, sof)
-    for tc, th, (bits, vals) in (
-        (0, 0, _HUFF_DC_LUM),
-        (1, 0, _HUFF_AC_LUM),
-        (0, 1, _HUFF_DC_CHR),
-        (1, 1, _HUFF_AC_CHR),
-    ):
+    # 12-bit is only legal in extended sequential (SOF1)
+    out += seg(0xC1 if precision == 12 else 0xC0, sof)
+    for tc, th, (bits, vals) in dht_emit:
         if gray and th == 1:
             continue
         out += seg(0xC4, bytes([(tc << 4) | th] + bits + vals))

@@ -251,3 +251,43 @@ def test_fill_bytes_before_marker_parse():
         pos += seglen
     out = decode_jpeg(bytes(padded))
     assert np.array_equal(out, base)
+
+
+def test_jpeg_12bit_extended_sequential_roundtrip():
+    """12-bit (SOF1) decode: 16-bit DQT, full-range Huffman tables,
+    2048 level shift, and the >>4 scale to the uint8 contract. Smooth
+    12-bit ramps must round-trip within normal q95 quantization error;
+    4:2:0 subsampling and restart markers compose with precision 12."""
+    import numpy as np
+
+    from geoharvest_spark.multimodal import decode_jpeg, encode_jpeg
+
+    h, w = 40, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    img12 = ((yy * 13 + xx * 9)).astype(np.uint16) % 4096
+    p = encode_jpeg(img12, quality=95, precision=12)
+    # SOF1 marker present, SOF0 absent; DQT uses the 16-bit form
+    assert b"\xff\xc1" in p and b"\xff\xc0" not in p
+    out = decode_jpeg(p)
+    assert out.dtype == np.uint8 and out.shape == (h, w)
+    err = np.abs(out.astype(int) - (img12 >> 4).astype(int))
+    assert err.max() <= 2
+
+    rgb12 = np.stack(
+        [(yy * 21 + xx * 7) % 4096, (xx * 17) % 4096, ((xx + yy) * 11) % 4096],
+        axis=2,
+    ).astype(np.uint16)
+    for sub, rst in (("444", 0), ("420", 2)):
+        q = encode_jpeg(
+            rgb12, quality=95, subsample=sub, restart_interval=rst,
+            precision=12,
+        )
+        o = decode_jpeg(q)
+        assert o.shape == (h, w, 3)
+        err = np.abs(o.astype(int) - (rgb12 >> 4).astype(int))
+        assert err.mean() < 4  # chroma subsampling adds smoothing error
+    # precision validation
+    import pytest
+
+    with pytest.raises(ValueError):
+        encode_jpeg(img12, precision=10)
