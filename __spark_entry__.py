@@ -1962,6 +1962,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["s2_cell_counts"] = s2_cell_counts
 
+    def geohash_counts(spark, sf):
+        # public base-32 geohash assignment (interoperable with the
+        # ES/redis/postgis encoding — external conformance pinned in
+        # tests on the canonical u4pruydqqvj example), pure codegen
+        # interleave + alphabet lookup, identical arithmetic in SQL
+        pts = _points(spark, sf)
+        return (
+            pts.withColumn(
+                "gh", ix.geohash(F.col("lon"), F.col("lat"), 5)
+            )
+            .groupBy("gh")
+            .agg(
+                F.count(F.lit(1)).alias("n_points"),
+                F.sum("event_id").alias("id_sum"),
+            )
+            .orderBy("gh")
+        )
+
+    Q["geohash_counts"] = geohash_counts
+
     def dedup_minhash_lsh(spark, sf):
         d = _t(spark, sf, "documents")
         return tx.minhash_lsh_pairs(d, num_hashes=64, bands=16).select(
@@ -3872,6 +3892,14 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "SELECT s.s2_cell, count(*) AS n_points FROM events e "
             f"JOIN read_parquet('{stage['s2cells']}') s USING (event_id) "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "geohash_counts": (
+            # identical interleave/alphabet arithmetic as a SQL fragment
+            f"WITH p AS ({_POINTS_SQL}) "
+            f"SELECT {ix.geohash_sql('lon', 'lat', 5)} AS gh, "
+            "count(*) AS n_points, "
+            "cast(sum(event_id) AS BIGINT) AS id_sum "
+            "FROM p GROUP BY 1 ORDER BY 1"
         ),
         "stream_last_event": (
             # final state of the stateful streaming operator == one batch

@@ -341,3 +341,123 @@ def explode_salts(
         .withColumn("salt", F.col("salt").cast("int"))
         .drop("salt_k")
     )
+
+
+# ---------------------------------------------------------------------------
+# geohash — the public base-32 cell encoding (interoperable with ES/redis/
+# postgis geohashes; external conformance pinned on the classic
+# (57.64911, 10.40744) -> 'u4pruydqqvj' example in tests)
+# ---------------------------------------------------------------------------
+GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_bits(precision: int) -> tuple[int, int, int]:
+    n = 5 * precision
+    return n, (n + 1) // 2, n // 2  # total, lon bits, lat bits
+
+
+def geohash(lon: Column, lat: Column, precision: int = 8) -> Column:
+    """Point -> geohash string, all JVM codegen (no UDF): quantize each
+    axis to its bit budget, interleave (lon takes the even bit
+    positions from the MSB — the public convention), then look up each
+    5-bit group in the base-32 alphabet. The interleave is a sum of
+    shift/and terms and the chars are substring lookups, so the whole
+    expression inlines into whole-stage codegen and the SAME arithmetic
+    runs in DuckDB (geohash_sql)."""
+    n, nlon, nlat = _geohash_bits(precision)
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(1 << nlon)))
+    y = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(1 << nlat)))
+    x = F.least(F.greatest(x, F.lit(0)), F.lit((1 << nlon) - 1)).cast("long")
+    y = F.least(F.greatest(y, F.lit(0)), F.lit((1 << nlat) - 1)).cast("long")
+    v = F.lit(0).cast("long")
+    for i in range(nlon):  # lon bit (nlon-1-i) -> output bit (n-1-2i)
+        v = v + F.shiftleft(
+            F.shiftright(x, nlon - 1 - i).bitwiseAND(F.lit(1)),
+            n - 1 - 2 * i,
+        )
+    for i in range(nlat):  # lat bit (nlat-1-i) -> output bit (n-2-2i)
+        v = v + F.shiftleft(
+            F.shiftright(y, nlat - 1 - i).bitwiseAND(F.lit(1)),
+            n - 2 - 2 * i,
+        )
+    chars = [
+        F.substring(
+            F.lit(GEOHASH_ALPHABET),
+            (
+                F.shiftright(v, n - 5 * (j + 1)).bitwiseAND(F.lit(31)) + 1
+            ).cast("int"),
+            1,
+        )
+        for j in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_sql(lon_expr: str, lat_expr: str, precision: int = 8) -> str:
+    """The identical geohash computation as an ANSI-SQL fragment."""
+    n, nlon, nlat = _geohash_bits(precision)
+    # inputs forced to DOUBLE: a DECIMAL-typed lon/lat column would
+    # otherwise propagate DECIMAL(18) through the whole interleave and
+    # overflow on the high-bit weights
+    x = (
+        f"least(greatest(cast(floor((cast({lon_expr} AS DOUBLE) + 180.0) "
+        f"/ 360.0 * {1 << nlon}.0) AS BIGINT), 0), {(1 << nlon) - 1})"
+    )
+    y = (
+        f"least(greatest(cast(floor((cast({lat_expr} AS DOUBLE) + 90.0) "
+        f"/ 180.0 * {1 << nlat}.0) AS BIGINT), 0), {(1 << nlat) - 1})"
+    )
+    # explicit ::BIGINT on the weights: DuckDB otherwise promotes the
+    # mixed constant arithmetic to DECIMAL(18), which overflows summing
+    # high-bit terms (the CLAUDE.md power-of-two-literal trap family)
+    terms = [
+        f"(({x} // {1 << (nlon - 1 - i)}) % 2) * "
+        f"{1 << (n - 1 - 2 * i)}::BIGINT"
+        for i in range(nlon)
+    ] + [
+        f"(({y} // {1 << (nlat - 1 - i)}) % 2) * "
+        f"{1 << (n - 2 - 2 * i)}::BIGINT"
+        for i in range(nlat)
+    ]
+    v = "(" + " + ".join(terms) + ")"
+    chars = [
+        f"substr('{GEOHASH_ALPHABET}', "
+        f"cast(({v} // {1 << (n - 5 * (j + 1))}) % 32 AS INT) + 1, 1)"
+        for j in range(precision)
+    ]
+    return " || ".join(chars)
+
+
+def geohash_np(
+    lon: np.ndarray, lat: np.ndarray, precision: int = 8
+) -> np.ndarray:
+    """numpy twin for tests/oracles."""
+    n, nlon, nlat = _geohash_bits(precision)
+    x = np.clip(
+        np.floor((np.asarray(lon) + 180.0) / 360.0 * (1 << nlon)).astype(
+            np.int64
+        ),
+        0,
+        (1 << nlon) - 1,
+    )
+    y = np.clip(
+        np.floor((np.asarray(lat) + 90.0) / 180.0 * (1 << nlat)).astype(
+            np.int64
+        ),
+        0,
+        (1 << nlat) - 1,
+    )
+    v = np.zeros_like(x)
+    for i in range(nlon):
+        v += ((x >> (nlon - 1 - i)) & 1) << (n - 1 - 2 * i)
+    for i in range(nlat):
+        v += ((y >> (nlat - 1 - i)) & 1) << (n - 2 - 2 * i)
+    out = []
+    for val in v.tolist():
+        out.append(
+            "".join(
+                GEOHASH_ALPHABET[(val >> (n - 5 * (j + 1))) & 31]
+                for j in range(precision)
+            )
+        )
+    return np.array(out)

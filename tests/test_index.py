@@ -106,3 +106,52 @@ def test_salting_deterministic(spark):
     assert (m.salt_x == m.salt_y).all()
     ex = ix.explode_salts(df.groupBy("cell").count(), factors)
     assert ex.count() >= df.select("cell").distinct().count()
+
+
+def test_geohash_external_conformance_and_twins(spark):
+    """geohash must match the PUBLIC encoding (interoperable with other
+    systems): canonical examples pinned, Column/SQL/numpy twins agree,
+    and prefix-truncation equals lower precision (the hierarchy
+    property geohash range queries rely on)."""
+    import duckdb
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.index import geohash, geohash_np, geohash_sql
+
+    # canonical published examples
+    assert geohash_np(np.array([10.40744]), np.array([57.64911]), 11)[0] == "u4pruydqqvj"
+    assert geohash_np(np.array([-5.6]), np.array([42.6]), 5)[0] == "ezs42"
+    assert geohash_np(np.array([0.0]), np.array([0.0]), 1)[0] == "s"
+
+    rng = np.random.default_rng(2)
+    lon = rng.uniform(-180, 180, 300)
+    lat = rng.uniform(-90, 90, 300)
+    want = geohash_np(lon, lat, 7)
+    df = spark.createDataFrame(
+        [(i, float(lon[i]), float(lat[i])) for i in range(300)],
+        ["i", "lon", "lat"],
+    )
+    got = (
+        df.select("i", geohash(F.col("lon"), F.col("lat"), 7).alias("g"))
+        .orderBy("i")
+        .toPandas()["g"]
+        .tolist()
+    )
+    assert got == list(want)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, {lon[i]!r}, {lat[i]!r})" for i in range(300))
+        + ") v(i, lon, lat)"
+    )
+    sql_got = [
+        r[0]
+        for r in con.execute(
+            f"SELECT {geohash_sql('lon', 'lat', 7)} FROM t ORDER BY i"
+        ).fetchall()
+    ]
+    assert sql_got == list(want)
+    # hierarchy: precision-4 hash is the 4-char prefix of precision-7
+    p4 = geohash_np(lon, lat, 4)
+    assert all(w[:4] == p for w, p in zip(want, p4))
