@@ -1982,6 +1982,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["geohash_counts"] = geohash_counts
 
+    def embed_quantize_int8(spark, sf):
+        # symmetric per-vector int8 quantization (ANN compression):
+        # every step is elementwise or order-free (max reduction, one
+        # double division + floor per element, integer audit sum), so
+        # codes are bit-identical across engines; the staged max-abs
+        # plan avoids the per-element inline trap
+        from geoharvest_spark.simsearch import quantize_int8
+
+        q = quantize_int8(_t(spark, sf, "embeddings"))
+        return q.select(
+            "vec_id",
+            "dim",
+            "scale",
+            "l1_code_sum",
+            F.md5(F.concat_ws(" ", F.col("codes"))).alias("codes_md5"),
+        ).orderBy("vec_id")
+
+    Q["embed_quantize_int8"] = embed_quantize_int8
+
     def dedup_minhash_lsh(spark, sf):
         d = _t(spark, sf, "documents")
         return tx.minhash_lsh_pairs(d, num_hashes=64, bands=16).select(
@@ -3892,6 +3911,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "SELECT s.s2_cell, count(*) AS n_points FROM events e "
             f"JOIN read_parquet('{stage['s2cells']}') s USING (event_id) "
             "GROUP BY 1 ORDER BY 1"
+        ),
+        "embed_quantize_int8": (
+            "WITH b AS (SELECT vec_id, embedding, "
+            "list_max(list_transform(embedding, "
+            "x -> abs(cast(x AS DOUBLE)))) AS mx FROM embeddings), "
+            "c AS (SELECT vec_id, cast(len(embedding) AS INT) AS dim, "
+            "mx / 127.0 AS scale, "
+            "CASE WHEN mx = 0 THEN list_transform(embedding, x -> 0) "
+            "ELSE list_transform(embedding, x -> cast(floor("
+            "cast(x AS DOUBLE) / (mx / 127.0) + 0.5) AS INT)) END "
+            "AS codes FROM b) "
+            "SELECT vec_id, dim, scale, "
+            "cast(list_sum(list_transform(codes, x -> abs(x))) AS BIGINT) "
+            "AS l1_code_sum, "
+            "md5(array_to_string(codes, ' ')) AS codes_md5 "
+            "FROM c ORDER BY vec_id"
         ),
         "geohash_counts": (
             # identical interleave/alphabet arithmetic as a SQL fragment

@@ -440,3 +440,61 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("qid", F.col("cid").alias("vec_id"), "rank", "cos_sim")
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the embedding
+    compression step before a memory-bound ANN index (4x smaller than
+    float32, SIMD-friendly dot products): scale = max|x| / 127, code_i
+    = round-half-up(x_i / scale), zero vectors map to all-zero codes
+    with scale 0.
+
+    All codegen (transform / aggregate over the array — no UDF, narrow
+    plan), and every step is elementwise or order-free: the max is an
+    order-insensitive reduction, each code is one double division +
+    floor, and the l1 audit sum is an integer aggregate — so outputs
+    are bit-identical across engines/partitionings (the determinism
+    contract every operator here keeps).
+
+    Returns (id, dim, scale, l1_code_sum, codes) with codes
+    array<int>.
+
+    Plan note: the max-abs is STAGED through its own projection alias
+    before the per-element lambda references it — referencing the
+    array_max expression directly inside transform() would inline one
+    copy per element (the CLAUDE.md reuse trap, dim x re-evaluation)."""
+    base = (
+        df.select(F.col(id_col), F.col(vec_col).alias("_v"))
+        .withColumn("_x", F.transform("_v", lambda v: v.cast("double")))
+        .withColumn(
+            "_mx", F.array_max(F.transform("_x", lambda v: F.abs(v)))
+        )
+    )
+    mx = F.col("_mx")
+    codes = F.when(
+        mx == 0.0, F.transform("_x", lambda v: F.lit(0))
+    ).otherwise(
+        F.transform(
+            "_x",
+            lambda v: F.floor(v / (mx / F.lit(127.0)) + F.lit(0.5)).cast(
+                "int"
+            ),
+        )
+    )
+    out = base.select(
+        F.col(id_col),
+        F.size("_v").alias("dim"),
+        (mx / F.lit(127.0)).alias("scale"),
+        codes.alias("codes"),
+    )
+    return out.select(
+        id_col,
+        "dim",
+        "scale",
+        F.aggregate(
+            "codes", F.lit(0).cast("long"), lambda acc, c: acc + F.abs(c)
+        ).alias("l1_code_sum"),
+        "codes",
+    )

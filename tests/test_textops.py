@@ -754,3 +754,41 @@ def test_sample_k_per_key_deterministic_uniform(spark):
     # tiny group: all kept
     tiny = spark.createDataFrame([("t", 1), ("t", 2)], ["domain", "doc_id"])
     assert tx.sample_k_per_key(tiny, "domain", 10).toPandas()["kept"].all()
+
+
+def test_quantize_int8_reference_and_plan(spark):
+    """Int8 quantization vs a numpy reference (round-half-up), zero
+    vector handling, reconstruction error bound, and the staged-max
+    plan (no per-element re-evaluation of the reduction)."""
+    import numpy as np
+
+    from geoharvest_spark.simsearch import quantize_int8
+
+    rng = np.random.default_rng(4)
+    vecs = [rng.normal(size=16).astype(np.float32) for _ in range(40)]
+    vecs.append(np.zeros(16, dtype=np.float32))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    for i, v in enumerate(vecs):
+        v64 = v.astype(np.float64)
+        mx = float(np.abs(v64).max())
+        r = out[i]
+        assert r["dim"] == 16
+        if mx == 0.0:
+            assert r["scale"] == 0.0 and list(r["codes"]) == [0] * 16
+            continue
+        scale = mx / 127.0
+        want = np.floor(v64 / scale + 0.5).astype(int)
+        assert list(r["codes"]) == want.tolist()
+        assert abs(max(r["codes"], key=abs)) == 127  # max hits full range
+        # reconstruction error bounded by half a step
+        err = np.abs(np.array(r["codes"]) * r["scale"] - v64).max()
+        assert err <= scale / 2 + 1e-12
+        assert r["l1_code_sum"] == int(np.abs(want).sum())
+    # plan: array_max appears exactly twice (scale + the staged column),
+    # NOT once per element
+    plan = quantize_int8(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("array_max") <= 2
