@@ -10,8 +10,9 @@ Usage:
         jobs/webtext_pipeline.py [n_docs] [out_dir] [full]
 
 Passing "full" as the 3rd arg enables the optional stages too
-(per-domain cap + PII scrub) — note the synthetic corpus shares ONE
-registered domain (example.com), so the cap bounds the whole run.
+(per-domain cap + PII scrub + LM perplexity filter trained on the bench
+slice) — note the synthetic corpus shares ONE registered domain
+(example.com), so the cap bounds the whole run.
 
 --driver-memory matters under spark-submit: the driver JVM starts before
 get_spark's conf applies, and the default 1g cannot build the pipeline's
@@ -109,9 +110,20 @@ def main() -> None:
     cfg = None
     if full:
         from geoharvest_spark.curation import CurationConfig
+        from geoharvest_spark.lm import train_bigram_lm
 
-        cfg = CurationConfig(domain_cap=max(1000, n * 9 // 10),
-                             redact_pii=True)
+        # perplexity model on trusted text (the bench slice here —
+        # NEVER the corpus being filtered); generous threshold so the
+        # demo drops the tail without emptying the synthetic corpus
+        lm_model = train_bigram_lm(
+            [r["text"] for r in bench.limit(100).collect()]
+        )
+        cfg = CurationConfig(
+            domain_cap=max(1000, n * 9 // 10),
+            redact_pii=True,
+            lm_max_avg_cost=20_000_000.0,
+            lm_model=lm_model,
+        )
     t0 = time.perf_counter()
     final, rep = curate(
         spark, pages, bench, out_dir, cfg=cfg, robots=robots
