@@ -234,6 +234,9 @@ def main() -> None:
 
     bpe_merges = list(corpus_merges(sf_dir, 200, 64))
     bpe_udf = token_count_udf(bpe_merges)
+    from geoharvest_spark import lm as _lm
+
+    _lm_model = _lm.corpus_lm(sf_dir)
 
     # raster -> vector throughput: 200 synthetic 256x256 GeoTIFFs
     # (13.1M pixels; 1 in 8 LZW-compressed to keep the codec on the
@@ -290,6 +293,9 @@ def main() -> None:
         "bpe_count_udf_250k": lambda: bench_docs.select(
             "doc_id", bpe_udf(F.col("text")).alias("n_tokens_bpe")
         ),
+        # perplexity filter scoring: explode bigrams -> broadcast join
+        # vs the trained cost table -> two-stage integer aggregate
+        "lm_score_250k": lambda: _lm.with_lm_score(bench_docs, _lm_model),
         "decontaminate_250k": lambda: contamination_stats(
             bench_docs.where(F.col("doc_id") % 50 != 0), bench_subset, n=8
         ),
