@@ -975,6 +975,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["chunk_dedup_bpe"] = chunk_dedup_bpe
 
+    def dedup_substring_spans(spark, sf):
+        # Lee et al. 2021 exact-substring dedup as a distributed k-gram
+        # join: every non-first occurrence of a repeated >= 8-token
+        # substring becomes a removable span (merged per doc); the gram
+        # hash is computed map-side so the shuffle never carries text.
+        return tx.substring_span_dedup(
+            _t(spark, sf, "documents"), k=8
+        ).orderBy("doc_id")
+
+    Q["dedup_substring_spans"] = dedup_substring_spans
+
     def doc_lm_score(spark, sf):
         # perplexity-style quality filter (CCNet/Gopher): score every
         # document against a small bigram LM trained driver-side on
@@ -2668,6 +2679,52 @@ def _chunk_dedup_oracle_sql(
     )
 
 
+def _substring_dedup_oracle_sql(k: int = 8, src: str = "documents") -> str:
+    """Independent exact-substring-dedup oracle. Same 60-bit gram hash as
+    the engine (md5 of chr(31)-joined token slice, first 15 hex digits);
+    first-occurrence keeper via a row_number window ordered (doc_id, pos)
+    (== the engine's min-struct); span merging via textbook
+    gaps-and-islands (running max of prior span ends) instead of the
+    engine's array fold; cleaned text via a NOT EXISTS anti-join of
+    positions against spans + ordered string_agg."""
+    e = k - 1
+    return (
+        f"WITH d AS (SELECT doc_id, string_split(text, ' ') AS l FROM {src}), "
+        f"pp AS (SELECT doc_id, l, unnest(range(0, len(l) - {e})) AS pos "
+        "FROM d), "
+        "occ AS (SELECT doc_id, pos, ('0x' || substr(md5(array_to_string("
+        f"l[pos + 1 : pos + {k}], chr(31))), 1, 15))::UBIGINT::BIGINT AS gh "
+        "FROM pp), "
+        "r AS (SELECT doc_id, pos, "
+        "row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn, "
+        "count(*) OVER (PARTITION BY gh) AS cnt FROM occ), "
+        "dup AS (SELECT doc_id, pos FROM r WHERE cnt > 1 AND rn > 1), "
+        f"m AS (SELECT doc_id, pos, max(pos + {e}) OVER (PARTITION BY doc_id "
+        "ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+        "AS pe FROM dup), "
+        "isl AS (SELECT doc_id, pos, sum(CASE WHEN pe IS NULL OR "
+        "pos > pe + 1 THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id "
+        "ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island FROM m), "
+        "spans AS (SELECT doc_id, island, min(pos) AS s, "
+        f"max(pos) + {e} AS e FROM isl GROUP BY 1, 2), "
+        "agg AS (SELECT doc_id, count(*) AS n_spans, "
+        "sum(e - s + 1) AS removed FROM spans GROUP BY 1), "
+        "keptp AS (SELECT d.doc_id, p, l[p + 1] AS tok FROM "
+        "(SELECT doc_id, l, unnest(range(0, len(l))) AS p FROM d) d "
+        "WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE "
+        "s.doc_id = d.doc_id AND p BETWEEN s.s AND s.e)), "
+        "clean AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY p)) "
+        "AS clean_md5 FROM keptp GROUP BY 1) "
+        "SELECT d.doc_id AS doc_id, len(l)::BIGINT AS n_tokens, "
+        "coalesce(a.n_spans, 0)::BIGINT AS n_spans, "
+        "coalesce(a.removed, 0)::BIGINT AS tokens_removed, "
+        "(len(l) - coalesce(a.removed, 0))::BIGINT AS tokens_kept, "
+        "coalesce(c.clean_md5, md5('')) AS clean_md5 "
+        "FROM d LEFT JOIN agg a USING (doc_id) "
+        "LEFT JOIN clean c ON d.doc_id = c.doc_id ORDER BY 1"
+    )
+
+
 def _url_synth_sql(mod: int = 250) -> str:
     b = f"(doc_id % {mod})"
     return (
@@ -3811,6 +3868,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ),
         "doc_repetition": _repetition_oracle_sql(),
         "chunk_dedup_docs": _chunk_dedup_oracle_sql(20),
+        "dedup_substring_spans": _substring_dedup_oracle_sql(8),
         "url_canonical": (
             f"WITH {_url_canonical_cte()} "
             "SELECT doc_id, canonical_url, domain FROM dom ORDER BY doc_id"

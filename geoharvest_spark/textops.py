@@ -1081,3 +1081,149 @@ def stratified_hash_sample(
     for k, v in sorted(rates_bp.items()):
         thr = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(thr)
     return df.withColumn("sampled", h < thr)
+
+
+def substring_span_dedup(
+    df: DataFrame,
+    k: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emit_clean: bool = True,
+) -> DataFrame:
+    """Exact-substring deduplication: remove every >= ``k``-token substring
+    that occurs MORE THAN ONCE anywhere in the corpus, keeping only its
+    first occurrence (ordered by (doc_id, position)). This is the
+    suffix-array substring dedup of Lee et al. 2021 ("Deduplicating
+    Training Data Makes Language Models Better") re-expressed as a
+    distributed k-gram join instead of a monolithic suffix array: a
+    substring of length >= k repeats iff all of its k-grams repeat, so
+    marking every non-first occurrence of a duplicated k-gram and merging
+    the marked positions into maximal spans removes exactly the repeated
+    regions (plus < k tokens of boundary slack inherent to gram
+    granularity).
+
+    Plan shape, sized for 100 TB:
+      1. tokens are staged once per row (own projection alias — the
+         inline-split trap from repetition_stats applies);
+      2. every position's k-gram is hashed MAP-SIDE to a 60-bit int
+         (``conv(substr(md5(join(slice)), 1, 15), 16, 10)``) so the
+         shuffle carries (hash, id, pos) — never gram text;
+      3. the keeper per hash is ``groupBy(hash).agg(min(struct(id,pos)),
+         count)`` — a two-stage hash aggregate, no window, no sort;
+      4. duplicated occurrences come back via an ids-only equi-join on the
+         hash (AQE-skew-safe; a boilerplate gram that appears 10^6 times
+         is one hot KEY, not a cross product — the join output is linear
+         in occurrences);
+      5. span merging is per-DOC array work (sort + linear fold), never a
+         corpus-wide sort.
+    At extreme scale (>= 10^11 grams) widen step 2 to the full 128-bit
+    md5 (collision odds ~n^2/2^61); both sides of the driver oracle use
+    the same hash so parity is unaffected either way.
+
+    Returns (id, n_tokens, n_spans, tokens_removed, tokens_kept[,
+    clean_md5]) — clean_md5 is md5 of the surviving tokens space-joined
+    (md5("") when everything was removed).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2: {k}")
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    sep = "\x1f"
+    grams = F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(F.concat_ws(sep, F.slice(toks, i + 1, k))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+    # guard short docs with a conditional EMPTY gram array rather than a
+    # where(n >= k): the filter would push below the staging projection
+    # and re-evaluate split(text) a second time per scanned row.
+    grams_safe = F.when(n >= k, grams).otherwise(
+        F.expr("cast(array() as array<bigint>)")
+    )
+    occ = base.select(F.col("id"), F.posexplode(grams_safe).alias("pos", "gh"))
+    keeper = occ.groupBy("gh").agg(
+        F.min(F.struct("id", "pos")).alias("keep"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    dup = (
+        occ.join(keeper.where(F.col("cnt") > 1).select("gh", "keep"), "gh")
+        .where(
+            (F.col("id") != F.col("keep.id"))
+            | (F.col("pos") != F.col("keep.pos"))
+        )
+        .select("id", "pos")
+    )
+    # per-doc interval merge: sorted duplicate positions -> maximal spans
+    # [s, e] (token indices, 0-based inclusive); contiguous-or-overlapping
+    # spans coalesce (p <= last.e + 1).
+    empty_spans = F.expr("cast(array() as array<struct<s:int,e:int>>)")
+    spans_col = F.aggregate(
+        F.array_sort(F.collect_list("pos")),
+        empty_spans,
+        lambda acc, p: F.when(
+            (F.size(acc) > 0)
+            & (p <= F.element_at(acc, -1)["e"] + 1),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        (p + k - 1).cast("int").alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        p.cast("int").alias("s"),
+                        (p + k - 1).cast("int").alias("e"),
+                    )
+                ),
+            )
+        ),
+    )
+    doc_spans = dup.groupBy("id").agg(spans_col.alias("spans"))
+    out = (
+        base.join(doc_spans, "id", "left")
+        .withColumn("spans", F.coalesce("spans", empty_spans))
+        .withColumn("n_tokens", n.cast("long"))
+        .withColumn("n_spans", F.size("spans").cast("long"))
+        .withColumn(
+            "tokens_removed",
+            F.aggregate(
+                F.col("spans"),
+                F.lit(0),
+                lambda acc, sp: acc + sp["e"] - sp["s"] + 1,
+            ).cast("long"),
+        )
+        .withColumn(
+            "tokens_kept", (F.col("n_tokens") - F.col("tokens_removed"))
+        )
+    )
+    if emit_clean:
+        spans = F.col("spans")
+        kept = F.filter(
+            toks,
+            lambda t, i: ~F.exists(
+                spans, lambda sp: (i >= sp["s"]) & (i <= sp["e"])  # noqa: B023
+            ),
+        )
+        out = out.withColumn("clean_md5", F.md5(F.concat_ws(" ", kept)))
+    return out.select(
+        F.col("id").alias(id_col),
+        "n_tokens",
+        "n_spans",
+        "tokens_removed",
+        "tokens_kept",
+        *(["clean_md5"] if emit_clean else []),
+    )

@@ -830,3 +830,70 @@ def test_int8_topk_exact_and_recall(spark):
         assert got[qid] == want
         # rank-1 result is the query itself (self-similarity dominates)
         assert got[qid][0][0] == qid
+
+
+def test_substring_span_dedup_known_spans(spark):
+    # doc 1 is canonical; doc 2 repeats doc 1's tokens 0..4 (k=3 grams at
+    # pos 0,1,2 -> one merged span [0,4]); doc 3 is a full copy of doc 1
+    # (every gram duplicated -> whole doc removed); doc 4 is unique; doc 5
+    # is shorter than k (no grams, untouched).
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),
+            (2, "a b c d e x y"),
+            (3, "a b c d e f g"),
+            (4, "p q r s t u v"),
+            (5, "z q"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.substring_span_dedup(df, k=3).collect()
+    }
+    assert out[1]["n_spans"] == 0 and out[1]["tokens_removed"] == 0
+    assert out[1]["clean_md5"] == md5("a b c d e f g")
+    # doc 2: dup grams at pos 0,1,2 -> span [0, 4], 5 tokens removed
+    assert out[2]["n_spans"] == 1 and out[2]["tokens_removed"] == 5
+    assert out[2]["tokens_kept"] == 2 and out[2]["clean_md5"] == md5("x y")
+    # doc 3: every position duplicated -> one span covering the doc
+    assert out[3]["n_spans"] == 1 and out[3]["tokens_removed"] == 7
+    assert out[3]["clean_md5"] == md5("")
+    assert out[4]["n_spans"] == 0 and out[4]["clean_md5"] == md5("p q r s t u v")
+    assert out[5]["n_tokens"] == 2 and out[5]["n_spans"] == 0
+    assert out[5]["clean_md5"] == md5("z q")
+
+
+def test_substring_span_dedup_within_doc_and_gap_merge(spark):
+    # within-doc repetition: "a b c" appears 3x inside one doc; the first
+    # occurrence (pos 0) is the keeper, later ones are spans. Non-adjacent
+    # duplicate regions separated by unique tokens stay separate spans.
+    df = spark.createDataFrame(
+        [(1, "a b c u a b c v a b c")],
+        ["doc_id", "text"],
+    )
+    r = tx.substring_span_dedup(df, k=3).collect()[0]
+    # dup positions: 4 and 8 -> spans [4,6] and [8,10]
+    assert r["n_spans"] == 2 and r["tokens_removed"] == 6
+    import hashlib
+
+    assert (
+        r["clean_md5"]
+        == hashlib.md5(b"a b c u v").hexdigest()
+    )
+
+
+def test_substring_span_dedup_plan_single_split(spark, docs):
+    # the token array must be staged once per row (inline-split trap):
+    # exactly one split() in the optimized occurrence plan
+    out = tx.substring_span_dedup(docs, k=8)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # one split per scan leg (keeper-side occ, dup-side occ, clean-text
+    # base), each in its own staging projection — NOT one per gram
+    # reference (the 750x inline trap) and NOT re-evaluated by a pushed
+    # size(split(...)) filter
+    assert plan.count("split(") <= 3
+    assert "Filter (size(split(" not in plan
