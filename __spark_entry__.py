@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, "/root/repo")
 
 from geoharvest_spark import index as ix  # noqa: E402
+from geoharvest_spark import retrieval as rt  # noqa: E402
 from geoharvest_spark import textops as tx  # noqa: E402
 from geoharvest_spark.pipeline import cell_counts  # noqa: E402
 from geoharvest_spark.synth import web_pages_df  # noqa: E402
@@ -985,6 +986,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).orderBy("doc_id")
 
     Q["dedup_substring_spans"] = dedup_substring_spans
+
+    def bm25_topk_search(spark, sf):
+        # inverted-index lexical retrieval: BM25-shaped integer-rational
+        # scoring (k1=1.2, b=0.75 with cleared denominators) over a fixed
+        # 5-query set — the rare 'dup' term exercises idf, the common
+        # terms exercise tf saturation + length normalization.
+        return rt.bm25_topk(
+            _t(spark, sf, "documents"), list(rt.DRIVER_QUERIES), k=10
+        ).orderBy("query_id", "rank")
+
+    Q["bm25_topk_search"] = bm25_topk_search
 
     def doc_lm_score(spark, sf):
         # perplexity-style quality filter (CCNet/Gopher): score every
@@ -3869,6 +3881,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "doc_repetition": _repetition_oracle_sql(),
         "chunk_dedup_docs": _chunk_dedup_oracle_sql(20),
         "dedup_substring_spans": _substring_dedup_oracle_sql(8),
+        "bm25_topk_search": rt.bm25_oracle_sql(),
         "url_canonical": (
             f"WITH {_url_canonical_cte()} "
             "SELECT doc_id, canonical_url, domain FROM dom ORDER BY doc_id"

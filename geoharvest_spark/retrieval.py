@@ -1,0 +1,182 @@
+"""Lexical retrieval over the documents table: inverted-index BM25 top-k.
+
+The decontamination / eval-leak tooling of a training-data pipeline needs a
+ranked lexical search ("which training docs look like this benchmark
+prompt?"), and corpus QA needs ad-hoc relevance queries. This module scores
+a fixed query set against the corpus with the BM25 shape (term-frequency
+saturation + inverse document frequency + length normalization) expressed
+in EXACT INTEGER arithmetic, so per-document scores are order-free sums
+(Spark's non-deterministic aggregation order cannot change a bit) and the
+DuckDB driver oracle reproduces them exactly — the same trick as
+``lm.with_lm_score``'s integer micronats.
+
+Scoring. Classic BM25 uses ``idf(t) = ln((N - df + .5)/(df + .5))`` and
+``tfn = tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))``. Transcendentals are
+banned in oracle-compared outputs (engine libm vs DuckDB libm), so the idf
+here is the rational surrogate ``w(t) = scale*(N - df + 1) // (df + 1)`` —
+same monotone shape (decreasing in df, ~scale*N/df in the rare-term
+regime). The saturation term with the textbook constants k1 = 1.2 = 6/5
+and b = 3/4 clears denominators exactly: with T = total corpus tokens and
+N = corpus docs (so avgdl = T/N),
+
+    tfn = 44*T*tf / (20*T*tf + 6*T + 18*N*dl)
+
+and the per-term contribution is the single integer division
+
+    contrib = (w(t) * 44 * T * tf) div (20*T*tf + 6*T + 18*N*dl).
+
+Overflow: the numerator is bounded by ``scale*N * 44 * T * tf``; with the
+default scale=1000 that stays under 2^62 up to ~10^7 docs x 10^3 tokens.
+Past that, drop ``scale`` (the ranking is scale-invariant) — DuckDB's
+BIGINT multiply errors loudly on overflow, so a violation cannot silently
+skew parity.
+
+Plan shape, sized for 100 TB: the query vocabulary is a driver-side
+literal, so the corpus scan's exploded token stream is pruned by a
+codegen ``isin`` filter BELOW the (doc, term) postings aggregate — the
+shuffled postings stream is |query-vocab| wide, never |corpus-vocab|;
+document frequencies are one more term-keyed aggregate over that pruned
+stream; corpus N/T ride a one-row broadcast crossJoin (no driver
+collect); the final top-k is a per-query window over the already tiny
+scored stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from geoharvest_spark.textops import tokens_col
+
+
+def bm25_topk(
+    df: DataFrame,
+    queries: "list[tuple[int, str]]",
+    k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    scale: int = 1000,
+) -> DataFrame:
+    """Rank the top ``k`` documents per query by integer-rational BM25.
+
+    ``queries`` is a list of (query_id, query_text); query text is
+    whitespace-tokenized with the same tokenizer as the corpus. Returns
+    (query_id, rank, doc_id, score_int) with rank 1..k per query, ties
+    broken by ascending doc_id. Documents sharing no term with a query
+    are absent (never ranked).
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    spark = df.sparkSession
+    qterms = []
+    for qid, qtext in queries:
+        for t in str(qtext).split():
+            qterms.append((int(qid), t))
+    qdf = spark.createDataFrame(qterms, ["query_id", "term"]).dropDuplicates()
+
+    base = df.select(
+        F.col(id_col).alias("doc"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    # postings restricted to the query vocabulary with a LITERAL isin
+    # filter (queries are driver-side literals), so the prune sits below
+    # the (doc, term) aggregate's exchange — the scored stream is
+    # |query-vocab| postings, never |corpus-vocab|.
+    vocab = sorted({t for _, t in qterms})
+    # explode_OUTER: a plain explode's generator constraint
+    # (size(arr) > 0 AND isnotnull(arr)) pushes below the staging
+    # projection and re-evaluates split(text) twice more per row; the
+    # outer variant carries no constraint, and the null row it emits for
+    # an empty doc drops at the isin filter anyway.
+    postings = (
+        base.select(
+            F.col("doc"),
+            F.size("_toks").cast("long").alias("dl"),
+            F.explode_outer("_toks").alias("term"),
+        )
+        .where(F.col("term").isin(vocab))
+        .groupBy("doc", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    qpost = postings
+    dfreq = qpost.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
+    stats = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size("_toks")).cast("long").alias("t_tokens"),
+    )
+    scored = (
+        qpost.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qdf), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "w",
+            F.expr(f"({scale} * (n_docs - dft + 1)) div (dft + 1)"),
+        )
+        .withColumn(
+            "contrib",
+            F.expr(
+                "(w * 44 * t_tokens * tf) div "
+                "(20 * t_tokens * tf + 6 * t_tokens + 18 * n_docs * dl)"
+            ),
+        )
+        .groupBy("query_id", "doc")
+        .agg(F.sum("contrib").alias("score_int"))
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.col("score_int").desc(), F.col("doc").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("doc").alias(id_col),
+            F.col("score_int").cast("long").alias("score_int"),
+        )
+    )
+
+
+# the driver query's fixed query set: mixed common terms (high df — length
+# normalization decides) and language-marker rare terms (idf decides).
+DRIVER_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "join hash table"),
+    (2, "slow scan filter row"),
+    (3, "dup merge"),
+    (4, "dup"),
+    (5, "spark window agg batch"),
+)
+
+
+def bm25_oracle_sql(
+    queries: "tuple[tuple[int, str], ...]" = DRIVER_QUERIES,
+    k: int = 10,
+    scale: int = 1000,
+    src: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bm25_topk` (same integer-rational scoring)."""
+    qvals = ", ".join(
+        f"({qid}, '{t}')" for qid, q in queries for t in q.split()
+    )
+    return (
+        f"WITH q(query_id, term) AS (VALUES {qvals}), "
+        f"d AS (SELECT doc_id, string_split(text, ' ') AS l FROM {src}), "
+        "p0 AS (SELECT doc_id, len(l)::BIGINT AS dl, unnest(l) AS term "
+        "FROM d), "
+        "post AS (SELECT doc_id, dl, term, count(*)::BIGINT AS tf FROM p0 "
+        "WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1, 2, 3), "
+        "dfreq AS (SELECT term, count(*)::BIGINT AS dft FROM post "
+        "GROUP BY 1), "
+        "st AS (SELECT count(*)::BIGINT AS n, "
+        "sum(len(l))::BIGINT AS t FROM d), "
+        "sc AS (SELECT q.query_id, post.doc_id, "
+        f"sum((({scale} * (st.n - dfreq.dft + 1)) // (dfreq.dft + 1) "
+        "* 44 * st.t * post.tf) // (20 * st.t * post.tf + 6 * st.t + "
+        "18 * st.n * post.dl))::BIGINT AS score_int "
+        "FROM post JOIN dfreq USING (term) JOIN q USING (term), st "
+        "GROUP BY 1, 2), "
+        "r AS (SELECT query_id, row_number() OVER (PARTITION BY query_id "
+        "ORDER BY score_int DESC, doc_id ASC)::BIGINT AS rank, doc_id, "
+        "score_int FROM sc) "
+        f"SELECT query_id, rank, doc_id, score_int FROM r WHERE rank <= {k} "
+        "ORDER BY query_id, rank"
+    )

@@ -1,0 +1,97 @@
+"""BM25 inverted-index retrieval tests (integer-rational scoring)."""
+
+from __future__ import annotations
+
+import pytest
+
+from geoharvest_spark import retrieval as rt
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet").cache()
+
+
+def _hand_score(corpus, qterms, scale=1000):
+    """Pure-python reference of the integer-rational BM25."""
+    toks = {d: t.split() for d, t in corpus}
+    n = len(toks)
+    t_tot = sum(len(v) for v in toks.values())
+    dfreq = {}
+    for q in set(qterms):
+        dfreq[q] = sum(1 for v in toks.values() if q in v)
+    out = {}
+    for d, v in toks.items():
+        s = 0
+        hit = False
+        for q in qterms:
+            tf = v.count(q)
+            if tf == 0 or dfreq[q] == 0:
+                continue
+            hit = True
+            w = (scale * (n - dfreq[q] + 1)) // (dfreq[q] + 1)
+            s += (w * 44 * t_tot * tf) // (
+                20 * t_tot * tf + 6 * t_tot + 18 * n * len(v)
+            )
+        if hit:
+            out[d] = s
+    return out
+
+
+def test_bm25_matches_hand_reference(spark):
+    corpus = [
+        (1, "a b c a"),
+        (2, "a x y z w q r s"),
+        (3, "b b b b"),
+        (4, "z z a b"),
+        (5, "m n o p"),
+    ]
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rank"], r["score_int"])
+        for r in rt.bm25_topk(df, [(7, "a b")], k=10).collect()
+    }
+    exp = _hand_score(corpus, ["a", "b"])
+    assert {d for (_, d) in got} == set(exp)
+    for (qid, d), (rank, s) in got.items():
+        assert qid == 7 and s == exp[d]
+    # ranks are 1..n in strictly non-increasing score order, doc asc ties
+    ordered = sorted(got.items(), key=lambda kv: kv[1][0])
+    scores = [s for _, (_, s) in ordered]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_idf_prefers_rare_term(spark):
+    # doc 1 holds the rare term; doc 2 only the ubiquitous one. A query
+    # with both must rank doc 1 first (rare-term idf dominates).
+    rows = [(i, "common filler words here") for i in range(2, 12)]
+    rows.append((1, "rare filler words here"))
+    rows.append((12, "common common common common"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = rt.bm25_topk(df, [(1, "rare common")], k=3).collect()
+    assert out[0]["doc_id"] == 1
+
+
+def test_bm25_driver_queries_nonempty(docs):
+    out = rt.bm25_topk(docs, list(rt.DRIVER_QUERIES), k=10).toPandas()
+    got = set(out.query_id.unique())
+    assert {1, 2, 5} <= got  # common-term queries always hit
+    assert (out.groupby("query_id")["rank"].max() <= 10).all()
+    # deterministic across runs
+    out2 = rt.bm25_topk(docs, list(rt.DRIVER_QUERIES), k=10).toPandas()
+    assert out.sort_values(["query_id", "rank"]).values.tolist() == \
+        out2.sort_values(["query_id", "rank"]).values.tolist()
+
+
+def test_bm25_plan_prunes_below_aggregate(docs):
+    out = rt.bm25_topk(docs, list(rt.DRIVER_QUERIES), k=10)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # the vocab isin prune must sit under the postings aggregate (it
+    # appears as a Filter over the exploded term, not a post-agg join)
+    assert "INSET" in plan or "IN (" in plan or "isin" in plan.lower()
+    # token arrays staged once per scan leg (dfreq, scored, stats) — no
+    # generator-constraint or filter re-evaluation of the split
+    assert plan.count("split(") <= 3
+    assert "size(split(" not in plan
