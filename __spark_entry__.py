@@ -2353,6 +2353,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["dedup_embed_cosine"] = dedup_embed_cosine
 
+    def semantic_dedup_ivf(spark, sf):
+        """SemDeDup: kmeans-cluster-scoped cosine near-dup graph ->
+        connected components -> min-id representative per component.
+        Same planted-twin corpus as dedup_embed_cosine (integer-derived
+        perturbation, bit-identical in SQL); centroids are the shared
+        deterministic IVF quantizer trained on the ORIGINAL embeddings
+        (inlined as VALUES in the oracle). Cluster scoping is part of
+        the operator's semantics, so the oracle scopes its pair search
+        to the same inlined-centroid assignment."""
+        from geoharvest_spark.simsearch import (
+            ivf_centroids_for_dir,
+            semantic_dedup,
+        )
+
+        e = _t(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        delta = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (
+                F.element_at(F.col("embedding"), j + F.lit(1))
+                + (
+                    (F.col("vec_id") * (F.lit(31) + j) + F.lit(7) * j) % 97
+                )
+                / F.lit(10000.0)
+            ),
+        )
+        pert = e.where(F.col("vec_id") % 2 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            delta.alias("embedding"),
+        )
+        corpus = e.unionByName(pert)
+        C = ivf_centroids_for_dir(sf, n_lists=16)
+        return semantic_dedup(corpus, C, threshold=0.9).orderBy("vec_id")
+
+    Q["semantic_dedup_ivf"] = semantic_dedup_ivf
+
     def stream_windowed_counts(spark, sf):
         """§2.9 event-time windows through a REAL stream: the staged 3
         micro-batches drive windowed_event_counts in COMPLETE mode (the
@@ -3009,6 +3046,55 @@ def _ivf_oracle_sql(
         "SELECT qid, cid, row_number() OVER (PARTITION BY qid "
         "ORDER BY cos DESC, cid) AS rank FROM scored) "
         "WHERE rank <= 10 ORDER BY qid, rank"
+    )
+
+
+def _semantic_dedup_oracle_sql(
+    n_lists: int = 16,
+    sf_dir: str = "/root/testdata/sf0.01",
+) -> str:
+    """Full SQL re-implementation of SemDeDup (simsearch.semantic_dedup):
+    planted-twin corpus (dedup_embed_cosine's integer perturbation),
+    inlined spherical-kmeans centroids, argmax assignment (ties to lowest
+    list id — numpy argmax picks the first maximum), within-CLUSTER
+    all-pairs cosine >= 0.9 edges, recursive-CTE reachability-min for
+    components, min-id representative."""
+    from geoharvest_spark.simsearch import ivf_centroids_for_dir
+
+    C = ivf_centroids_for_dir(sf_dir, n_lists=n_lists)
+    cent_vals = ", ".join(
+        "(%d, [%s]::DOUBLE[])" % (j, ",".join(repr(float(x)) for x in C[j]))
+        for j in range(len(C))
+    )
+    return (
+        "WITH RECURSIVE "
+        f"cents(cid_c, cv) AS (VALUES {cent_vals}), "
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS v0 "
+        "FROM embeddings), "
+        "pert AS (SELECT vec_id + 100000 AS vec_id, "
+        "list_transform(range(64), j -> v0[j+1] + "
+        "((vec_id*(31+j) + 7*j) % 97)/10000.0) AS v0 "
+        "FROM base WHERE vec_id % 2 = 0), "
+        "corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert), "
+        "nrm AS (SELECT vec_id, list_transform(v0, "
+        "x -> x / sqrt(list_dot_product(v0, v0))) AS v FROM corpus), "
+        "asg AS (SELECT vec_id, v, cid_c AS cluster FROM ("
+        "SELECT vec_id, v, cid_c, row_number() OVER (PARTITION BY vec_id "
+        "ORDER BY list_dot_product(v, cv) DESC, cid_c) AS rn "
+        "FROM nrm, cents) WHERE rn = 1), "
+        "e1 AS (SELECT a.vec_id AS a, b.vec_id AS b FROM asg a "
+        "JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id "
+        "WHERE list_dot_product(a.v, b.v) >= 0.9), "
+        "e AS (SELECT a, b FROM e1 UNION SELECT b, a FROM e1), "
+        "walk(id, lbl) AS ("
+        "SELECT vec_id, vec_id FROM asg "
+        "UNION "
+        "SELECT e.b, walk.lbl FROM walk JOIN e ON e.a = walk.id), "
+        "comp AS (SELECT id, min(lbl) AS component FROM walk GROUP BY id) "
+        "SELECT asg.vec_id AS vec_id, asg.cluster::BIGINT AS cluster, "
+        "comp.component AS component, "
+        "(asg.vec_id = comp.component) AS kept "
+        "FROM asg JOIN comp ON asg.vec_id = comp.id ORDER BY 1"
     )
 
 
@@ -3882,6 +3968,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "chunk_dedup_docs": _chunk_dedup_oracle_sql(20),
         "dedup_substring_spans": _substring_dedup_oracle_sql(8),
         "bm25_topk_search": rt.bm25_oracle_sql(),
+        "semantic_dedup_ivf": _semantic_dedup_oracle_sql(16, sf_dir),
         "url_canonical": (
             f"WITH {_url_canonical_cte()} "
             "SELECT doc_id, canonical_url, domain FROM dom ORDER BY doc_id"

@@ -897,3 +897,37 @@ def test_substring_span_dedup_plan_single_split(spark, docs):
     # size(split(...)) filter
     assert plan.count("split(") <= 3
     assert "Filter (size(split(" not in plan
+
+
+def test_semantic_dedup_planted_twins(spark, emb):
+    # plant exact-scaled twins for even ids; SemDeDup must put each twin
+    # in its source's component and keep only the min id; odd ids stay
+    # singletons (natural max pairwise cos is ~0.5 << 0.9)
+    from geoharvest_spark.simsearch import ivf_centroids_np, semantic_dedup
+
+    base = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    twins = base.where(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 2.0).alias("embedding"),
+    )
+    corpus = base.unionByName(twins)
+    vecs = np.array(
+        [r["embedding"] for r in base.orderBy("vec_id").collect()]
+    )
+    C = ivf_centroids_np(vecs, n_lists=8)
+    out = semantic_dedup(corpus, C, threshold=0.95).toPandas()
+    byid = out.set_index("vec_id")
+    n_base = len(vecs)
+    for vid in byid.index:
+        if vid >= 100000:
+            src = vid - 100000
+            # scaled twin = same direction -> same cluster, same component
+            assert byid.loc[vid, "cluster"] == byid.loc[src, "cluster"]
+            assert byid.loc[vid, "component"] == src
+            assert not byid.loc[vid, "kept"]
+        else:
+            assert byid.loc[vid, "component"] == vid
+            assert bool(byid.loc[vid, "kept"])
+    assert int(out.kept.sum()) == n_base
