@@ -2390,6 +2390,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["semantic_dedup_ivf"] = semantic_dedup_ivf
 
+    def spatial_dbscan(spark, sf):
+        """Distributed DBSCAN over a planted point field derived from
+        event ids: 16 dense clusters on a 4-degree grid (members jitter
+        within a 0.9-degree box — all integer-derived arithmetic, so the
+        coordinates are bit-identical in SQL) plus far-away scattered
+        noise. eps=0.5 / min_pts=4: cluster members are cores (a few box
+        corners are borders), noise points stay unlabeled; clusters can
+        never bridge (3.1-degree gaps >> eps)."""
+        from geoharvest_spark.clustering import dbscan
+
+        ev = _t(spark, sf, "events").where(F.col("event_id") % 20 == 0)
+        pts = ev.select(
+            F.col("event_id").alias("id"),
+            F.expr("event_id div 20").alias("m"),
+        )
+        m = F.col("m")
+        cid = m % 16
+        noise = (m % 5) == 4
+        x = F.when(
+            noise, F.lit(50.0) + ((m * 31) % 1200) / F.lit(10.0)
+        ).otherwise(
+            (cid % 4) * 4 + ((m * 13) % 90) / F.lit(100.0) - F.lit(0.45)
+        )
+        y = F.when(
+            noise, F.lit(-80.0) + ((m * 37) % 1500) / F.lit(10.0)
+        ).otherwise(
+            F.expr("(m % 16) div 4") * 4
+            + ((m * 17) % 90) / F.lit(100.0)
+            - F.lit(0.45)
+        )
+        pts = pts.select("id", x.alias("x"), y.alias("y"))
+        return dbscan(pts, eps=0.5, min_pts=4).orderBy("id")
+
+    Q["spatial_dbscan"] = spatial_dbscan
+
     def stream_windowed_counts(spark, sf):
         """§2.9 event-time windows through a REAL stream: the staged 3
         micro-batches drive windowed_event_counts in COMPLETE mode (the
@@ -3969,6 +4004,51 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "dedup_substring_spans": _substring_dedup_oracle_sql(8),
         "bm25_topk_search": rt.bm25_oracle_sql(),
         "semantic_dedup_ivf": _semantic_dedup_oracle_sql(16, sf_dir),
+        "spatial_dbscan": (
+            # same grid-join candidate generation, degree/core test, and
+            # recursive-CTE reachability-min as the engine; coordinates
+            # replay the integer-derived planting exactly (one division
+            # each, identical expression order -> bit-identical doubles)
+            "WITH RECURSIVE "
+            "m0 AS (SELECT event_id AS id, event_id // 20 AS m "
+            "FROM events WHERE event_id % 20 = 0), "
+            "pts AS (SELECT id, "
+            "CASE WHEN m % 5 = 4 THEN 50.0 + ((m*31) % 1200)/10.0 "
+            "ELSE ((m % 16) % 4)*4 + ((m*13) % 90)/100.0 - 0.45 END AS x, "
+            "CASE WHEN m % 5 = 4 THEN -80.0 + ((m*37) % 1500)/10.0 "
+            "ELSE ((m % 16) // 4)*4 + ((m*17) % 90)/100.0 - 0.45 END AS y "
+            "FROM m0), "
+            "cells AS (SELECT id, x, y, floor(x/0.5)::BIGINT AS cx, "
+            "floor(y/0.5)::BIGINT AS cy FROM pts), "
+            "a AS (SELECT id AS id_a, x AS xa, y AS ya, "
+            "cx + ox.o AS cx, cy + oy.o AS cy FROM cells, "
+            "(SELECT unnest([-1,0,1]) AS o) ox, "
+            "(SELECT unnest([-1,0,1]) AS o) oy), "
+            "pairs AS (SELECT a.id_a, b.id AS id_b FROM a JOIN cells b "
+            "ON a.cx = b.cx AND a.cy = b.cy WHERE a.id_a <> b.id AND "
+            "(a.xa - b.x)*(a.xa - b.x) + (a.ya - b.y)*(a.ya - b.y) "
+            "<= 0.25), "
+            "deg AS (SELECT id_a, count(*) AS n FROM pairs GROUP BY 1), "
+            "core AS (SELECT id_a AS id FROM deg WHERE n + 1 >= 4), "
+            "ce AS (SELECT id_a, id_b FROM pairs WHERE "
+            "id_a IN (SELECT id FROM core) AND "
+            "id_b IN (SELECT id FROM core)), "
+            "walk(id, lbl) AS (SELECT id, id FROM core UNION "
+            "SELECT ce.id_b, walk.lbl FROM walk JOIN ce "
+            "ON ce.id_a = walk.id), "
+            "comp AS (SELECT id, min(lbl) AS cluster FROM walk "
+            "GROUP BY 1), "
+            "border AS (SELECT p.id_a AS id, min(c.cluster) AS cluster "
+            "FROM pairs p JOIN comp c ON p.id_b = c.id WHERE "
+            "p.id_a NOT IN (SELECT id FROM core) GROUP BY 1) "
+            "SELECT pts.id AS id, "
+            "CASE WHEN comp.id IS NOT NULL THEN 'core' "
+            "WHEN border.id IS NOT NULL THEN 'border' "
+            "ELSE 'noise' END AS role, "
+            "coalesce(comp.cluster, border.cluster) AS cluster "
+            "FROM pts LEFT JOIN comp ON pts.id = comp.id "
+            "LEFT JOIN border ON pts.id = border.id ORDER BY 1"
+        ),
         "url_canonical": (
             f"WITH {_url_canonical_cte()} "
             "SELECT doc_id, canonical_url, domain FROM dom ORDER BY doc_id"
