@@ -160,9 +160,10 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
 
 def decode_tiff(payload: bytes) -> tuple[np.ndarray, dict]:
     """Baseline TIFF decode -> (array, meta). Supports II/MM byte order,
-    8-bit grayscale (photometric 0/1) and RGB (2); uncompressed (1),
-    PackBits (32773), LZW (5), or Deflate (8/32946) strips; horizontal
-    predictor (317=2); first IFD only. GeoTIFF ModelPixelScale /
+    8-bit grayscale (photometric 0/1), RGB (2) and JPEG-YCbCr (6);
+    uncompressed (1), PackBits (32773), LZW (5), Deflate (8/32946), or
+    new-style JPEG (7, incl. the shared JPEGTables tag 347) strips;
+    horizontal predictor (317=2); first IFD only. GeoTIFF ModelPixelScale /
     ModelTiepoint tags populate meta['geotransform'] =
     (lon0, sx, lat0, sy) with lon = lon0 + col*sx, lat = lat0 - row*sy
     (north-up). Malformed input raises ValueError; unsupported layouts
@@ -220,6 +221,15 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, dict]:
     elif photometric in (0, 1):
         if spp != 1:
             raise NotImplementedError("extra-sample grayscale TIFF")
+    elif photometric == 6:
+        # YCbCr is only meaningful for new-style JPEG strips (TIFF TN2):
+        # the JPEG decoder returns RGB, so downstream treats it as RGB
+        if compression != 7:
+            raise NotImplementedError(
+                "YCbCr TIFF without JPEG compression not supported"
+            )
+        if spp < 3:
+            raise ValueError("YCbCr TIFF with <3 samples")
     else:
         raise NotImplementedError(f"TIFF photometric {photometric} not supported")
     offsets = vals(273)
@@ -251,6 +261,41 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, dict]:
             if len(raw) < n_rows * w * spp:
                 raise ValueError("TIFF Deflate strip short of size")
             data += raw[: n_rows * w * spp]
+        elif compression == 7:
+            # new-style JPEG (TIFF Tech Note 2): each strip is a full
+            # JPEG stream; shared tables may live in the JPEGTables tag
+            # (347) as an abbreviated SOI..tables..EOI stream whose body
+            # is spliced after the strip's SOI
+            from geoharvest_spark.multimodal import decode_jpeg
+
+            tbl = b""
+            if 347 in tags:
+                traw = bytes(tags[347][2])
+                if (
+                    len(traw) >= 4
+                    and traw[:2] == b"\xff\xd8"
+                    and traw[-2:] == b"\xff\xd9"
+                ):
+                    tbl = traw[2:-2]
+                else:
+                    raise ValueError("TIFF JPEGTables malformed")
+            if bytes(chunk[:2]) != b"\xff\xd8":
+                raise ValueError("TIFF JPEG strip missing SOI")
+            strip_img = decode_jpeg(b"\xff\xd8" + tbl + bytes(chunk[2:]))
+            n_rows = min(rows_per_strip, h - si * rows_per_strip)
+            if strip_img.shape[0] != n_rows or strip_img.shape[1] != w:
+                raise ValueError(
+                    f"TIFF JPEG strip dims {strip_img.shape[:2]} != "
+                    f"({n_rows}, {w})"
+                )
+            if strip_img.ndim == 2:
+                if spp != 1:
+                    raise ValueError("gray JPEG strip in multi-sample TIFF")
+                data += strip_img.tobytes()
+            else:
+                if spp < 3:
+                    raise ValueError("color JPEG strip in 1-sample TIFF")
+                data += np.ascontiguousarray(strip_img[:, :, :3]).tobytes()
         else:
             raise NotImplementedError(
                 f"TIFF compression {compression} not supported"
@@ -292,12 +337,16 @@ def encode_tiff(
     """Minimal little-endian TIFF writer (8-bit gray or RGB, one strip)
     with optional GeoTIFF georeferencing (pixel_scale (sx, sy) +
     tiepoint (lon0, lat0) pinning raster (0,0)), LZW compression
-    (``compression=5``), and horizontal differencing
-    (``predictor=2``)."""
-    if compression not in (1, 5, 8):
+    (``compression=5``), horizontal differencing (``predictor=2``), and
+    new-style JPEG strips (``compression=7`` — the strip is one
+    self-contained 4:4:4 JPEG; gray keeps photometric 1, color is
+    written photometric 6/YCbCr per TIFF Tech Note 2)."""
+    if compression not in (1, 5, 7, 8):
         raise ValueError(f"encode_tiff compression {compression}")
     if predictor not in (1, 2):
         raise ValueError(f"encode_tiff predictor {predictor}")
+    if compression == 7 and predictor == 2:
+        raise ValueError("predictor is not defined for JPEG strips")
     img = np.asarray(img, dtype=np.uint8)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -314,6 +363,12 @@ def encode_tiff(
         import zlib
 
         body = zlib.compress(body, 6)
+    elif compression == 7:
+        from geoharvest_spark.multimodal import encode_jpeg
+
+        body = encode_jpeg(
+            img if gray else img[:, :, :3], quality=95, subsample="444"
+        )
 
     entries = []  # (tag, type, count, value_or_bytes)
 
@@ -340,7 +395,7 @@ def encode_tiff(
             (258, 3, 3, struct.pack("<I", 0))
         )  # patched below (needs extra area)
     short(259, compression)
-    short(262, 1 if gray else 2)
+    short(262, 1 if gray else (6 if compression == 7 else 2))
     long_(273, 0)  # patched
     short(277, spp)
     long_(278, h)

@@ -86,9 +86,10 @@ def test_tiff_malformed_and_gates():
         decode_tiff(good[:40])
     with pytest.raises(ValueError):
         decode_tiff(good[:-50])
-    # patch Compression (259): 7 (JPEG-in-TIFF) stays an honest gate;
-    # 5 (LZW) and 8 (Deflate) are implemented, so an UNrecompressed body
-    # must fail with a clean ValueError, not crash or emit wrong pixels
+    # patch Compression (259): 5 (LZW), 7 (JPEG — implemented r6) and
+    # 8 (Deflate) are implemented, so an UNrecompressed body mislabeled
+    # with any of them must fail with a clean ValueError, not crash or
+    # emit wrong pixels
     import struct as st
 
     n = st.unpack("<H", good[8:10])[0]
@@ -101,7 +102,7 @@ def test_tiff_malformed_and_gates():
                 b[o + 8 : o + 10] = st.pack("<H", comp)
         return bytes(b)
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_tiff(_patched(7))
     with pytest.raises(ValueError):
         decode_tiff(_patched(5))
@@ -313,3 +314,122 @@ def test_raster_zonal_stats_matches_numpy(spark):
         assert got[zid][1] == n_pix
         assert got[zid][2] == s_val
         assert got[zid][3] == s_val / n_pix
+
+
+def _split_jpeg_tables(jp: bytes):
+    """Move DQT/DHT segments of a JPEG stream into an abbreviated
+    JPEGTables stream (SOI..tables..EOI), per TIFF Tech Note 2."""
+    import struct as _s
+
+    i, tables, rest = 2, b"", b""
+    while i < len(jp):
+        m = jp[i + 1]
+        if m == 0xD9:
+            rest += jp[i : i + 2]
+            break
+        if m == 0xDA:
+            rest += jp[i:]
+            break
+        (ln,) = _s.unpack(">H", jp[i + 2 : i + 4])
+        seg = jp[i : i + 2 + ln]
+        if m in (0xDB, 0xC4):
+            tables += seg
+        else:
+            rest += seg
+        i += 2 + ln
+    return b"\xff\xd8" + tables + b"\xff\xd9", b"\xff\xd8" + rest
+
+
+def test_tiff_jpeg_strips_roundtrip():
+    # compression 7: strip is a real JPEG; decode must equal decoding
+    # the same JPEG directly (gray photometric 1, color photometric 6)
+    from geoharvest_spark.multimodal import decode_jpeg, encode_jpeg
+    from geoharvest_spark.raster import decode_tiff, encode_tiff
+
+    rng = np.random.RandomState(7)
+    g = np.clip(
+        np.add.outer(np.arange(24) * 3, np.arange(32) * 2)
+        + rng.randint(0, 8, (24, 32)),
+        0,
+        255,
+    ).astype(np.uint8)
+    rgb = np.stack([g, 255 - g, (g.astype(int) * 2 % 256)], axis=2).astype(
+        np.uint8
+    )
+    for img in (g, rgb):
+        t = encode_tiff(
+            img, pixel_scale=(0.1, 0.1), tiepoint=(10.0, 50.0), compression=7
+        )
+        out, meta = decode_tiff(t)
+        ref = decode_jpeg(encode_jpeg(img, quality=95, subsample="444"))
+        assert meta["compression"] == 7
+        assert np.array_equal(out, ref)
+        assert meta["geotransform"] == (10.0, 0.1, 50.0, 0.1)
+        # lossy but close
+        assert np.max(np.abs(out.astype(int) - img.astype(int))) <= 24
+
+
+def test_tiff_jpeg_tables_tag():
+    # shared-tables layout: DQT/DHT live in tag 347, strip keeps the rest
+    import struct as _s
+
+    from geoharvest_spark.raster import decode_tiff, encode_tiff
+
+    g = np.tile(np.arange(32, dtype=np.uint8) * 8, (24, 1))
+    t = encode_tiff(g, compression=7)
+    (ifd,) = _s.unpack("<I", t[4:8])
+    (n,) = _s.unpack("<H", t[ifd : ifd + 2])
+    tags = {}
+    for i in range(n):
+        o = ifd + 2 + 12 * i
+        tag, typ, cnt = _s.unpack("<HHI", t[o : o + 8])
+        tags[tag] = (typ, cnt, t[o + 8 : o + 12])
+    (soff,) = _s.unpack("<I", tags[273][2])
+    (scnt,) = _s.unpack("<I", tags[279][2])
+    tbl_stream, strip = _split_jpeg_tables(t[soff : soff + scnt])
+    hdr = 8 + 2 + 12 * (n + 1) + 4
+    out = bytearray(
+        b"II*\x00" + _s.pack("<I", 8) + _s.pack("<H", n + 1)
+    )
+    entries = [
+        [tag, typ, cnt, raw] for tag, (typ, cnt, raw) in tags.items()
+    ] + [[347, 7, len(tbl_stream), None]]
+    for tag, typ, cnt, raw in sorted(entries):
+        if tag == 347:
+            raw = _s.pack("<I", hdr)
+        elif tag == 273:
+            raw = _s.pack("<I", hdr + len(tbl_stream))
+        elif tag == 279:
+            raw = _s.pack("<I", len(strip))
+        out += _s.pack("<HHI", tag, typ, cnt) + raw[:4].ljust(4, b"\x00")
+    out += _s.pack("<I", 0)
+    assert len(out) == hdr
+    out += tbl_stream + strip
+    got, _ = decode_tiff(bytes(out))
+    ref, _ = decode_tiff(t)
+    assert np.array_equal(got, ref)
+
+
+def test_tiff_jpeg_gates():
+    import pytest as _pt
+
+    from geoharvest_spark.raster import decode_tiff, encode_tiff
+
+    g = np.zeros((8, 8), dtype=np.uint8)
+    with _pt.raises(ValueError):
+        encode_tiff(g, compression=7, predictor=2)
+    # YCbCr photometric without JPEG compression is an honest gate
+    t = encode_tiff(np.zeros((8, 8, 3), dtype=np.uint8), compression=7)
+    bad = bytearray(t)
+    # flip compression tag 259 value from 7 to 1 (leave photometric 6)
+    import struct as _s
+
+    (ifd,) = _s.unpack("<I", t[4:8])
+    (n,) = _s.unpack("<H", t[ifd : ifd + 2])
+    for i in range(n):
+        o = ifd + 2 + 12 * i
+        tag = _s.unpack("<H", t[o : o + 2])[0]
+        if tag == 259:
+            bad[o + 8 : o + 10] = _s.pack("<H", 1)
+    with _pt.raises(NotImplementedError):
+        decode_tiff(bytes(bad))
