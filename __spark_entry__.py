@@ -2425,6 +2425,71 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["spatial_dbscan"] = spatial_dbscan
 
+    def warc_ingest(spark, sf):
+        """WARC source format: documents are wrapped in the deterministic
+        page template, composed into byte-accurate WARC 1.0 files (10
+        response records + a warcinfo header each, applyInPandas per
+        file), then PARSED BACK by the sequential record walk
+        (warc.parse_warc_records). The oracle computes the expected
+        (uri, status, bytes, md5-of-body) closed-form from the same
+        template — any Content-Length arithmetic or header-parsing slip
+        breaks the hash."""
+        from geoharvest_spark import warc as wc
+
+        d = _t(spark, sf, "documents")
+        html = F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(
+                "</title><style>p{color:red}</style>"
+                "<script>var x=1;</script></head>"
+                "<body><nav>Home &gt; Docs</nav><p>"
+            ),
+            F.col("text"),
+            F.lit("</p><!-- footer --><div>&copy; 2026</div></body></html>"),
+        )
+        d2 = d.select(
+            F.expr("doc_id div 10").alias("file_id"),
+            "doc_id",
+            F.concat(
+                F.lit("http://warc.site/"), F.col("doc_id").cast("string")
+            ).alias("url"),
+            html.alias("html"),
+        )
+
+        def _build(pdf):
+            import pandas as _pd
+
+            pdf = pdf.sort_values("doc_id")
+            fid = int(pdf["file_id"].iloc[0])
+            recs = [
+                (u, "2024-01-01T00:00:00Z", h.encode())
+                for u, h in zip(pdf["url"], pdf["html"])
+            ]
+            return _pd.DataFrame(
+                [{"file_id": fid, "payload": wc.build_warc_file(recs, fid)}]
+            )
+
+        files = d2.groupBy("file_id").applyInPandas(
+            _build, "file_id long, payload binary"
+        )
+        recs = wc.parse_warc_records(files)
+        return (
+            recs.where(F.col("warc_type") == "response")
+            .select(
+                F.element_at(F.split("target_uri", "/"), -1)
+                .cast("long")
+                .alias("doc_id"),
+                "target_uri",
+                "http_status",
+                F.length("body").cast("long").alias("n_bytes"),
+                F.md5("body").alias("body_md5"),
+            )
+            .orderBy("doc_id")
+        )
+
+    Q["warc_ingest"] = warc_ingest
+
     def stream_windowed_counts(spark, sf):
         """§2.9 event-time windows through a REAL stream: the staged 3
         micro-batches drive windowed_event_counts in COMPLETE mode (the
@@ -4004,6 +4069,12 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "dedup_substring_spans": _substring_dedup_oracle_sql(8),
         "bm25_topk_search": rt.bm25_oracle_sql(),
         "semantic_dedup_ivf": _semantic_dedup_oracle_sql(16, sf_dir),
+        "warc_ingest": (
+            f"WITH {_html_page_cte()} "
+            "SELECT doc_id, 'http://warc.site/' || doc_id AS target_uri, "
+            "200 AS http_status, octet_length(encode(html))::BIGINT AS n_bytes, "
+            "md5(html) AS body_md5 FROM h ORDER BY doc_id"
+        ),
         "spatial_dbscan": (
             # same grid-join candidate generation, degree/core test, and
             # recursive-CTE reachability-min as the engine; coordinates
