@@ -121,11 +121,27 @@ def bm25_topk(
         .groupBy("query_id", "doc")
         .agg(F.sum("contrib").alias("score_int"))
     )
+    # two-stage top-k: a window partitioned by query_id alone collapses
+    # to |queries| tasks (one task ranks the whole corpus's scores for a
+    # query). Stage 1 ranks within (query_id, doc-hash bucket) — 32x the
+    # parallelism — and keeps k per bucket; the global top-k is a subset
+    # of the per-bucket top-ks, so stage 2's window sees <= 32*k rows
+    # per query. Same (score desc, doc asc) order both stages keeps the
+    # result deterministic.
+    bucket = F.pmod(F.xxhash64("doc"), F.lit(32))
+    w1 = Window.partitionBy("query_id", "bkt").orderBy(
+        F.col("score_int").desc(), F.col("doc").asc()
+    )
+    pruned = (
+        scored.withColumn("bkt", bucket)
+        .withColumn("r1", F.row_number().over(w1))
+        .where(F.col("r1") <= k)
+    )
     win = Window.partitionBy("query_id").orderBy(
         F.col("score_int").desc(), F.col("doc").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(win))
+        pruned.withColumn("rank", F.row_number().over(win))
         .where(F.col("rank") <= k)
         .select(
             "query_id",

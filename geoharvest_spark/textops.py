@@ -1148,7 +1148,13 @@ def substring_span_dedup(
     grams_safe = F.when(n >= k, grams).otherwise(
         F.expr("cast(array() as array<bigint>)")
     )
-    occ = base.select(F.col("id"), F.posexplode(grams_safe).alias("pos", "gh"))
+    # cached: consumed by BOTH the keeper aggregate and the dup probe —
+    # without it the tokenize+hash+explode pass (the op's dominant cost,
+    # ~1/3 of wall time at the 250k bench) runs twice (same discipline
+    # as knn_join's census cache; bench clears cache between reps)
+    occ = base.select(
+        F.col("id"), F.posexplode(grams_safe).alias("pos", "gh")
+    ).cache()
     keeper = occ.groupBy("gh").agg(
         F.min(F.struct("id", "pos")).alias("keep"),
         F.count(F.lit(1)).alias("cnt"),
