@@ -204,6 +204,28 @@ def main() -> None:
             "doc_id", extract_text_from_html(html).alias("t")
         )
 
+    from geoharvest_spark.retrieval import DRIVER_QUERIES as rt_queries
+    from geoharvest_spark.retrieval import bm25_topk as rt_bm25
+    from geoharvest_spark.textops import substring_span_dedup as tx_substring
+
+    def _dbscan_workload():
+        from geoharvest_spark.clustering import dbscan
+
+        pts = spark.range(200_000).select(
+            F.col("id"),
+            (
+                (F.col("id") % 4096 % 64) * 4
+                + ((F.col("id") * 13) % 90) / F.lit(100.0)
+                - 0.45
+            ).alias("x"),
+            (
+                F.expr("(id % 4096) div 64") * 4
+                + ((F.col("id") * 17) % 90) / F.lit(100.0)
+                - 0.45
+            ).alias("y"),
+        )
+        return dbscan(pts, eps=0.5, min_pts=4)
+
     def _cc_workload():
         # near-dup clustering: connected components over a planted
         # chain+star pair graph on the 250k doc ids (~140k edges, ~5
@@ -296,6 +318,22 @@ def main() -> None:
         # perplexity filter scoring: explode bigrams -> broadcast join
         # vs the trained cost table -> two-stage integer aggregate
         "lm_score_250k": lambda: _lm.with_lm_score(bench_docs, _lm_model),
+        # exact-substring span dedup (Lee et al.): ~25M 8-gram hashes
+        # shuffled as ids-only rows, groupBy-min keeper, per-doc merge
+        "substring_dedup_250k": lambda: tx_substring(
+            bench_docs, k=8, emit_clean=False
+        ),
+        # BM25 retrieval: query-vocab-pruned postings (two corpus scans
+        # + stats scan; AQE reuses the postings exchange), bucketed
+        # two-stage top-k (no per-query window collapse)
+        "bm25_search_250k": lambda: rt_bm25(
+            bench_docs, list(rt_queries), k=10
+        ),
+        # spatial DBSCAN: 200k points in 4096 planted clusters; grid
+        # self-join candidates + degree cores + CC rounds (the CC
+        # driver-sync fixed cost dominates at this size — same shape as
+        # connected_components_250k)
+        "dbscan_200k": lambda: _dbscan_workload(),
         "decontaminate_250k": lambda: contamination_stats(
             bench_docs.where(F.col("doc_id") % 50 != 0), bench_subset, n=8
         ),
