@@ -2425,15 +2425,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["spatial_dbscan"] = spatial_dbscan
 
-    def warc_ingest(spark, sf):
-        """WARC source format: documents are wrapped in the deterministic
-        page template, composed into byte-accurate WARC 1.0 files (10
+    def _warc_response_recs(spark, sf):
+        """Shared WARC round-trip: documents wrapped in the page
+        template, composed into byte-accurate WARC 1.0 files (10
         response records + a warcinfo header each, applyInPandas per
-        file), then PARSED BACK by the sequential record walk
-        (warc.parse_warc_records). The oracle computes the expected
-        (uri, status, bytes, md5-of-body) closed-form from the same
-        template — any Content-Length arithmetic or header-parsing slip
-        breaks the hash."""
+        file), then parsed back by the sequential record walk
+        (warc.parse_warc_records)."""
         from geoharvest_spark import warc as wc
 
         d = _t(spark, sf, "documents")
@@ -2473,7 +2470,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         files = d2.groupBy("file_id").applyInPandas(
             _build, "file_id long, payload binary"
         )
-        recs = wc.parse_warc_records(files)
+        return wc.parse_warc_records(files)
+
+    def warc_ingest(spark, sf):
+        """WARC source format round-trip (_warc_response_recs). The
+        oracle computes the expected (uri, status, bytes, md5-of-body)
+        closed-form from the same page template — any Content-Length
+        arithmetic or header-parsing slip breaks the hash."""
+        recs = _warc_response_recs(spark, sf)
         return (
             recs.where(F.col("warc_type") == "response")
             .select(
@@ -2489,6 +2493,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     Q["warc_ingest"] = warc_ingest
+
+    def warc_wet_extract(spark, sf):
+        """WARC -> WET derivation: the byte-accurate WARC round-trip
+        composed with boilerplate-stripping text extraction
+        (warc.wet_records) — the first stage of every crawl-text
+        pipeline that starts from raw web archives. The oracle applies
+        the shared page-template extraction chain (_html_page_cte) so
+        the record filter (response/200/text-html), the UTF-8 body
+        decode, AND the extraction spec are all checked at once."""
+        from geoharvest_spark import warc as wc
+
+        wet = wc.wet_records(_warc_response_recs(spark, sf))
+        return wet.select(
+            F.element_at(F.split("target_uri", "/"), -1)
+            .cast("long")
+            .alias("doc_id"),
+            "target_uri",
+            F.length("wet_text").cast("long").alias("wet_len"),
+            F.md5("wet_text").alias("wet_md5"),
+        ).orderBy("doc_id")
+
+    Q["warc_wet_extract"] = warc_wet_extract
+
+    def link_pagerank(spark, sf):
+        """Link graph + integer PageRank: each doc becomes a page at
+        http://pr.site/p/<id> whose HTML plants four live links
+        (absolute, root-relative, relative, protocol-relative — targets
+        are affine functions of doc_id mod 500, always valid ids at
+        every SF) and three junk hrefs (mailto / #fragment /
+        javascript). webops.extract_links pulls and resolves the edges
+        (distinct, self-loops dropped); graph.pagerank runs 10
+        fixed-point BIGINT iterations. The oracle replays the SAME href
+        extraction + resolution in RE2/SQL and unrolls the identical
+        integer recurrence as chained CTEs — a slip anywhere in
+        extraction, resolution, degree accounting, or rank arithmetic
+        breaks bit-exact equality."""
+        from geoharvest_spark import webops as wb
+        from geoharvest_spark.graph import pagerank
+
+        d = _t(spark, sf, "documents")
+        i = F.col("doc_id")
+
+        def tgt(m, k):
+            return ((i * m + k) % 500).cast("string")
+
+        html = F.concat(
+            F.lit('<html><body><a href="http://pr.site/p/'),
+            tgt(7, 1),
+            F.lit('">a</a><a href="/p/'),
+            tgt(11, 3),
+            F.lit('">b</a><a href="'),
+            tgt(13, 5),
+            F.lit('">c</a><a href="//pr.site/p/'),
+            tgt(17, 9),
+            F.lit(
+                '">d</a><a href="mailto:x@y.z">e</a>'
+                '<a href="#top">f</a>'
+                '<a href="javascript:void(0)">g</a></body></html>'
+            ),
+        )
+        pages = d.select(
+            i.alias("src"),
+            F.concat(F.lit("http://pr.site/p/"), i.cast("string")).alias(
+                "url"
+            ),
+            html.alias("html"),
+        )
+        edges = (
+            wb.extract_links(pages)
+            .where(F.col("link").rlike(r"^http://pr\.site/p/[0-9]+$"))
+            .select(
+                "src",
+                F.element_at(F.split("link", "/"), -1)
+                .cast("long")
+                .alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        nodes = d.select(i.alias("id"))
+        pr = pagerank(edges, nodes=nodes, iters=10)
+        outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+        indeg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("idg"))
+        return (
+            pr.join(outdeg, pr["id"] == outdeg["src"], "left")
+            .join(indeg, pr["id"] == indeg["dst"], "left")
+            .select(
+                F.col("id").alias("doc_id"),
+                F.coalesce("od", F.lit(0)).cast("long").alias("out_deg"),
+                F.coalesce("idg", F.lit(0)).cast("long").alias("in_deg"),
+                "rank",
+            )
+            .orderBy("doc_id")
+        )
+
+    Q["link_pagerank"] = link_pagerank
 
     def stream_windowed_counts(spark, sf):
         """§2.9 event-time windows through a REAL stream: the staged 3
@@ -2969,6 +3069,82 @@ def _html_page_cte(
         "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
         "'&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), "
         "'\\s+', ' ', 'g')) AS ex FROM h) "
+    )
+
+
+def _pagerank_oracle_sql(iters: int = 10) -> str:
+    """Full SQL re-implementation of link_pagerank: the page template's
+    href planting, RE2 extraction + resolution (the extract_links spec),
+    distinct self-loop-free edges, then the integer PageRank recurrence
+    (graph.pagerank) unrolled as ``iters`` chained CTEs. Every value is
+    BIGINT (sums cast down from HUGEINT; ``//`` is integer floor
+    division in both engines on non-negative operands)."""
+    scale = 10**12
+    base = 15 * scale // 100
+    ctes = [
+        (
+            "pages AS (SELECT doc_id AS src, "
+            "'http://pr.site/p/' || doc_id AS url, "
+            "'<html><body><a href=\"http://pr.site/p/' || "
+            "((doc_id*7+1)%500) || "
+            "'\">a</a><a href=\"/p/' || ((doc_id*11+3)%500) || "
+            "'\">b</a><a href=\"' || ((doc_id*13+5)%500) || "
+            "'\">c</a><a href=\"//pr.site/p/' || ((doc_id*17+9)%500) || "
+            '\'">d</a><a href="mailto:x@y.z">e</a><a href="#top">f</a>'
+            "<a href=\"javascript:void(0)\">g</a></body></html>' AS html "
+            "FROM documents)"
+        ),
+        (
+            "hrefs AS (SELECT src, url, unnest(regexp_extract_all("
+            "html, '(?i)href=\"([^\"]*)\"', 1)) AS href FROM pages)"
+        ),
+        (
+            "live AS (SELECT src, url, href FROM hrefs WHERE href <> '' "
+            "AND href NOT LIKE '#%' AND NOT regexp_matches(href, "
+            "'^(?i)(mailto|javascript):'))"
+        ),
+        (
+            "res AS (SELECT src, regexp_replace(CASE "
+            "WHEN regexp_matches(href, '^(?i)https?://') THEN href "
+            "WHEN href LIKE '//%' THEN "
+            "regexp_extract(url, '^(https?)://', 1) || ':' || href "
+            "WHEN href LIKE '/%' THEN "
+            "regexp_extract(url, '^(https?://[^/]+)', 1) || href "
+            "ELSE regexp_replace(url, '[^/]*$', '') || href END, "
+            "'#.*$', '') AS link FROM live)"
+        ),
+        (
+            # TRY_CAST: DuckDB may evaluate the projection before the
+            # regexp filter; post-filter every link ends in digits, so
+            # the TRY never actually yields NULL
+            "edges AS (SELECT DISTINCT src, dst FROM (SELECT src, "
+            "TRY_CAST(regexp_extract(link, '([0-9]+)$', 1) AS BIGINT) "
+            "AS dst FROM res WHERE regexp_matches(link, "
+            "'^http://pr\\.site/p/[0-9]+$')) WHERE src <> dst)"
+        ),
+        "outdeg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY 1)",
+        "indeg AS (SELECT dst, count(*)::BIGINT AS idg FROM edges GROUP BY 1)",
+        "nodes AS (SELECT doc_id AS id FROM documents)",
+        f"r0 AS (SELECT id, {scale}::BIGINT AS rank FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"s{t} AS (SELECT e.dst AS id, sum(r.rank // o.od)::BIGINT "
+            f"AS s FROM edges e JOIN r{t - 1} r ON e.src = r.id "
+            "JOIN outdeg o ON o.src = e.src GROUP BY 1)"
+        )
+        ctes.append(
+            f"r{t} AS (SELECT n.id, ({base} + 85 * "
+            f"(coalesce(s.s, 0) // 100))::BIGINT AS rank "
+            f"FROM nodes n LEFT JOIN s{t} s ON n.id = s.id)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT n.id AS doc_id, coalesce(o.od, 0)::BIGINT AS out_deg, "
+        "coalesce(i.idg, 0)::BIGINT AS in_deg, r.rank "
+        f"FROM nodes n JOIN r{iters} r ON r.id = n.id "
+        "LEFT JOIN outdeg o ON o.src = n.id "
+        "LEFT JOIN indeg i ON i.dst = n.id ORDER BY doc_id"
     )
 
 
@@ -4075,6 +4251,13 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "200 AS http_status, octet_length(encode(html))::BIGINT AS n_bytes, "
             "md5(html) AS body_md5 FROM h ORDER BY doc_id"
         ),
+        "warc_wet_extract": (
+            f"WITH {_html_page_cte()} "
+            "SELECT doc_id, 'http://warc.site/' || doc_id AS target_uri, "
+            "len(ex)::BIGINT AS wet_len, md5(ex) AS wet_md5 "
+            "FROM e ORDER BY doc_id"
+        ),
+        "link_pagerank": _pagerank_oracle_sql(10),
         "spatial_dbscan": (
             # same grid-join candidate generation, degree/core test, and
             # recursive-CTE reachability-min as the engine; coordinates

@@ -1,0 +1,118 @@
+"""Link-graph analytics over edge DataFrames — PageRank for crawl
+prioritization and domain-authority scoring.
+
+Web-curation pipelines rank pages/domains by link authority (Common
+Crawl publishes harmonic-centrality and PageRank rankings per crawl) to
+pick what to fetch next and to weight quality scores. The input here is
+the edge list produced by `webops.extract_links` (src page -> dst page),
+usually deduplicated and self-loop-free.
+
+Why INTEGER arithmetic: floating-point PageRank sums are
+order-dependent, so two runs (or Spark vs an oracle) disagree in the
+last ulps and no exact correctness check is possible. This
+implementation keeps every rank as a scaled BIGINT and every transfer
+as integer floor division — sums of integers are associative, so the
+result is bit-identical across partitionings, cluster sizes, AND
+engines (the DuckDB oracle replays the same recurrence in SQL). The
+cost is a deterministic rounding loss of < out_deg ulp per node per
+iteration (mass leaks to the floor), which is orders of magnitude below
+the damping teleport term and irrelevant for ranking.
+
+Execution shape (the standard Pregel decomposition):
+  per iteration = one broadcast-free equi-join (ranks x out-degree on
+  src), one shuffle-join onto edges, one hash aggregate (sum by dst),
+  one left join back to the node set. Lineage is truncated with an
+  eager localCheckpoint per iteration (same discipline as
+  textops.connected_components) so the plan does not grow with the
+  iteration count; 10 iterations = 10 bounded-size shuffles, which is
+  exactly how GraphX/Pregel schedules it on a real cluster.
+
+Reference: the reference harvester has no graph operator; this extends
+the engine's web-curation family (SURVEY §2 "beyond-reference" web ops).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    iters: int = 10,
+    scale: int = 10**12,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank.
+
+    edges: DataFrame with ``src``/``dst`` columns (caller dedups and
+    drops self-loops — multiplicity here means weighted edges).
+    nodes: optional DataFrame with an ``id`` column giving the full
+    vertex set (defaults to distinct src union dst; pass it explicitly
+    when isolated pages must still receive the teleport rank).
+
+    Recurrence (all BIGINT, both engines):
+        r_0(v)   = scale
+        contrib(u) = r(u) div out_deg(u)          -- per out-edge
+        S(v)     = sum of contrib over in-edges    -- order-free int sum
+        r_{t+1}(v) = ((den-num)*scale) div den
+                     + num * (S(v) div den)
+    Dangling nodes (out_deg 0) keep their rank but transfer nothing —
+    their mass leaves the system, the deterministic variant of the
+    usual "dangling mass" choice.
+
+    Overflow guard: a hub can accumulate nearly all mass, so
+    n_nodes * scale * damping_num must stay under 2^62 (DuckDB BIGINT
+    multiply raises on overflow; numpy would silently wrap). Checked
+    eagerly with one count job; shrink `scale` for bigger graphs.
+
+    Returns (id, rank) — rank is the scaled BIGINT; divide by `scale`
+    for the conventional per-node-mass-1 reading.
+    """
+    if nodes is None:
+        nodes = (
+            edges.select(F.col("src").alias("id"))
+            .union(edges.select(F.col("dst").alias("id")))
+            .distinct()
+        )
+    nodes = nodes.select(F.col("id").cast("long").alias("id"))
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0).cast("long"))
+    if n * scale * damping_num >= 2**62:
+        raise ValueError(
+            f"n_nodes*scale*damping_num = {n * scale * damping_num} "
+            f"risks BIGINT overflow; lower scale (= {scale})"
+        )
+    base = ((damping_den - damping_num) * scale) // damping_den
+
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.select("id", F.lit(int(scale)).cast("long").alias("rank"))
+    for _ in range(int(iters)):
+        contrib = ranks.join(
+            outdeg, ranks["id"] == outdeg["src"]
+        ).select("src", F.expr("rank div out_deg").alias("contrib"))
+        s = (
+            e.join(contrib, "src")
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        ranks = (
+            nodes.join(s, nodes["id"] == s["dst"], "left")
+            .select(
+                "id",
+                (
+                    F.lit(int(base))
+                    + F.lit(int(damping_num))
+                    * F.expr(f"coalesce(s, 0L) div {int(damping_den)}")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

@@ -204,3 +204,25 @@ def parse_warc_records(
     return df.select(file_id_col, payload_col).mapInPandas(
         _parse, WARC_RECORDS_DDL
     )
+
+
+def wet_records(recs: DataFrame, text_col: str = "wet_text") -> DataFrame:
+    """WARC -> WET conversion: keep successful HTML ``response``
+    records and attach the boilerplate-stripped plain text of the body
+    (webops.extract_text_from_html) — the "WET file" derivation Common
+    Crawl publishes alongside its WARCs, and the entry point of every
+    text-curation pipeline that starts from raw crawl archives.
+
+    The binary body is decoded as UTF-8 (Spark's binary->string cast);
+    the extraction chain itself is pure Catalyst, so downstream of the
+    parse this is all whole-stage codegen — no second Python stage."""
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.webops import extract_text_from_html
+
+    return recs.where(
+        F.col("ok")
+        & (F.col("warc_type") == "response")
+        & (F.col("http_status") == 200)
+        & F.col("http_content_type").contains("text/html")
+    ).withColumn(text_col, extract_text_from_html(F.col("body").cast("string")))

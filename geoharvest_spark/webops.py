@@ -425,3 +425,61 @@ def parse_sitemaps(
             )
 
     return df.mapInPandas(_map, out_schema)
+
+
+def extract_links(
+    df: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+    out_col: str = "link",
+) -> DataFrame:
+    """Hyperlink extraction + reference resolution — the edge producer
+    for a crawl link graph (frontier expansion, PageRank, spam-domain
+    analysis all start here).
+
+    Spec (shared verbatim with the SQL oracle):
+
+    1. collect every ``href="..."`` attribute value (case-insensitive);
+    2. drop empty values, pure fragments (``#...``), and ``mailto:`` /
+       ``javascript:`` pseudo-schemes;
+    3. resolve against the page's base URL: absolute ``http(s)://``
+       values pass through; ``//host/...`` takes the base's scheme;
+       ``/path`` joins the base origin; anything else joins the base
+       directory (base up to its last ``/``);
+    4. strip any fragment from the resolved URL.
+
+    One row per surviving link (``out_col``), original page columns
+    retained. Pure Catalyst: regexp_extract_all -> array filter ->
+    explode -> a when-chain of string ops, all whole-stage codegen
+    before/after the generator — no UDF, no shuffle; at 100 TB this
+    rides the scan stage. Relative-reference handling is the RFC 3986
+    merge rule for the no-dot-segment case (deliberately not a full
+    remove_dot_segments normalizer — same bounded-cost trade-off as
+    extract_text_from_html vs an HTML5 tree parser).
+    """
+    hrefs = F.filter(
+        F.regexp_extract_all(
+            F.col(html_col), F.lit(r'(?i)href="([^"]*)"'), F.lit(1)
+        ),
+        lambda h: (h != "")
+        & ~h.startswith("#")
+        & ~h.rlike(r"^(?i)(mailto|javascript):"),
+    )
+    d = df.select("*", F.explode(hrefs).alias("_href"))
+    h = F.col("_href")
+    base = F.col(base_col)
+    resolved = (
+        F.when(h.rlike(r"^(?i)https?://"), h)
+        .when(
+            h.startswith("//"),
+            F.concat(F.regexp_extract(base, r"^(https?)://", 1), F.lit(":"), h),
+        )
+        .when(
+            h.startswith("/"),
+            F.concat(F.regexp_extract(base, r"^(https?://[^/]+)", 1), h),
+        )
+        .otherwise(F.concat(F.regexp_replace(base, r"[^/]*$", ""), h))
+    )
+    return d.withColumn(
+        out_col, F.regexp_replace(resolved, r"#.*$", "")
+    ).drop("_href")

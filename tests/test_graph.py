@@ -1,0 +1,69 @@
+"""Integer PageRank (graph.pagerank): hand-computed fixtures, the
+order-free-arithmetic determinism claim, and the overflow guard."""
+
+from __future__ import annotations
+
+import pytest
+
+from geoharvest_spark.graph import pagerank
+
+SCALE = 10**12
+BASE = 15 * SCALE // 100
+
+
+def _ranks(df):
+    return {r.id: r.rank for r in df.collect()}
+
+
+def test_ring_is_a_fixed_point(spark):
+    # every node passes its full rank on: r stays exactly `scale`
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    got = _ranks(pagerank(edges, iters=7))
+    assert got == {1: SCALE, 2: SCALE, 3: SCALE}
+
+
+def test_star_one_iteration_hand_computed(spark):
+    # 1 -> {2,3}; 2,3 dangling; 4 isolated. contrib(1) = scale div 2;
+    # r1(2) = base + 85 * ((scale div 2) div 100)
+    nodes = spark.createDataFrame([(1,), (2,), (3,), (4,)], "id long")
+    edges = spark.createDataFrame([(1, 2), (1, 3)], "src long, dst long")
+    got = _ranks(pagerank(edges, nodes=nodes, iters=1))
+    leaf = BASE + 85 * ((SCALE // 2) // 100)
+    assert got == {1: BASE, 2: leaf, 3: leaf, 4: BASE}
+
+
+def test_hub_accumulates_more_rank(spark):
+    # bidirectional star: every spoke links the hub, hub links back.
+    # The hub aggregates 39 full contributions vs 1/39th back, so it
+    # dominates at EVERY iteration (an asymmetric 0<->1 cycle would
+    # still be inside its damped period-2 oscillation at 10 rounds)
+    n = 40
+    rows = [(i, 0) for i in range(1, n)] + [(0, i) for i in range(1, n)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = _ranks(pagerank(edges, iters=10))
+    assert got[0] > 4 * max(v for k, v in got.items() if k != 0)
+    assert min(got.values()) >= BASE
+
+
+def test_bit_identical_across_partitionings(spark):
+    # integer sums are order-free: 1 partition vs 16 partitions must
+    # agree bit-for-bit (the property the float version cannot have)
+    rows = [(i, (i * 7 + 3) % 50) for i in range(200) if i != (i * 7 + 3) % 50]
+    one = spark.createDataFrame(rows, "src long, dst long").coalesce(1)
+    many = spark.createDataFrame(rows, "src long, dst long").repartition(16)
+    assert _ranks(pagerank(one, iters=6)) == _ranks(pagerank(many, iters=6))
+
+
+def test_overflow_guard_raises(spark):
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    with pytest.raises(ValueError, match="overflow"):
+        pagerank(edges, iters=1, scale=2**61)
+
+
+def test_empty_edges_all_nodes_get_base(spark):
+    nodes = spark.createDataFrame([(7,), (8,)], "id long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    got = _ranks(pagerank(edges, nodes=nodes, iters=3))
+    assert got == {7: BASE, 8: BASE}

@@ -153,3 +153,21 @@ def test_tiny_files(nrec):
     rows = wc.parse_warc_bytes(payload)
     assert len(rows) == nrec + 1  # warcinfo always present
     assert all(r["ok"] for r in rows)
+
+
+def test_wet_records_extracts_html_responses_only(spark):
+    html = (
+        b"<html><head><script>var j=1;</script></head>"
+        b"<body><p>Hello &amp; world</p><!-- c --></body></html>"
+    )
+    payload = wc.build_warc_file(
+        [("http://s/1", "2024-01-01T00:00:00Z", html)]
+    )
+    files = spark.createDataFrame(
+        [(0, bytearray(payload))], "file_id long, payload binary"
+    )
+    wet = wc.wet_records(wc.parse_warc_records(files)).collect()
+    # warcinfo record filtered out, response kept with stripped text
+    assert [(r.target_uri, r.wet_text) for r in wet] == [
+        ("http://s/1", "Hello & world")
+    ]

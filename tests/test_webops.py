@@ -331,3 +331,50 @@ def test_parse_sitemaps_flavors_and_diverts(spark):
     assert len(by[5]) == 1
     assert by[5][0]["loc"] == "https://b.test/ok"
     assert by[5][0]["priority"] is None
+
+
+LINK_HTML = (
+    '<html><A HREF="http://other.com/x">1</a>'
+    '<a href="//cdn.ex.com/img">2</a>'
+    '<a href="/root.html">3</a>'
+    '<a href="rel.html#frag">4</a>'
+    '<a href="#top">5</a><a href="mailto:x@y.z">6</a>'
+    '<a href="JavaScript:void(0)">7</a><a href="">8</a></html>'
+)
+
+
+def test_extract_links_resolution_table(spark):
+    df = spark.createDataFrame(
+        [(1, "https://ex.com/a/b/page.html", LINK_HTML)],
+        "doc_id long, url string, html string",
+    )
+    got = [r.link for r in wb.extract_links(df).collect()]
+    # junk (fragment-only, mailto, javascript, empty) dropped; four
+    # resolution modes; fragments stripped from resolved links
+    assert got == [
+        "http://other.com/x",
+        "https://cdn.ex.com/img",
+        "https://ex.com/root.html",
+        "https://ex.com/a/b/rel.html",
+    ]
+
+
+def test_extract_links_keeps_page_columns_one_row_per_link(spark):
+    df = spark.createDataFrame(
+        [(1, "http://a/", '<a href="/x">l</a><a href="/y">l</a>'),
+         (2, "http://b/", "no links here")],
+        "doc_id long, url string, html string",
+    )
+    rows = wb.extract_links(df).collect()
+    assert [(r.doc_id, r.link) for r in rows] == [
+        (1, "http://a/x"), (1, "http://a/y")]
+
+
+def test_extract_links_stays_jvm_side(spark):
+    df = spark.createDataFrame(
+        [(1, "http://a/", LINK_HTML)], "doc_id long, url string, html string"
+    )
+    plan = wb.extract_links(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the href array is built exactly once (no inline re-extraction)
+    assert plan.count("regexp_extract_all(") == 1
