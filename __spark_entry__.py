@@ -2571,6 +2571,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
             .where(F.col("src") != F.col("dst"))
             .distinct()
+            # materialize once: pagerank, out_deg and in_deg below all
+            # re-read the edge list; without this each re-runs the
+            # regexp extraction chain
+            .localCheckpoint(eager=True)
         )
         nodes = d.select(i.alias("id"))
         pr = pagerank(edges, nodes=nodes, iters=10)

@@ -226,6 +226,34 @@ def main() -> None:
         )
         return dbscan(pts, eps=0.5, min_pts=4)
 
+    def _pagerank_workload():
+        # link-graph PageRank: 4 planted affine out-links per doc (~1M
+        # edges, uniform in/out degree), 5 integer iterations at
+        # scale=1e10 (250k nodes keeps n*scale*85 under the BIGINT
+        # guard). Timing includes the driver-side Pregel loop — one
+        # join + hash agg + left join per iteration is the cost shape.
+        from geoharvest_spark.graph import pagerank
+
+        n = N_BENCH_DOCS
+        s = F.col("src")
+        edges = (
+            bench_docs.select(F.col("doc_id").alias("src"))
+            .select(
+                "src",
+                F.explode(
+                    F.array(
+                        (s * 7 + 1) % n,
+                        (s * 11 + 3) % n,
+                        (s * 13 + 5) % n,
+                        (s * 17 + 9) % n,
+                    )
+                ).alias("dst"),
+            )
+            .where(s != F.col("dst"))
+        )
+        nodes = bench_docs.select(F.col("doc_id").alias("id"))
+        return pagerank(edges, nodes=nodes, iters=5, scale=10**10)
+
     def _cc_workload():
         # near-dup clustering: connected components over a planted
         # chain+star pair graph on the 250k doc ids (~140k edges, ~5
@@ -334,6 +362,7 @@ def main() -> None:
         # driver-sync fixed cost dominates at this size — same shape as
         # connected_components_250k)
         "dbscan_200k": lambda: _dbscan_workload(),
+        "pagerank_250k": _pagerank_workload,
         "decontaminate_250k": lambda: contamination_stats(
             bench_docs.where(F.col("doc_id") % 50 != 0), bench_subset, n=8
         ),

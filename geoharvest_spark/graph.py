@@ -71,13 +71,25 @@ def pagerank(
     Returns (id, rank) — rank is the scaled BIGINT; divide by `scale`
     for the conventional per-node-mass-1 reading.
     """
+    # Materialize the iteration-invariant inputs ONCE: edges often
+    # derive from an expensive lineage (HTML link extraction, distinct)
+    # and every eager checkpoint below would otherwise re-run it per
+    # iteration. One localCheckpoint each for edges / out-degree /
+    # nodes makes the per-iteration cost exactly one join + one hash
+    # aggregate + one left join — the Pregel-cached-edges discipline.
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint(eager=True)
     if nodes is None:
         nodes = (
-            edges.select(F.col("src").alias("id"))
-            .union(edges.select(F.col("dst").alias("id")))
+            e.select(F.col("src").alias("id"))
+            .union(e.select(F.col("dst").alias("id")))
             .distinct()
         )
-    nodes = nodes.select(F.col("id").cast("long").alias("id"))
+    nodes = nodes.select(
+        F.col("id").cast("long").alias("id")
+    ).localCheckpoint(eager=True)
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0).cast("long"))
@@ -88,11 +100,11 @@ def pagerank(
         )
     base = ((damping_den - damping_num) * scale) // damping_den
 
-    e = edges.select(
-        F.col("src").cast("long").alias("src"),
-        F.col("dst").cast("long").alias("dst"),
+    outdeg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .localCheckpoint(eager=True)
     )
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     ranks = nodes.select("id", F.lit(int(scale)).cast("long").alias("rank"))
     for _ in range(int(iters)):
         contrib = ranks.join(

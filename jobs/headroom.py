@@ -348,10 +348,46 @@ def run_round5_legs(spark) -> None:
 
 def run_round6_legs(spark) -> None:
     """Round-6 additions at 8x scale: BPE token accounting (both
-    application paths) and zonal statistics (raster x vector join).
-    Per-unit cost must be flat or falling."""
+    application paths), zonal statistics (raster x vector join), and
+    integer PageRank (4x nodes). Per-unit cost must be flat or
+    falling."""
     import pandas as pd
     from pyspark.sql import functions as F
+
+    # pagerank: planted 4-out-regular graph, 5 iterations; the fixed
+    # per-iteration driver sync amortizes as the graph grows, so
+    # us-per-node must FALL at 4x
+    from geoharvest_spark.graph import pagerank
+
+    for n_ids in (250_000, 1_000_000):
+        ids = spark.range(n_ids).select("id").repartition(48).cache()
+        ids.count()
+        s = F.col("id")
+        best = float("inf")
+        for _ in range(2):
+            edges = ids.select(
+                s.alias("src"),
+                F.explode(
+                    F.array(*[(s * m + k) % n_ids
+                              for m, k in ((7, 1), (11, 3), (13, 5), (17, 9))])
+                ).alias("dst"),
+            ).where(F.col("src") != F.col("dst"))
+            t0 = time.perf_counter()
+            time_noop(pagerank(edges, nodes=ids, iters=5, scale=10**10))
+            best = min(best, time.perf_counter() - t0)
+        print(
+            json.dumps(
+                {
+                    "workload": "pagerank_5it",
+                    "nodes": n_ids,
+                    "edges": n_ids * 4,
+                    "sec": round(best, 3),
+                    "us_per_node": round(best / n_ids * 1e6, 2),
+                }
+            ),
+            flush=True,
+        )
+        ids.unpersist()
 
     from geoharvest_spark import raster as rst
     from geoharvest_spark.bpe import (

@@ -17,6 +17,10 @@ Workload (CPU-heavy, shuffle-real):
   W4 kNN: 300 queries, ring+window plan
   W5 chunk dedup: sub-document first-wins dedup over a 100k-doc synthetic
      corpus (explode + hash aggregates + equi-join — the webtext family)
+  W6 pagerank (extra leg, excluded from the cross-round total): integer
+     PageRank over a planted 4-out-regular 250k-node graph, 5 iterations
+     (per-iteration join + hash agg + left join + localCheckpoint — the
+     Pregel shape; the driver-side iteration sync is part of the cost)
 """
 
 from __future__ import annotations
@@ -184,6 +188,34 @@ def main() -> None:
     seconds["chunk_dedup"] = _timed_min(
         lambda: _noop(chunk_dedup(docs, chunk_tokens=20))
     )
+
+    # W6 pagerank: each invocation builds fresh eager localCheckpoints,
+    # so identical reps recompute honestly (no CacheManager plan-match —
+    # the connected_components precedent)
+    from geoharvest_spark.graph import pagerank
+
+    pr_nodes = (
+        spark.range(250_000).select("id").repartition(N_PART).cache()
+    )
+    rows["pr_nodes"] = pr_nodes.count()
+
+    def w6():
+        s = F.col("id")
+        n_ids = 250_000
+        edges = pr_nodes.select(
+            s.alias("src"),
+            F.explode(
+                F.array(
+                    (s * 7 + 1) % n_ids,
+                    (s * 11 + 3) % n_ids,
+                    (s * 13 + 5) % n_ids,
+                    (s * 17 + 9) % n_ids,
+                )
+            ).alias("dst"),
+        ).where(F.col("src") != F.col("dst"))
+        _noop(pagerank(edges, nodes=pr_nodes, iters=5, scale=10**10))
+
+    seconds["pagerank"] = _timed_min(w6)
 
     seconds["total"] = round(sum(seconds.values()), 2)
     print(json.dumps({"cores": cores, "seconds": seconds, "rows": rows}))
