@@ -3099,8 +3099,13 @@ def _pagerank_oracle_sql(iters: int = 10) -> str:
             "FROM documents)"
         ),
         (
-            "hrefs AS (SELECT src, url, unnest(regexp_extract_all("
-            "html, '(?i)href=\"([^\"]*)\"', 1)) AS href FROM pages)"
+            # double-quoted then single-quoted attributes, matching the
+            # extract_links spec (order across quote styles unpreserved;
+            # edges are DISTINCT so it cannot matter here)
+            "hrefs AS (SELECT src, url, unnest(list_concat("
+            "regexp_extract_all(html, '(?i)href=\"([^\"]*)\"', 1), "
+            "regexp_extract_all(html, '(?i)href=''([^'']*)''', 1)"
+            ")) AS href FROM pages)"
         ),
         (
             "live AS (SELECT src, url, href FROM hrefs WHERE href <> '' "

@@ -64,6 +64,11 @@ class CurationConfig:
     # lm.corpus_lm) — curation never trains on the corpus it filters.
     lm_max_avg_cost: float | None = None
     lm_model: dict | None = None
+    # site-level authority gate: drop docs whose host's integer PageRank
+    # over the corpus's own link graph (graph.host_authority, scale 1e9)
+    # is below this. An unlinked host scores the teleport base 1.5e8, so
+    # thresholds just above it keep only actually-linked sites.
+    authority_min: int | None = None
     chunk_tokens: int = 20
     ngram_n: int = 8
     shingle: int = 5
@@ -157,6 +162,30 @@ def curate(
         ext, n_rob = _stage(spark, ext, out_dir, "robots")
         rep.record("robots", n_ext, n_rob)
         n_ext = n_rob
+
+    # 1b2. host-authority gate (optional): integer PageRank over the
+    # corpus's own host->host link graph; docs on hosts below the
+    # threshold are dropped. The kept-host set is tiny next to the
+    # corpus, so it broadcasts.
+    if cfg.authority_min is not None:
+        from geoharvest_spark.graph import host_authority
+        from geoharvest_spark.webops import host_of
+
+        keep_hosts = (
+            host_authority(pages)
+            .where(F.col("authority") >= int(cfg.authority_min))
+            .select(F.col("host").alias("_host"))
+        )
+        # canonical_url is already canonical, so host_of alone yields
+        # the same host key host_authority derived from the raw URL
+        ext = (
+            ext.withColumn("_host", host_of(F.col("canonical_url")))
+            .join(F.broadcast(keep_hosts), "_host", "left_semi")
+            .drop("_host")
+        )
+        ext, n_auth = _stage(spark, ext, out_dir, "authority")
+        rep.record("authority", n_ext, n_auth)
+        n_ext = n_auth
 
     # 1c. per-domain cap (optional): anti-boilerplate guard — keep the
     # first cfg.domain_cap docs per registered domain in doc_id order

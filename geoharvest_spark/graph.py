@@ -44,6 +44,7 @@ def pagerank(
     scale: int = 10**12,
     damping_num: int = 85,
     damping_den: int = 100,
+    checkpoint_every: int = 4,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank.
 
@@ -106,7 +107,7 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     ranks = nodes.select("id", F.lit(int(scale)).cast("long").alias("rank"))
-    for _ in range(int(iters)):
+    for t in range(int(iters)):
         contrib = ranks.join(
             outdeg, ranks["id"] == outdeg["src"]
         ).select("src", F.expr("rank div out_deg").alias("contrib"))
@@ -115,16 +116,77 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("contrib").alias("s"))
         )
-        ranks = (
-            nodes.join(s, nodes["id"] == s["dst"], "left")
-            .select(
-                "id",
-                (
-                    F.lit(int(base))
-                    + F.lit(int(damping_num))
-                    * F.expr(f"coalesce(s, 0L) div {int(damping_den)}")
-                ).cast("long").alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = nodes.join(s, nodes["id"] == s["dst"], "left").select(
+            "id",
+            (
+                F.lit(int(base))
+                + F.lit(int(damping_num))
+                * F.expr(f"coalesce(s, 0L) div {int(damping_den)}")
+            ).cast("long").alias("rank"),
         )
-    return ranks
+        # PageRank has NO per-iteration driver read (fixed iteration
+        # count), so lineage truncation does not need a blocking job
+        # every round — an EAGER checkpoint each iteration measured
+        # ~0.7s/round of pure driver sync (40%+ of the 8-core leg).
+        # Periodic eager checkpoints bound plan depth while the rounds
+        # in between stay lazy and fuse into the same action.
+        if (t + 1) % int(checkpoint_every) == 0 and t + 1 < int(iters):
+            ranks = ranks.localCheckpoint(eager=True)
+    # the returned frame may be consumed by several actions — one final
+    # checkpoint pins the result (and caps total plan depth)
+    return ranks.localCheckpoint(eager=True)
+
+
+def host_authority(
+    pages: DataFrame,
+    html_col: str = "html",
+    url_col: str = "url",
+    iters: int = 10,
+    scale: int = 10**9,
+) -> DataFrame:
+    """Site-level link authority from the corpus's own hyperlinks —
+    the composition curation pipelines use to weight or gate documents
+    by where they live (Common Crawl publishes exactly this kind of
+    host-level ranking per crawl).
+
+    Edges are (host of page -> host of link) over canonicalized URLs
+    (webops.extract_links + canonicalize_url, so "www." and case noise
+    collapse onto one node), self-loops dropped, distinct. Hosts become
+    graph ids via xxhash64 — collision odds ~n^2/2^64, negligible below
+    billions of hosts. The vertex set is the CORPUS's hosts: links
+    pointing off-corpus transfer their mass out of the system
+    (deterministic, same convention as dangling nodes).
+
+    Returns (host, authority): host is the canonical host string,
+    authority the scaled integer rank (an unlinked host scores the
+    teleport base, 0.15*scale). Default scale 1e9 keeps the overflow
+    guard satisfied to ~50M hosts; lower it for bigger host sets."""
+    from geoharvest_spark.webops import (
+        canonicalize_url,
+        extract_links,
+        host_of,
+    )
+
+    def _h(col):
+        return host_of(canonicalize_url(col))
+
+    links = extract_links(
+        pages.select(F.col(url_col).alias("_u"), F.col(html_col).alias("_h")),
+        html_col="_h",
+        base_col="_u",
+        out_col="_link",
+    )
+    edges = (
+        links.select(
+            F.xxhash64(_h(F.col("_u"))).alias("src"),
+            F.xxhash64(_h(F.col("_link"))).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    hosts = pages.select(_h(F.col(url_col)).alias("host")).distinct()
+    nodes = hosts.select(F.xxhash64("host").alias("id"))
+    pr = pagerank(edges, nodes=nodes, iters=iters, scale=scale)
+    return hosts.join(pr, F.xxhash64("host") == F.col("id")).select(
+        "host", F.col("rank").alias("authority")
+    )

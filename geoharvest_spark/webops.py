@@ -439,7 +439,9 @@ def extract_links(
 
     Spec (shared verbatim with the SQL oracle):
 
-    1. collect every ``href="..."`` attribute value (case-insensitive);
+    1. collect every ``href="..."`` then every ``href='...'`` attribute
+       value (case-insensitive; double-quoted values first, then
+       single-quoted — order across quote styles is not preserved);
     2. drop empty values, pure fragments (``#...``), and ``mailto:`` /
        ``javascript:`` pseudo-schemes;
     3. resolve against the page's base URL: absolute ``http(s)://``
@@ -458,8 +460,13 @@ def extract_links(
     extract_text_from_html vs an HTML5 tree parser).
     """
     hrefs = F.filter(
-        F.regexp_extract_all(
-            F.col(html_col), F.lit(r'(?i)href="([^"]*)"'), F.lit(1)
+        F.concat(
+            F.regexp_extract_all(
+                F.col(html_col), F.lit(r'(?i)href="([^"]*)"'), F.lit(1)
+            ),
+            F.regexp_extract_all(
+                F.col(html_col), F.lit(r"(?i)href='([^']*)'"), F.lit(1)
+            ),
         ),
         lambda h: (h != "")
         & ~h.startswith("#")

@@ -7,12 +7,14 @@ per-stage row accounting plus per-split counts.
 
 Usage:
     spark-submit --driver-memory 48g --py-files ghs.zip \
-        jobs/webtext_pipeline.py [n_docs] [out_dir] [full]
+        jobs/webtext_pipeline.py [n_docs] [out_dir] [full] [warc]
 
-Passing "full" as the 3rd arg enables the optional stages too
+Flags (3rd arg onward, any order): "full" enables the optional stages
 (per-domain cap + PII scrub + LM perplexity filter trained on the bench
 slice) — note the synthetic corpus shares ONE registered domain
-(example.com), so the cap bounds the whole run.
+(example.com), so the cap bounds the whole run. "warc" routes the
+corpus through byte-accurate WARC files first (crawl-archive ingest
+mode: build -> parse -> curate).
 
 --driver-memory matters under spark-submit: the driver JVM starts before
 get_spark's conf applies, and the default 1g cannot build the pipeline's
@@ -74,10 +76,52 @@ def synth_pages(spark, n: int):
     return docs.select("doc_id", url.alias("url"), html.alias("html"))
 
 
+def pages_via_warc(spark, pages):
+    """Crawl-archive ingest mode: the page corpus is composed into
+    byte-accurate WARC 1.0 files (one per 256 pages — the shape crawl
+    corpora actually arrive in) and parsed back via
+    geoharvest_spark.warc, re-deriving doc_id from the planted fbclid
+    tracking param. Downstream curation is identical — proving a user
+    whose corpus arrives as web archives runs this pipeline end to end."""
+    from geoharvest_spark import warc as wc
+
+    def _build(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("doc_id")
+        fid = int(pdf["file_id"].iloc[0])
+        recs = [
+            (u, "2024-01-01T00:00:00Z", h.encode())
+            for u, h in zip(pdf["url"], pdf["html"])
+        ]
+        return pd.DataFrame(
+            [{"file_id": fid, "payload": wc.build_warc_file(recs, fid)}]
+        )
+
+    files = (
+        pages.withColumn("file_id", F.expr("doc_id div 256"))
+        .groupBy("file_id")
+        .applyInPandas(_build, "file_id long, payload binary")
+    )
+    recs = wc.parse_warc_records(files)
+    return recs.where(
+        F.col("ok") & (F.col("warc_type") == "response")
+    ).select(
+        F.regexp_extract("target_uri", "fbclid=([0-9]+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("target_uri").alias("url"),
+        F.col("body").cast("string").alias("html"),
+    )
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     spark = get_spark("webtext_pipeline", cores="32")
     pages = synth_pages(spark, n)
+    flags = set(sys.argv[3:])
+    if "warc" in flags:
+        pages = pages_via_warc(spark, pages)
     # benchmark set: held-out synthetic evals PLUS every 199th corpus doc
     # (planted contamination the decontam stage must catch)
     bench = synth_docs(spark, 2_000).select(
@@ -106,7 +150,7 @@ def main() -> None:
             ).alias("robots_txt"),
         )
     )
-    full = len(sys.argv) > 3 and sys.argv[3] == "full"
+    full = "full" in flags
     cfg = None
     if full:
         from geoharvest_spark.curation import CurationConfig
@@ -138,6 +182,7 @@ def main() -> None:
             {
                 "job": "webtext_pipeline",
                 "n_pages": n,
+                "warc_ingest": "warc" in flags,
                 "stages": rep.stages,
                 "splits": splits,
                 "sec": elapsed,

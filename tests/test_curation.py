@@ -204,3 +204,45 @@ def test_lm_filter_requires_model(spark, pages, bench, tmp_path):
             spark, pages.limit(5), bench, str(tmp_path / "nolm"),
             cfg=CurationConfig(lm_max_avg_cost=1.0),
         )
+
+
+def test_authority_stage_gates_unlinked_hosts(spark, bench, tmp_path):
+    # every lonely.com page links the hub host; authority_min just above
+    # the teleport base keeps only docs on the actually-linked host
+    from jobs.headroom import doc_text_expr
+
+    n = 300
+    i = F.col("doc_id")
+    host = F.when(i % 3 == 0, F.lit("linked.com")).otherwise(
+        F.lit("lonely.com")
+    )
+    # ids 5000+ so texts are disjoint from the bench fixture's (which
+    # carries texts of ids 0-499 and the %199==7 plants) — otherwise
+    # decontam legitimately removes every survivor
+    docs = spark.range(5000, 5000 + n).select(
+        F.col("id").alias("doc_id"),
+        doc_text_expr(F.col("id")).alias("text"),
+    )
+    html = F.concat(
+        F.lit("<html><body><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        F.when(
+            host == "lonely.com",
+            F.lit('<a href="https://linked.com/doc/0">hub</a>'),
+        ).otherwise(F.lit("")),
+        F.lit("</body></html>"),
+    )
+    pages2 = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://"), host, F.lit("/doc/"), i.cast("string"))
+        .alias("url"),
+        html.alias("html"),
+    )
+    cfg = CurationConfig(authority_min=15 * 10**9 // 100 + 1)
+    final, rep = curate(spark, pages2, bench, str(tmp_path), cfg=cfg)
+    stages = {s["stage"]: s for s in rep.stages}
+    assert stages["authority"]["rows_in"] == n
+    assert stages["authority"]["rows_out"] == n // 3
+    bad = final.where(F.col("doc_id") % 3 != 0).count()
+    assert bad == 0 and final.count() > 0

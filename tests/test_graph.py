@@ -67,3 +67,20 @@ def test_empty_edges_all_nodes_get_base(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     got = _ranks(pagerank(edges, nodes=nodes, iters=3))
     assert got == {7: BASE, 8: BASE}
+
+
+def test_host_authority_linked_host_outranks(spark):
+    from geoharvest_spark.graph import host_authority
+
+    rows = [
+        (f"https://WWW.A.com/p{i}", '<a href="https://b.com/x">l</a> text')
+        for i in range(4)
+    ] + [("https://b.com/home", "no links"), ("https://c.com/q", "none")]
+    df = spark.createDataFrame(rows, "url string, html string")
+    got = {r.host: r.authority for r in host_authority(df, iters=3).collect()}
+    base9 = 15 * 10**9 // 100
+    # canonicalization collapses WWW.A.com onto a.com; only b.com is
+    # linked-to, so it alone rises above the teleport base
+    assert set(got) == {"a.com", "b.com", "c.com"}
+    assert got["a.com"] == base9 and got["c.com"] == base9
+    assert got["b.com"] > base9

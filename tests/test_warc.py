@@ -171,3 +171,15 @@ def test_wet_records_extracts_html_responses_only(spark):
     assert [(r.target_uri, r.wet_text) for r in wet] == [
         ("http://s/1", "Hello & world")
     ]
+
+
+def test_pipeline_warc_ingest_roundtrip(spark):
+    # the demo pipeline's crawl-archive mode: synth pages -> WARC files
+    # -> parse -> (doc_id, url, html) must round-trip exactly
+    from jobs.webtext_pipeline import pages_via_warc, synth_pages
+
+    pages = synth_pages(spark, 600)
+    back = pages_via_warc(spark, pages)
+    a = {(r.doc_id, r.url, r.html) for r in pages.collect()}
+    b = {(r.doc_id, r.url, r.html) for r in back.collect()}
+    assert a == b

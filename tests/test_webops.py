@@ -339,7 +339,8 @@ LINK_HTML = (
     '<a href="/root.html">3</a>'
     '<a href="rel.html#frag">4</a>'
     '<a href="#top">5</a><a href="mailto:x@y.z">6</a>'
-    '<a href="JavaScript:void(0)">7</a><a href="">8</a></html>'
+    '<a href="JavaScript:void(0)">7</a><a href="">8</a>'
+    "<a href='single.html'>9</a></html>"
 )
 
 
@@ -350,12 +351,14 @@ def test_extract_links_resolution_table(spark):
     )
     got = [r.link for r in wb.extract_links(df).collect()]
     # junk (fragment-only, mailto, javascript, empty) dropped; four
-    # resolution modes; fragments stripped from resolved links
+    # resolution modes; fragments stripped from resolved links;
+    # single-quoted attributes emitted after the double-quoted ones
     assert got == [
         "http://other.com/x",
         "https://cdn.ex.com/img",
         "https://ex.com/root.html",
         "https://ex.com/a/b/rel.html",
+        "https://ex.com/a/b/single.html",
     ]
 
 
@@ -376,5 +379,5 @@ def test_extract_links_stays_jvm_side(spark):
     )
     plan = wb.extract_links(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
-    # the href array is built exactly once (no inline re-extraction)
-    assert plan.count("regexp_extract_all(") == 1
+    # exactly one extraction per quote style (no inline re-extraction)
+    assert plan.count("regexp_extract_all(") == 2
