@@ -2872,6 +2872,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["media_frame_plan"] = media_frame_plan
 
+    def host_authority(spark, sf):
+        """Site-level link authority (graph.host_authority): docs become
+        pages spread over 40 hosts (h0.site..h39.site; every 5th page
+        url is cased WWW.Hk.SITE to exercise canonicalization). Each
+        page plants three live cross-host links — absolute,
+        www-cased-absolute, protocol-relative-in-SINGLE-quotes — plus,
+        on even docs, a link to an off-corpus host (ext*.example: its
+        mass leaves the system, the dangling-host convention), a
+        relative link (host self-loop, dropped) and mailto/#fragment
+        junk. The oracle replays extraction, resolution, host
+        canonicalization and the integer PageRank recurrence (scale
+        1e9) on host STRINGS — the engine's xxhash64 node ids are just
+        ids, so bit-exact rank equality transfers."""
+        from geoharvest_spark.graph import host_authority as ha
+        from geoharvest_spark.webops import canonicalize_url, host_of
+
+        d = _t(spark, sf, "documents")
+        i = F.col("doc_id")
+        hi = (i % 40).cast("string")
+
+        def th(m, k):
+            return ((i * m + k) % 40).cast("string")
+
+        url = F.when(
+            i % 5 == 0,
+            F.concat(
+                F.lit("http://WWW.H"), hi, F.lit(".SITE/p/"), i.cast("string")
+            ),
+        ).otherwise(
+            F.concat(F.lit("http://h"), hi, F.lit(".site/p/"), i.cast("string"))
+        )
+        html = F.concat(
+            F.lit('<html><body><a href="http://h'),
+            th(7, 1),
+            F.lit('.site/x">a</a><a href="https://WWW.H'),
+            th(11, 3),
+            F.lit(".SITE/y\">b</a><a href='//h"),
+            th(13, 5),
+            F.lit(".site/z'>c</a>"),
+            F.when(
+                i % 2 == 0,
+                F.concat(
+                    F.lit('<a href="http://ext'),
+                    (i % 3).cast("string"),
+                    F.lit('.example/">x</a>'),
+                ),
+            ).otherwise(F.lit("")),
+            F.lit(
+                '<a href="p/self">s</a><a href="mailto:x@y.z">e</a>'
+                '<a href="#t">f</a></body></html>'
+            ),
+        )
+        pages = d.select(url.alias("url"), html.alias("html"))
+        npages = (
+            pages.select(host_of(canonicalize_url(F.col("url"))).alias("host"))
+            .groupBy("host")
+            .agg(F.count(F.lit(1)).alias("n_pages"))
+        )
+        return (
+            ha(pages)
+            .join(npages, "host")
+            .select("host", "n_pages", "authority")
+            .orderBy("host")
+        )
+
+    Q["host_authority"] = host_authority
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -3154,6 +3221,100 @@ def _pagerank_oracle_sql(iters: int = 10) -> str:
         f"FROM nodes n JOIN r{iters} r ON r.id = n.id "
         "LEFT JOIN outdeg o ON o.src = n.id "
         "LEFT JOIN indeg i ON i.dst = n.id ORDER BY doc_id"
+    )
+
+
+def _host_authority_oracle_sql(iters: int = 10) -> str:
+    """Full SQL re-implementation of the host_authority query: the
+    40-host page template, RE2 href extraction (both quote styles),
+    the extract_links resolution spec, host canonicalization
+    (lowercase + www-strip — the host slice of canonicalize_url), then
+    graph.pagerank's integer recurrence at scale 1e9 unrolled as
+    chained CTEs over host STRINGS (the engine's xxhash64 ids are
+    opaque, so ranks agree bit-exactly). Off-corpus hosts
+    (ext*.example) receive contributions but are not vertices —
+    their mass leaves the system, same as the engine."""
+    scale = 10**9
+    base = 15 * scale // 100
+    hostexpr = (
+        "regexp_replace(lower(regexp_extract({0}, "
+        "'^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1)), '^www\\.', '')"
+    )
+    ctes = [
+        (
+            "pages AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN "
+            "'http://WWW.H' || (doc_id % 40) || '.SITE/p/' || doc_id "
+            "ELSE 'http://h' || (doc_id % 40) || '.site/p/' || doc_id "
+            "END AS url, "
+            "'<html><body><a href=\"http://h' || ((doc_id*7+1)%40) || "
+            "'.site/x\">a</a><a href=\"https://WWW.H' || "
+            "((doc_id*11+3)%40) || '.SITE/y\">b</a><a href=''//h' || "
+            "((doc_id*13+5)%40) || '.site/z''>c</a>' || "
+            "CASE WHEN doc_id % 2 = 0 THEN "
+            "'<a href=\"http://ext' || (doc_id % 3) || "
+            "'.example/\">x</a>' ELSE '' END || "
+            "'<a href=\"p/self\">s</a><a href=\"mailto:x@y.z\">e</a>"
+            "<a href=\"#t\">f</a></body></html>' AS html FROM documents)"
+        ),
+        (
+            "hrefs AS (SELECT url, unnest(list_concat("
+            "regexp_extract_all(html, '(?i)href=\"([^\"]*)\"', 1), "
+            "regexp_extract_all(html, '(?i)href=''([^'']*)''', 1)"
+            ")) AS href FROM pages)"
+        ),
+        (
+            "live AS (SELECT url, href FROM hrefs WHERE href <> '' "
+            "AND href NOT LIKE '#%' AND NOT regexp_matches(href, "
+            "'^(?i)(mailto|javascript):'))"
+        ),
+        (
+            "res AS (SELECT url, regexp_replace(CASE "
+            "WHEN regexp_matches(href, '^(?i)https?://') THEN href "
+            "WHEN href LIKE '//%' THEN "
+            "regexp_extract(url, '^(https?)://', 1) || ':' || href "
+            "WHEN href LIKE '/%' THEN "
+            "regexp_extract(url, '^(https?://[^/]+)', 1) || href "
+            "ELSE regexp_replace(url, '[^/]*$', '') || href END, "
+            "'#.*$', '') AS link FROM live)"
+        ),
+        (
+            "edges AS (SELECT DISTINCT "
+            + hostexpr.format("url")
+            + " AS src, "
+            + hostexpr.format("link")
+            + " AS dst FROM res WHERE "
+            + hostexpr.format("url")
+            + " <> "
+            + hostexpr.format("link")
+            + ")"
+        ),
+        (
+            "nodes AS (SELECT DISTINCT " + hostexpr.format("url")
+            + " AS host FROM pages)"
+        ),
+        "outdeg AS (SELECT src, count(*)::BIGINT AS od FROM edges GROUP BY 1)",
+        (
+            "np AS (SELECT " + hostexpr.format("url")
+            + " AS host, count(*)::BIGINT AS n_pages FROM pages GROUP BY 1)"
+        ),
+        f"a0 AS (SELECT host, {scale}::BIGINT AS rank FROM nodes)",
+    ]
+    for t in range(1, iters + 1):
+        ctes.append(
+            f"hs{t} AS (SELECT e.dst AS host, sum(r.rank // o.od)::BIGINT "
+            f"AS s FROM edges e JOIN a{t - 1} r ON e.src = r.host "
+            "JOIN outdeg o ON o.src = e.src GROUP BY 1)"
+        )
+        ctes.append(
+            f"a{t} AS (SELECT n.host, ({base} + 85 * "
+            f"(coalesce(s.s, 0) // 100))::BIGINT AS rank "
+            f"FROM nodes n LEFT JOIN hs{t} s ON n.host = s.host)"
+        )
+    return (
+        "WITH " + ", ".join(ctes) + " "
+        "SELECT n.host AS host, np.n_pages, r.rank AS authority "
+        f"FROM nodes n JOIN a{iters} r ON r.host = n.host "
+        "JOIN np ON np.host = n.host ORDER BY n.host"
     )
 
 
@@ -4267,6 +4428,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "FROM e ORDER BY doc_id"
         ),
         "link_pagerank": _pagerank_oracle_sql(10),
+        "host_authority": _host_authority_oracle_sql(10),
         "spatial_dbscan": (
             # same grid-join candidate generation, degree/core test, and
             # recursive-CTE reachability-min as the engine; coordinates
