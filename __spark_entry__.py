@@ -2939,6 +2939,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["host_authority"] = host_authority
 
+    def anchor_topk(spark, sf):
+        """Anchor-text corpus (webops.extract_anchors + anchor_stats):
+        each doc links a per-host target /t/<(3i+1)%100> with text
+        'read v<i%3>' (CRT makes every target's inbound texts a {2,2,1}
+        multiset at 500 docs — the argmin tie-break is live), every 4th
+        doc adds a styled hub anchor (inner <b> tag + &amp; entity +
+        padding — the cleaning spec), every 4th+1 a SINGLE-quoted
+        protocol-relative hub anchor, every 10th an image link whose
+        cleaned anchor is '' (counted, excluded from the top vote),
+        plus mailto junk. The oracle replays pair extraction, href
+        resolution, anchor cleaning (tag flatten -> six entities
+        amp-last -> ws collapse) and the per-target argmin in SQL."""
+        from geoharvest_spark.webops import anchor_stats
+
+        d = _t(spark, sf, "documents")
+        i = F.col("doc_id")
+        html = F.concat(
+            F.lit('<html><body><a href="/t/'),
+            ((i * 3 + 1) % 100).cast("string"),
+            F.lit('">read v'),
+            (i % 3).cast("string"),
+            F.lit("</a>"),
+            F.when(
+                i % 4 == 0,
+                F.lit(
+                    '<a class="hub" href="http://hub.ex/best">'
+                    " <b>Top</b>&amp;Best </a>"
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 4 == 1,
+                F.lit("<a href='//hub.ex/best'>Plain hub</a>"),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 10 == 0,
+                F.lit('<a href="/only-img"><img src="i.png"/></a>'),
+            ).otherwise(F.lit("")),
+            F.lit(
+                '<a href="mailto:x@y.z">mail me</a></body></html>'
+            ),
+        )
+        pages = d.select(
+            F.concat(
+                F.lit("http://s"),
+                (i % 20).cast("string"),
+                F.lit(".ex/p/"),
+                i.cast("string"),
+            ).alias("url"),
+            html.alias("html"),
+        )
+        return anchor_stats(pages).orderBy("link")
+
+    Q["anchor_topk"] = anchor_topk
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -3315,6 +3369,73 @@ def _host_authority_oracle_sql(iters: int = 10) -> str:
         "SELECT n.host AS host, np.n_pages, r.rank AS authority "
         f"FROM nodes n JOIN a{iters} r ON r.host = n.host "
         "JOIN np ON np.host = n.host ORDER BY n.host"
+    )
+
+
+def _anchor_oracle_sql() -> str:
+    """Full SQL re-implementation of anchor_topk: the page template,
+    two-group (href, inner) pair extraction per quote style (DuckDB's
+    lockstep parallel unnest zips the equal-length group lists), the
+    extract_links junk/resolution rules, the anchor cleaning chain
+    (tag flatten -> six entities amp-last -> whitespace collapse ->
+    trim), then per-target totals and the (count DESC, anchor ASC)
+    argmin via row_number."""
+    ent = (
+        "trim(regexp_replace("
+        "replace(replace(replace(replace(replace(replace("
+        "regexp_replace(t, '<[^>]+>', ' ', 'g'), "
+        "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+        "'&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), "
+        "'\\s+', ' ', 'g'))"
+    )
+    return (
+        "WITH pages AS (SELECT 'http://s' || (doc_id % 20) || '.ex/p/' "
+        "|| doc_id AS url, "
+        "'<html><body><a href=\"/t/' || ((doc_id*3+1)%100) || "
+        "'\">read v' || (doc_id%3) || '</a>' || "
+        "CASE WHEN doc_id % 4 = 0 THEN "
+        "'<a class=\"hub\" href=\"http://hub.ex/best\">"
+        " <b>Top</b>&amp;Best </a>' ELSE '' END || "
+        "CASE WHEN doc_id % 4 = 1 THEN "
+        "'<a href=''//hub.ex/best''>Plain hub</a>' ELSE '' END || "
+        "CASE WHEN doc_id % 10 = 0 THEN "
+        "'<a href=\"/only-img\"><img src=\"i.png\"/></a>' ELSE '' END || "
+        "'<a href=\"mailto:x@y.z\">mail me</a></body></html>' AS html "
+        "FROM documents), "
+        "dq AS (SELECT url, unnest(regexp_extract_all(html, "
+        "'(?is)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>', 1)) AS h, "
+        "unnest(regexp_extract_all(html, "
+        "'(?is)<a\\s[^>]*href=\"([^\"]*)\"[^>]*>(.*?)</a>', 2)) AS t "
+        "FROM pages), "
+        "sq AS (SELECT url, unnest(regexp_extract_all(html, "
+        "'(?is)<a\\s[^>]*href=''([^'']*)''[^>]*>(.*?)</a>', 1)) AS h, "
+        "unnest(regexp_extract_all(html, "
+        "'(?is)<a\\s[^>]*href=''([^'']*)''[^>]*>(.*?)</a>', 2)) AS t "
+        "FROM pages), "
+        "pairs AS (SELECT * FROM dq UNION ALL SELECT * FROM sq), "
+        "live AS (SELECT url, h, t FROM pairs WHERE h <> '' "
+        "AND h NOT LIKE '#%' AND NOT regexp_matches(h, "
+        "'^(?i)(mailto|javascript):')), "
+        "res AS (SELECT regexp_replace(CASE "
+        "WHEN regexp_matches(h, '^(?i)https?://') THEN h "
+        "WHEN h LIKE '//%' THEN "
+        "regexp_extract(url, '^(https?)://', 1) || ':' || h "
+        "WHEN h LIKE '/%' THEN "
+        "regexp_extract(url, '^(https?://[^/]+)', 1) || h "
+        "ELSE regexp_replace(url, '[^/]*$', '') || h END, "
+        "'#.*$', '') AS link, " + ent + " AS anchor FROM live), "
+        "per AS (SELECT link, anchor, count(*)::BIGINT AS cnt "
+        "FROM res GROUP BY 1, 2), "
+        "stats AS (SELECT link, sum(cnt)::BIGINT AS n_anchors, "
+        "count(*)::BIGINT AS n_texts FROM per GROUP BY 1), "
+        "best AS (SELECT link, anchor AS top_anchor, cnt AS top_cnt "
+        "FROM (SELECT link, anchor, cnt, row_number() OVER ("
+        "PARTITION BY link ORDER BY cnt DESC, anchor) AS rn FROM per "
+        "WHERE anchor <> '') WHERE rn = 1) "
+        "SELECT s.link AS link, s.n_anchors, s.n_texts, "
+        "b.top_anchor, b.top_cnt "
+        "FROM stats s LEFT JOIN best b ON b.link = s.link "
+        "ORDER BY s.link"
     )
 
 
@@ -4429,6 +4550,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         ),
         "link_pagerank": _pagerank_oracle_sql(10),
         "host_authority": _host_authority_oracle_sql(10),
+        "anchor_topk": _anchor_oracle_sql(),
         "spatial_dbscan": (
             # same grid-join candidate generation, degree/core test, and
             # recursive-CTE reachability-min as the engine; coordinates

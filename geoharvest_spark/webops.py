@@ -490,3 +490,124 @@ def extract_links(
     return d.withColumn(
         out_col, F.regexp_replace(resolved, r"#.*$", "")
     ).drop("_href")
+
+
+_ANCHOR_DQ = r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+_ANCHOR_SQ = r"(?is)<a\s[^>]*href='([^']*)'[^>]*>(.*?)</a>"
+
+
+def extract_anchors(
+    df: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+    link_col: str = "link",
+    text_col: str = "anchor",
+) -> DataFrame:
+    """(resolved link, cleaned anchor text) pairs — the raw material of
+    an anchor-text corpus (link-context retrieval training data, title
+    enrichment, spam analysis).
+
+    Spec (shared verbatim with the SQL oracle): match ``<a ...
+    href="...">INNER</a>`` non-greedily per quote style (double-quoted
+    matches first, then single-quoted; DOTALL so anchors span lines);
+    hrefs follow the extract_links junk/resolution rules; INNER is
+    cleaned by flattening tags to spaces, decoding the six common
+    entities (amp last), collapsing whitespace and trimming. Empty
+    cleaned anchors (image links etc.) are KEPT as '' — dropping is the
+    caller's choice.
+
+    Plan shape: two 2-group regexp extractions staged through their own
+    projection (each pattern scans the html once — the INLINE-SPLIT
+    trap otherwise re-scans per array reference), arrays_zip + one
+    explode, then the same codegen when-chain as extract_links. No
+    UDF, no shuffle — rides the scan stage at any scale."""
+    d = df
+    for tag, pat in (("dq", _ANCHOR_DQ), ("sq", _ANCHOR_SQ)):
+        d = d.withColumn(
+            f"_h_{tag}",
+            F.regexp_extract_all(F.col(html_col), F.lit(pat), F.lit(1)),
+        ).withColumn(
+            f"_t_{tag}",
+            F.regexp_extract_all(F.col(html_col), F.lit(pat), F.lit(2)),
+        )
+    pairs = F.filter(
+        F.concat(
+            F.arrays_zip(F.col("_h_dq").alias("h"), F.col("_t_dq").alias("t")),
+            F.arrays_zip(F.col("_h_sq").alias("h"), F.col("_t_sq").alias("t")),
+        ),
+        lambda p: (p["h"] != "")
+        & ~p["h"].startswith("#")
+        & ~p["h"].rlike(r"^(?i)(mailto|javascript):"),
+    )
+    d = d.select("*", F.explode(pairs).alias("_pair")).drop(
+        "_h_dq", "_t_dq", "_h_sq", "_t_sq"
+    )
+    h = F.col("_pair.h")
+    base = F.col(base_col)
+    resolved = (
+        F.when(h.rlike(r"^(?i)https?://"), h)
+        .when(
+            h.startswith("//"),
+            F.concat(F.regexp_extract(base, r"^(https?)://", 1), F.lit(":"), h),
+        )
+        .when(
+            h.startswith("/"),
+            F.concat(F.regexp_extract(base, r"^(https?://[^/]+)", 1), h),
+        )
+        .otherwise(F.concat(F.regexp_replace(base, r"[^/]*$", ""), h))
+    )
+    txt = F.regexp_replace(F.col("_pair.t"), r"<[^>]+>", " ")
+    for ent, ch in HTML_ENTITIES:
+        txt = F.replace(txt, F.lit(ent), F.lit(ch))
+    txt = F.trim(F.regexp_replace(txt, r"\s+", " "))
+    return (
+        d.withColumn(link_col, F.regexp_replace(resolved, r"#.*$", ""))
+        .withColumn(text_col, txt)
+        .drop("_pair")
+    )
+
+
+def anchor_stats(
+    df: DataFrame,
+    html_col: str = "html",
+    base_col: str = "url",
+) -> DataFrame:
+    """Per-target anchor-text aggregation over a page corpus: for every
+    resolved link target — total inbound anchors, distinct cleaned
+    texts, and the top text (most frequent; ties break on the
+    lexicographically smallest text).
+
+    Two hash aggregates, no window, no self-join: groupBy(link, anchor)
+    counts, then ONE groupBy(link) carrying the totals AND a
+    min-of-struct((-count, anchor)) argmin (min skips the NULLs the
+    empty-anchor `when` produces) — splitting totals and argmin into
+    two frames would duplicate the whole extraction upstream into both
+    join branches (plan-pinned). Both stages partial-aggregate
+    map-side, so a hot target (every page linking the homepage) costs
+    one combiner row per task, not a buffered partition. Empty cleaned
+    anchors are excluded from the top-text vote but counted in
+    n_anchors/n_texts."""
+    pairs = extract_anchors(df, html_col=html_col, base_col=base_col)
+    per = pairs.groupBy("link", "anchor").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per.groupBy("link")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_anchors"),
+            F.count(F.lit(1)).cast("long").alias("n_texts"),
+            F.min(
+                F.when(
+                    F.col("anchor") != "",
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("anchor")),
+                )
+            ).alias("_b"),
+        )
+        .select(
+            "link",
+            "n_anchors",
+            "n_texts",
+            F.col("_b.anchor").alias("top_anchor"),
+            (-F.col("_b.nc")).cast("long").alias("top_cnt"),
+        )
+    )

@@ -381,3 +381,66 @@ def test_extract_links_stays_jvm_side(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     # exactly one extraction per quote style (no inline re-extraction)
     assert plan.count("regexp_extract_all(") == 2
+
+
+ANCHOR_HTML = (
+    '<html><a href="http://t.com/x"> Click <b>here</b> &amp; now </a>'
+    "<a href='rel.html'>Rel Link</a>"
+    '<a href="mailto:x@y">mail</a>'
+    '<a href="/img"><img src="i.png"/></a>'
+    '<a class="c" href="http://t.com/x">Click here &amp; now</a>'
+    '<a href="http://t.com/x">other\n text</a></html>'
+)
+
+
+def test_extract_anchors_pairs_and_cleaning(spark):
+    df = spark.createDataFrame(
+        [("http://ex.com/a/p1", ANCHOR_HTML)], "url string, html string"
+    )
+    got = [(r.link, r.anchor) for r in wb.extract_anchors(df).collect()]
+    # double-quoted pairs first, then single-quoted; junk hrefs dropped;
+    # inner tags flattened, entities decoded, whitespace collapsed;
+    # empty cleaned anchor (image link) KEPT as ''
+    assert got == [
+        ("http://t.com/x", "Click here & now"),
+        ("http://ex.com/img", ""),
+        ("http://t.com/x", "Click here & now"),
+        ("http://t.com/x", "other text"),
+        ("http://ex.com/a/rel.html", "Rel Link"),
+    ]
+
+
+def test_anchor_stats_argmin_and_empty_only_target(spark):
+    df = spark.createDataFrame(
+        [("http://ex.com/a/p1", ANCHOR_HTML)], "url string, html string"
+    )
+    rows = {r.link: r for r in wb.anchor_stats(df).collect()}
+    t = rows["http://t.com/x"]
+    assert (t.n_anchors, t.n_texts, t.top_anchor, t.top_cnt) == (
+        3, 2, "Click here & now", 2
+    )
+    img = rows["http://ex.com/img"]
+    # empty-only target: counted, but no top text
+    assert (img.n_anchors, img.top_anchor, img.top_cnt) == (1, None, None)
+
+
+def test_anchor_stats_tie_breaks_lexicographic(spark):
+    df = spark.createDataFrame(
+        [("http://h/", '<a href="/t">beta</a><a href="/t">alpha</a>')],
+        "url string, html string",
+    )
+    r = wb.anchor_stats(df).collect()[0]
+    assert (r.top_anchor, r.top_cnt, r.n_texts) == ("alpha", 1, 2)
+
+
+def test_extract_anchors_stays_jvm_side_no_window(spark):
+    df = spark.createDataFrame(
+        [("http://ex.com/", ANCHOR_HTML)], "url string, html string"
+    )
+    plan = (
+        wb.anchor_stats(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" not in plan  # argmin via min-of-struct, not a window
+    # one scan per (pattern, group): 2 patterns x 2 groups
+    assert plan.count("regexp_extract_all(") == 4
