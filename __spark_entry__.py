@@ -2993,6 +2993,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["anchor_topk"] = anchor_topk
 
+    def quality_model_filter(spark, sf):
+        """Model-based quality filter (qmodel.quality_model_scores):
+        every 5th doc's text is replaced by repeated spam boilerplate
+        (strongly negative under the trained weights), the rest keep
+        the corpus text (mostly unseen features -> scores near 0). The
+        perceptron trains ONCE driver-side on the deterministic
+        synthetic labeled set (integer weights, lru_cached shared
+        config — the BPE-merge-table pattern); the oracle replays
+        featurization (lowercase split, unigram + bigram md5-60bit %
+        2^15 buckets) and the weighted integer sum in SQL over the
+        staged sparse weight parquet."""
+        from geoharvest_spark.qmodel import quality_model_scores
+
+        d = _t(spark, sf, "documents")
+        i = F.col("doc_id")
+        text = F.when(
+            i % 5 == 0,
+            F.repeat(
+                F.lit("click buy free offer winner "),
+                (1 + i % 3).cast("int"),
+            ),
+        ).otherwise(F.col("text"))
+        return (
+            quality_model_scores(d.select("doc_id", text.alias("text")))
+            .select("doc_id", "score", "pred")
+            .orderBy("doc_id")
+        )
+
+    Q["quality_model_filter"] = quality_model_filter
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -4551,6 +4581,34 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "link_pagerank": _pagerank_oracle_sql(10),
         "host_authority": _host_authority_oracle_sql(10),
         "anchor_topk": _anchor_oracle_sql(),
+        # featurization replayed in SQL (lowercase \s+ split, unigram +
+        # bigram md5-60bit % 2^15 buckets — the doc_hash_split bridge);
+        # weights are staged shared config (same trained table the
+        # engine broadcasts), scoring is an exact integer sum
+        "quality_model_filter": (
+            "WITH docs2 AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+            "THEN repeat('click buy free offer winner ', "
+            "(1 + doc_id % 3)::INT) ELSE text END AS text "
+            "FROM documents), "
+            "toks AS (SELECT doc_id, list_filter("
+            "string_split_regex(lower(text), '\\s+'), t -> t <> '') AS l "
+            "FROM docs2), "
+            "feats AS (SELECT doc_id, unnest(list_concat("
+            "list_transform(l, t -> "
+            "(('0x' || substr(md5(t), 1, 15))::UBIGINT % 32768)::BIGINT), "
+            "list_transform(range(1, len(l)), i -> "
+            "(('0x' || substr(md5(l[i] || ' ' || l[i+1]), 1, 15))::UBIGINT "
+            "% 32768)::BIGINT))) AS bucket FROM toks), "
+            "per AS (SELECT doc_id, bucket, count(*)::BIGINT AS cnt "
+            "FROM feats GROUP BY 1, 2), "
+            "sc AS (SELECT p.doc_id, sum(p.cnt * w.w)::BIGINT AS score "
+            f"FROM per p JOIN read_parquet('{stage['qmodel_weights']}') w "
+            "ON w.bucket = p.bucket GROUP BY 1) "
+            "SELECT d.doc_id, coalesce(s.score, 0)::BIGINT AS score, "
+            "(coalesce(s.score, 0) > 0)::INT AS pred "
+            "FROM documents d LEFT JOIN sc s ON s.doc_id = d.doc_id "
+            "ORDER BY d.doc_id"
+        ),
         "spatial_dbscan": (
             # same grid-join candidate generation, degree/core test, and
             # recursive-CTE reachability-min as the engine; coordinates

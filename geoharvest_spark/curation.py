@@ -64,6 +64,13 @@ class CurationConfig:
     # lm.corpus_lm) — curation never trains on the corpus it filters.
     lm_max_avg_cost: float | None = None
     lm_model: dict | None = None
+    # model-based quality gate: drop docs whose hashed-linear-classifier
+    # score (qmodel.quality_model_scores, exact integer) is below this.
+    # None = stage off. Weights default to the deterministic shared-config
+    # perceptron; pass qmodel_weights ((bucket, w) tuples) to use a model
+    # trained elsewhere.
+    qmodel_min_score: int | None = None
+    qmodel_weights: tuple | None = None
     # site-level authority gate: drop docs whose host's integer PageRank
     # over the corpus's own link graph (graph.host_authority, scale 1e9)
     # is below this. An unlinked host scores the teleport base 1.5e8, so
@@ -254,6 +261,21 @@ def curate(
         q, n_lm = _stage(spark, q, out_dir, "lm_filter")
         rep.record("lm_filter", n_q, n_lm)
         n_q = n_lm
+
+    # 3a2. model-based quality gate (optional): hashed linear classifier
+    # score (integer, broadcast weight join) — the fastText-style filter
+    # stage of real pretraining pipelines, after the heuristic gate
+    if cfg.qmodel_min_score is not None:
+        from .qmodel import quality_model_scores
+
+        q = (
+            quality_model_scores(q, weights=cfg.qmodel_weights)
+            .where(F.col("score") >= int(cfg.qmodel_min_score))
+            .select("doc_id", "text")
+        )
+        q, n_qm = _stage(spark, q, out_dir, "model_quality")
+        rep.record("model_quality", n_q, n_qm)
+        n_q = n_qm
 
     # 3b. PII scrub (optional): redact emails / dotted quads / long digit
     # runs BEFORE dedup so near-dup decisions see the scrubbed text a

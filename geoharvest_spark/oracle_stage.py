@@ -216,6 +216,21 @@ def stage_lm(sf_dir: str = "/root/testdata/sf0.01") -> str:
     )
 
 
+def stage_qmodel() -> str:
+    """Sparse perceptron weight table (bucket, w) from the SAME
+    shared-config training the engine uses (qmodel.train_quality_
+    perceptron — pure Python, deterministic, no Spark); the oracle SQL
+    independently replays featurization (lowercase split, unigram +
+    bigram md5 buckets) and the weighted integer sum."""
+    from .qmodel import train_quality_perceptron
+
+    w = train_quality_perceptron()
+    return _write(
+        pd.DataFrame(list(w), columns=["bucket", "w"]).astype("int64"),
+        "qmodel_weights.parquet",
+    )
+
+
 def stage_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
         "normalized": stage_normalized(),
@@ -228,4 +243,5 @@ def stage_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "media_resize": stage_media_resize(),
         "media_payloads": stage_media_payloads(),
         "lm_bigrams": stage_lm(sf_dir),
+        "qmodel_weights": stage_qmodel(),
     }

@@ -167,6 +167,10 @@ def main() -> None:
             redact_pii=True,
             lm_max_avg_cost=20_000_000.0,
             lm_model=lm_model,
+            # model-based quality gate: the synthetic corpus has no
+            # planted spam, so a permissive floor exercises the stage
+            # without emptying the run (unseen features score 0)
+            qmodel_min_score=0,
         )
     t0 = time.perf_counter()
     final, rep = curate(
