@@ -3023,6 +3023,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["quality_model_filter"] = quality_model_filter
 
+    def spatial_range_join(spark, sf):
+        """Spatial distance-range join (clustering.distance_join): all
+        point pairs within r=0.75 over a jittered 0.7-spaced grid of
+        integer-derived coordinates (bit-identical doubles in SQL — the
+        spatial_dbscan planting discipline). The engine generates
+        candidates via radius-sized grid buckets (each qualifying pair
+        meets in exactly one bucket); the oracle is a BRUTE-FORCE cross
+        join with the same inclusive boundary predicate — an independent
+        algorithm, so a missed boundary cell or double-counted pair
+        breaks equality. dist_sq is the literal IEEE expression
+        (xa-xb)^2+(ya-yb)^2 in both engines."""
+        from geoharvest_spark.clustering import distance_join
+
+        ev = _t(spark, sf, "events").where(F.col("event_id") % 10 == 0)
+        m = F.expr("event_id div 10")
+        x = (m % 40) * 7 / F.lit(10.0) + ((m * 13) % 90) / F.lit(100.0)
+        y = (F.expr("(event_id div 10) div 40") % 40) * 7 / F.lit(10.0) + (
+            (m * 17) % 90
+        ) / F.lit(100.0)
+        pts = ev.select(
+            F.col("event_id").alias("id"), x.alias("x"), y.alias("y")
+        )
+        return distance_join(pts, radius=0.75).orderBy("id_a", "id_b")
+
+    Q["spatial_range_join"] = spatial_range_join
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -4581,6 +4607,23 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "link_pagerank": _pagerank_oracle_sql(10),
         "host_authority": _host_authority_oracle_sql(10),
         "anchor_topk": _anchor_oracle_sql(),
+        # brute-force O(n^2) cross join — deliberately a DIFFERENT
+        # algorithm than the engine's grid-bucket candidate generation;
+        # same integer-derived coordinate planting and inclusive
+        # boundary (0.75^2 = 0.5625, binary-exact)
+        "spatial_range_join": (
+            "WITH m0 AS (SELECT event_id AS id, event_id // 10 AS m "
+            "FROM events WHERE event_id % 10 = 0), "
+            "pts AS (SELECT id, "
+            "(m % 40) * 7 / 10.0 + ((m*13) % 90) / 100.0 AS x, "
+            "((m // 40) % 40) * 7 / 10.0 + ((m*17) % 90) / 100.0 AS y "
+            "FROM m0) "
+            "SELECT a.id AS id_a, b.id AS id_b, "
+            "(a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) AS dist_sq "
+            "FROM pts a JOIN pts b ON a.id < b.id "
+            "WHERE (a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y) "
+            "<= 0.5625 ORDER BY id_a, id_b"
+        ),
         # featurization replayed in SQL (lowercase \s+ split, unigram +
         # bigram md5-60bit % 2^15 buckets — the doc_hash_split bridge);
         # weights are staged shared config (same trained table the

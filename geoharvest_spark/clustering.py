@@ -38,6 +38,88 @@ from pyspark.sql import functions as F
 from geoharvest_spark.textops import connected_components
 
 
+def distance_join(
+    left: DataFrame,
+    right: DataFrame | None = None,
+    radius: float = 1.0,
+    id_col: str = "id",
+    x_col: str = "x",
+    y_col: str = "y",
+    dedup_pairs: bool = True,
+) -> DataFrame:
+    """Spatial range join: every (a, b) pair within ``radius`` (planar
+    euclidean) — the third classic spatial join next to point-in-polygon
+    (joins.pip_join) and kNN (joins.knn_join).
+
+    Grid-bucket candidate generation: cells of side ``radius``; the A
+    side replicates into its 3x3 cell neighborhood, the B side keeps
+    its own cell, so every qualifying pair meets in EXACTLY one
+    (cx, cy) bucket (no post-join dedup) and candidate work is bounded
+    by local density, never O(n^2). One equi-shuffle on the cell key;
+    AQE splits skewed (dense) cells at runtime.
+
+    ``right=None`` makes it a self-join: ``dedup_pairs=True`` (default)
+    emits each unordered pair once (id_a < id_b); ``dedup_pairs=False``
+    emits both directions (what DBSCAN's degree counting consumes).
+
+    Returns (id_a, id_b, dist_sq). dist_sq is the literal IEEE
+    expression (xa-xb)^2 + (ya-yb)^2 — fixed operand order, so values
+    are bit-identical across partitionings and SQL engines."""
+    if radius <= 0:
+        raise ValueError(f"radius must be > 0: {radius}")
+
+    def prep(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(x_col).cast("double").alias("x"),
+            F.col(y_col).cast("double").alias("y"),
+        )
+
+    def cell(c):
+        return F.floor(c / F.lit(float(radius))).cast("long")
+
+    la = prep(left)
+    rb = prep(right) if right is not None else la
+    nbhd = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    (cell(F.col("x")) + F.lit(dx)).alias("cx"),
+                    (cell(F.col("y")) + F.lit(dy)).alias("cy"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    a = la.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        nbhd.alias("c"),
+    ).select("id_a", "xa", "ya", "c.cx", "c.cy")
+    b = rb.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        cell(F.col("x")).alias("cx"),
+        cell(F.col("y")).alias("cy"),
+    )
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    dist_sq = dx * dx + dy * dy
+    pairs = a.join(b, ["cx", "cy"]).where(
+        dist_sq <= F.lit(float(radius)) * F.lit(float(radius))
+    )
+    if right is None:
+        pairs = pairs.where(
+            F.col("id_a") < F.col("id_b")
+            if dedup_pairs
+            else F.col("id_a") != F.col("id_b")
+        )
+    return pairs.select("id_a", "id_b", dist_sq.alias("dist_sq"))
+
+
 def dbscan(
     points: DataFrame,
     eps: float,
@@ -60,46 +142,11 @@ def dbscan(
         F.col(id_col).cast("long").alias("id"),
         F.col(x_col).cast("double").alias("x"),
         F.col(y_col).cast("double").alias("y"),
-    ).withColumns(
-        {
-            "cx": F.floor(F.col("x") / F.lit(eps)).cast("long"),
-            "cy": F.floor(F.col("y") / F.lit(eps)).cast("long"),
-        }
     )
-    # A-side replicated into its 9-cell neighborhood; B-side keeps its own
-    # cell, so each (a, b) candidate arises from exactly one cell match.
-    nbhd = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    (F.col("cx") + F.lit(dx)).alias("cx"),
-                    (F.col("cy") + F.lit(dy)).alias("cy"),
-                )
-                for dx in (-1, 0, 1)
-                for dy in (-1, 0, 1)
-            ]
-        )
-    )
-    a = p.select(
-        F.col("id").alias("id_a"),
-        F.col("x").alias("xa"),
-        F.col("y").alias("ya"),
-        nbhd.alias("c"),
-    ).select("id_a", "xa", "ya", "c.cx", "c.cy")
-    b = p.select(
-        F.col("id").alias("id_b"),
-        F.col("x").alias("xb"),
-        F.col("y").alias("yb"),
-        "cx",
-        "cy",
-    )
-    dx = F.col("xa") - F.col("xb")
-    dy = F.col("ya") - F.col("yb")
-    pairs = (
-        a.join(b, ["cx", "cy"])
-        .where(F.col("id_a") != F.col("id_b"))
-        .where(dx * dx + dy * dy <= F.lit(eps) * F.lit(eps))
-        .select("id_a", "id_b")
+    # epsilon-neighbor candidates via the grid-bucketed range join,
+    # directed both ways (degree counting consumes (id_a, *) rows)
+    pairs = distance_join(p, None, eps, dedup_pairs=False).select(
+        "id_a", "id_b"
     )
     # degree (neighbors excluding self); core: degree + 1 >= min_pts
     deg = pairs.groupBy("id_a").agg(F.count(F.lit(1)).alias("n_nb"))

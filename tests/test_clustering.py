@@ -81,3 +81,55 @@ def test_dbscan_validates_params(spark):
         dbscan(df, eps=0.0, min_pts=3)
     with pytest.raises(ValueError):
         dbscan(df, eps=1.0, min_pts=0)
+
+
+def test_distance_join_self_dedup_and_exact_boundary(spark):
+    from geoharvest_spark.clustering import distance_join
+
+    # unit square corners + center; r=1.0: edges qualify (dist 1.0
+    # exactly — boundary INCLUSIVE), diagonals (sqrt 2) do not
+    pts = [(0, 0.0, 0.0), (1, 1.0, 0.0), (2, 0.0, 1.0), (3, 1.0, 1.0),
+           (4, 0.5, 0.5)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = {(r.id_a, r.id_b): r.dist_sq for r in distance_join(df).collect()}
+    assert set(got) == {(0, 1), (0, 2), (1, 3), (2, 3),
+                        (0, 4), (1, 4), (2, 4), (3, 4)}
+    assert got[(0, 1)] == 1.0 and got[(0, 4)] == 0.5
+
+
+def test_distance_join_two_sets_and_both_directions(spark):
+    from geoharvest_spark.clustering import distance_join
+
+    a = spark.createDataFrame([(1, 0.0, 0.0)], "id long, x double, y double")
+    b = spark.createDataFrame(
+        [(1, 0.1, 0.0), (2, 5.0, 5.0)], "id long, x double, y double"
+    )
+    # two-set join: same id on both sides is a REAL pair, kept
+    got = [(r.id_a, r.id_b) for r in distance_join(a, b, 1.0).collect()]
+    assert got == [(1, 1)]
+    # self-join without dedup emits both directions
+    both = distance_join(b, None, 10.0, dedup_pairs=False).collect()
+    assert sorted((r.id_a, r.id_b) for r in both) == [(1, 2), (2, 1)]
+
+
+def test_distance_join_cross_cell_pairs_found_once(spark):
+    from geoharvest_spark.clustering import distance_join
+
+    # points straddling cell boundaries: each qualifying pair appears
+    # exactly once (the 9-cell replication meets the B cell uniquely)
+    pts = [(i, i * 0.9, 0.0) for i in range(10)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    rows = distance_join(df, radius=1.0).collect()
+    assert sorted((r.id_a, r.id_b) for r in rows) == [
+        (i, i + 1) for i in range(9)
+    ]
+
+
+def test_distance_join_validates_radius(spark):
+    import pytest as _pytest
+
+    from geoharvest_spark.clustering import distance_join
+
+    df = spark.createDataFrame([(1, 0.0, 0.0)], "id long, x double, y double")
+    with _pytest.raises(ValueError):
+        distance_join(df, radius=0.0)
