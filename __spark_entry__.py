@@ -3049,6 +3049,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["spatial_range_join"] = spatial_range_join
 
+    def cooc_top_pairs(spark, sf):
+        """Token co-occurrence statistics (textops.cooccurrence_counts):
+        ordered (token[i], token[i+d]) pairs for d<=2 over the documents
+        corpus, counted corpus-wide, top 200 by (count DESC, w1, w2) —
+        the totally-ordered tie-break makes the LIMIT deterministic.
+        The oracle rebuilds the pair list with nested list_transform +
+        flatten in SQL."""
+        from geoharvest_spark.textops import cooccurrence_counts
+
+        d = _t(spark, sf, "documents")
+        return (
+            cooccurrence_counts(d.select("text"), window=2)
+            .orderBy(F.desc("n_pair"), "w1", "w2")
+            .limit(200)
+        )
+
+    Q["cooc_top_pairs"] = cooc_top_pairs
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -4611,6 +4629,18 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         # algorithm than the engine's grid-bucket candidate generation;
         # same integer-derived coordinate planting and inclusive
         # boundary (0.75^2 = 0.5625, binary-exact)
+        "cooc_top_pairs": (
+            "WITH toks AS (SELECT string_split_regex(text, '\\s+') AS l "
+            "FROM documents), "
+            "pairs AS (SELECT unnest(flatten(list_transform("
+            "range(1, len(l)), i -> list_transform("
+            "range(i + 1, least(i + 2, len(l)) + 1), "
+            "j -> {'w1': l[i], 'w2': l[j]})))) AS p "
+            "FROM toks WHERE len(l) >= 2) "
+            "SELECT p.w1 AS w1, p.w2 AS w2, count(*)::BIGINT AS n_pair "
+            "FROM pairs GROUP BY 1, 2 "
+            "ORDER BY n_pair DESC, w1, w2 LIMIT 200"
+        ),
         "spatial_range_join": (
             "WITH m0 AS (SELECT event_id AS id, event_id // 10 AS m "
             "FROM events WHERE event_id % 10 = 0), "

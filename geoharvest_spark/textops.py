@@ -485,6 +485,60 @@ def ngram_jaccard_pairs(
 _MINHASH_P = (1 << 31) - 1
 
 
+def cooccurrence_counts(
+    df: DataFrame,
+    window: int = 2,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide token co-occurrence counts — the statistics table
+    word2vec/GloVe-style training data prep starts from. For every
+    position i and distance d in 1..window, the ORDERED pair
+    (token[i], token[i+d]) counts once; pairs never cross document
+    boundaries. Returns (w1, w2, n_pair) with n_pair >= ``min_count``.
+
+    Plan shape: the token array is staged once per doc, the pair list
+    is built by a nested transform (one array expression, no join),
+    flattened and exploded, then ONE hash aggregate on (w1, w2) —
+    partial map-side combine does the heavy lifting because natural-
+    language pair frequency is Zipfian (hot pairs collapse to one
+    combiner row per task before the shuffle). At 100 TB this is the
+    canonical explode->count shape: ~window x token-count rows in
+    flight per task, no state beyond the aggregate."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1: {window}")
+    toks = F.col("_toks")
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.flatten(
+            F.transform(
+                F.sequence(F.lit(0), n - 2),
+                lambda i: F.transform(
+                    F.sequence(
+                        F.lit(1), F.least(F.lit(int(window)), n - 1 - i)
+                    ),
+                    lambda d: F.struct(
+                        F.element_at(toks, i + 1).alias("w1"),
+                        F.element_at(toks, i + 1 + d).alias("w2"),
+                    ),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    ex = (
+        df.select(tokens_col(F.col(text_col)).alias("_toks"))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    out = ex.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pair")
+    )
+    if min_count > 1:
+        out = out.where(F.col("n_pair") >= int(min_count))
+    return out
+
+
 def _minhash_params(num_hashes: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
     rs = np.random.RandomState(seed)
     a = rs.randint(1, _MINHASH_P, size=num_hashes, dtype=np.int64)

@@ -931,3 +931,56 @@ def test_semantic_dedup_planted_twins(spark, emb):
             assert byid.loc[vid, "component"] == vid
             assert bool(byid.loc[vid, "kept"])
     assert int(out.kept.sum()) == n_base
+
+
+def test_cooccurrence_counts_window_and_boundaries(spark):
+    from geoharvest_spark.textops import cooccurrence_counts
+
+    df = spark.createDataFrame(
+        [(1, "a b c a"), (2, "a b"), (3, "x"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.w1, r.w2): r.n_pair
+        for r in cooccurrence_counts(df, window=2).collect()
+    }
+    # doc1 d=1: (a,b)(b,c)(c,a); d=2: (a,c)(b,a); doc2: (a,b);
+    # 1-token and empty docs contribute nothing, pairs never cross docs
+    assert got == {
+        ("a", "b"): 2, ("b", "c"): 1, ("c", "a"): 1,
+        ("a", "c"): 1, ("b", "a"): 1,
+    }
+    w1 = {
+        (r.w1, r.w2): r.n_pair
+        for r in cooccurrence_counts(df, window=1).collect()
+    }
+    assert w1 == {("a", "b"): 2, ("b", "c"): 1, ("c", "a"): 1}
+
+
+def test_cooccurrence_min_count_and_validation(spark):
+    import pytest as _pytest
+
+    from geoharvest_spark.textops import cooccurrence_counts
+
+    df = spark.createDataFrame([(1, "a b a b")], "doc_id long, text string")
+    got = {
+        (r.w1, r.w2): r.n_pair
+        for r in cooccurrence_counts(df, window=1, min_count=2).collect()
+    }
+    assert got == {("a", "b"): 2}
+    with _pytest.raises(ValueError):
+        cooccurrence_counts(df, window=0)
+
+
+def test_cooccurrence_stays_jvm_side_single_split(spark):
+    from geoharvest_spark.textops import cooccurrence_counts
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        cooccurrence_counts(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("split(") == 1  # token array staged once
