@@ -346,6 +346,123 @@ def run_round5_legs(spark) -> None:
         docs.unpersist()
 
 
+def run_round6b_legs(spark) -> None:
+    """Late-round-6 additions at 4-8x scale: model-quality scoring,
+    the spatial distance-range join, co-occurrence counting, and
+    anchor aggregation. Per-unit cost must be flat or falling."""
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.clustering import distance_join
+    from geoharvest_spark.qmodel import quality_model_scores
+    from geoharvest_spark.textops import cooccurrence_counts
+    from geoharvest_spark.webops import anchor_stats
+
+    for n_docs in (250_000, 1_000_000):
+        docs = synth_docs(spark, n_docs, n_tokens=100).cache()
+        docs.count()
+        for name, build in (
+            (
+                "qmodel_score",
+                lambda d=docs: quality_model_scores(d).select(
+                    "doc_id", "score"
+                ),
+            ),
+            (
+                "cooccurrence_w2",
+                lambda d=docs: cooccurrence_counts(d, window=2),
+            ),
+        ):
+            best = min(time_noop(build()) for _ in range(2))
+            print(
+                json.dumps(
+                    {
+                        "workload": name,
+                        "rows": n_docs,
+                        "sec": round(best, 3),
+                        "us_per_doc": round(best / n_docs * 1e6, 2),
+                    }
+                ),
+                flush=True,
+            )
+        docs.unpersist()
+
+    # constant density (one point per unit cell on average, r=1):
+    # output pairs scale linearly, so sec-per-point must stay flat
+    for n_pts in (1_000_000, 4_000_000):
+        side = int(n_pts**0.5)
+        i = F.col("id")
+        pts = (
+            spark.range(n_pts, numPartitions=48)
+            .select(
+                i.alias("pid"),
+                ((i % side) + ((i * 13) % 97) / F.lit(100.0)).alias("x"),
+                (
+                    F.expr(f"id div {side}") + ((i * 17) % 97) / F.lit(100.0)
+                ).alias("y"),
+            )
+            .cache()
+        )
+        pts.count()
+        best = min(
+            time_noop(
+                distance_join(
+                    pts, radius=1.0, id_col="pid"
+                ).select(F.count(F.lit(1)))
+            )
+            for _ in range(2)
+        )
+        print(
+            json.dumps(
+                {
+                    "workload": "distance_join_r1",
+                    "rows": n_pts,
+                    "sec": round(best, 3),
+                    "us_per_point": round(best / n_pts * 1e6, 2),
+                }
+            ),
+            flush=True,
+        )
+        pts.unpersist()
+
+    for n_pages in (100_000, 400_000):
+        i = F.col("id")
+        pages = (
+            spark.range(n_pages, numPartitions=48)
+            .select(
+                F.concat(
+                    F.lit("http://s"),
+                    (i % 50).cast("string"),
+                    F.lit(".ex/p/"),
+                    i.cast("string"),
+                ).alias("url"),
+                F.concat(
+                    F.lit('<html><body><a href="/t/'),
+                    ((i * 3 + 1) % 1000).cast("string"),
+                    F.lit('">read v'),
+                    (i % 7).cast("string"),
+                    F.lit('</a><a href="http://hub.ex/b"> <b>Top</b> pick '),
+                    (i % 11).cast("string"),
+                    F.lit("</a></body></html>"),
+                ).alias("html"),
+            )
+            .cache()
+        )
+        pages.count()
+        best = min(time_noop(anchor_stats(pages)) for _ in range(2))
+        print(
+            json.dumps(
+                {
+                    "workload": "anchor_stats",
+                    "rows": n_pages,
+                    "sec": round(best, 3),
+                    "us_per_page": round(best / n_pages * 1e6, 2),
+                }
+            ),
+            flush=True,
+        )
+        pages.unpersist()
+
+
 def run_round6_legs(spark) -> None:
     """Round-6 additions at 8x scale: BPE token accounting (both
     application paths), zonal statistics (raster x vector join), and
@@ -576,6 +693,7 @@ def main() -> None:
     run_round4_legs(spark)
     run_round5_legs(spark)
     run_round6_legs(spark)
+    run_round6b_legs(spark)
     run_textops_legs(spark)
     spark.stop()
 
