@@ -2872,6 +2872,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["media_frame_plan"] = media_frame_plan
 
+    def image_dhash_dups(spark, sf):
+        """Image near-duplicate pairs (imagehash.py): dHash — the public
+        difference-hash gradient algorithm — computed over the engine's
+        own pure-numpy decoders in one mapInPandas pass, then the
+        SimHash banding machinery (4x16-bit chunks + bit_count(xor)
+        exact Hamming filter; pigeonhole recall proof for <=3 of 64
+        bits). Corpus plants 8 cross-format exact dups (PPM base vs PNG
+        twin, Hamming 0) and 8 two-bit near dups, plus audio/undecodable
+        divert rows. The oracle REBUILDS hash packing, chunk banding,
+        the bucket join and the Hamming filter in SQL from staged
+        downsample pixels — only decode + integer luma + the NN
+        downsample are trusted from the kernel (the NN index rule is
+        separately proven closed-form by media_resize_pixels)."""
+        from geoharvest_spark.imagehash import (
+            dhash_near_dups,
+            synth_dhash_media_df,
+            with_image_dhash,
+        )
+
+        m = synth_dhash_media_df(spark)
+        return dhash_near_dups(with_image_dhash(m)).orderBy("id_a", "id_b")
+
+    Q["image_dhash_dups"] = image_dhash_dups
+
     def host_authority(spark, sf):
         """Site-level link authority (graph.host_authority): docs become
         pages spread over 40 hosts (h0.site..h39.site; every 5th page
@@ -4958,6 +4982,40 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "FROM range(0, 60) t(i), range(0, 11) s(k) "
             "WHERE i % 3 = 2 AND k <= 4 + (i % 7) "
             "ORDER BY media_id, frame_ts_ms"
+        ),
+        "image_dhash_dups": (
+            # dHash rebuilt from staged downsample pixels: gradient bits,
+            # 16-bit chunk values (variable shifts stay < 2^16), HUGEINT
+            # pack -> two's-complement BIGINT, chunk-bucket candidate
+            # join, exact bit_count(xor) Hamming filter — the whole
+            # near-dup algorithm replayed independently of the engine
+            "WITH dpx AS (SELECT media_id, r, c, px "
+            f"FROM read_parquet('{stage['dhash_pixels']}')), "
+            "dbit AS (SELECT a.media_id, a.r*8 + a.c AS pos, "
+            "CASE WHEN a.px > b.px THEN 1 ELSE 0 END AS bit "
+            "FROM dpx a JOIN dpx b ON a.media_id = b.media_id "
+            "AND a.r = b.r AND b.c = a.c + 1 WHERE a.c < 8), "
+            "dchunk AS (SELECT media_id, (63 - pos) // 16 AS chunk, "
+            "sum(bit * (1::BIGINT << ((63 - pos) % 16))) AS v "
+            "FROM dbit GROUP BY media_id, (63 - pos) // 16), "
+            "dhu AS (SELECT media_id, sum(v::HUGEINT * (CASE chunk "
+            "WHEN 0 THEN 1::HUGEINT WHEN 1 THEN 65536::HUGEINT "
+            "WHEN 2 THEN 4294967296::HUGEINT "
+            "ELSE 281474976710656::HUGEINT END)) AS hu "
+            "FROM dchunk GROUP BY media_id), "
+            "dh AS (SELECT media_id, (CASE WHEN hu >= "
+            "9223372036854775808::HUGEINT THEN hu - "
+            "18446744073709551616::HUGEINT ELSE hu END)::BIGINT AS h "
+            "FROM dhu), "
+            "dcand AS (SELECT a.media_id AS id_a, b.media_id AS id_b "
+            "FROM dchunk a JOIN dchunk b ON a.chunk = b.chunk "
+            "AND a.v = b.v AND a.media_id < b.media_id "
+            "GROUP BY a.media_id, b.media_id) "
+            "SELECT c.id_a, c.id_b, "
+            "bit_count(xor(ha.h, hb.h))::INTEGER AS hamming "
+            "FROM dcand c JOIN dh ha ON ha.media_id = c.id_a "
+            "JOIN dh hb ON hb.media_id = c.id_b "
+            "WHERE bit_count(xor(ha.h, hb.h)) <= 3 ORDER BY id_a, id_b"
         ),
         "session_window_native": (
             # gap-cumsum sessionization with Spark's half-open convention:

@@ -231,6 +231,39 @@ def stage_qmodel() -> str:
     )
 
 
+def stage_dhash_pixels() -> str:
+    """Per-image dHash downsample luma values (media_id, r, c, px) from
+    the planted-duplicate synth corpus. Only decode + integer luma + the
+    NN downsample are trusted from the kernel (each separately verified:
+    media_resize_pixels proves the NN index rule in closed-form SQL);
+    the 64-bit hash packing, the 4x16 chunk banding, the bucket join and
+    the Hamming filter are all REBUILT in the oracle SQL from these raw
+    pixels."""
+    from .imagehash import dhash_pixels, synth_dhash_media_pdf
+    from .multimodal import _sniff_decode_image
+
+    rows = []
+    for mid, kind, payload in zip(
+        *(lambda m: (m["media_id"], m["kind"], m["payload"]))(
+            synth_dhash_media_pdf()
+        )
+    ):
+        if kind != "image":
+            continue
+        try:
+            img = _sniff_decode_image(bytes(payload))
+        except ValueError:
+            continue
+        if img is None:
+            continue
+        px = dhash_pixels(img)
+        for r in range(px.shape[0]):
+            for c in range(px.shape[1]):
+                rows.append((mid, r, c, int(px[r, c])))
+    pdf = pd.DataFrame(rows, columns=["media_id", "r", "c", "px"])
+    return _write(pdf, "dhash_pixels.parquet")
+
+
 def stage_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
         "normalized": stage_normalized(),
@@ -244,4 +277,5 @@ def stage_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "media_payloads": stage_media_payloads(),
         "lm_bigrams": stage_lm(sf_dir),
         "qmodel_weights": stage_qmodel(),
+        "dhash_pixels": stage_dhash_pixels(),
     }
