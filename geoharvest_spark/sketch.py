@@ -1,0 +1,155 @@
+"""Distributed cardinality sketches (HyperLogLog, Flajolet et al. 2007).
+
+COUNT(DISTINCT x) is the one aggregate that does not decompose: exact
+distinct over 100 TB shuffles every distinct value. The HLL register
+table DOES decompose — per-partition max over 2^p tiny registers, then
+a 2^p-row merge — which is why it is the industry-standard sketch for
+"distinct users per cell per day" rollups. Spark ships
+approx_count_distinct, but its binary sketch is neither inspectable,
+mergeable across frames from SQL, nor replayable by an oracle. This
+implementation is all three:
+
+- the hash is the engine's deterministic md5-60-bit idiom (same as
+  qmodel/hash_split), so registers are bit-identical on any executor
+  count, partitioning, or resume — and DuckDB can rebuild them;
+- rho (the first-one rank) is derived from length(bin(x)) — pure
+  integer/string ops, no log2, replayable in SQL;
+- the estimator is ONE double division of exact-integer-derived
+  operands (sum of exact powers of two), so even the float output is
+  bit-identical between Spark and DuckDB.
+
+Register tables merge by groupBy-max: hll_merge(union of sketches) ==
+sketch of the union (tested), which is what makes the sketch usable
+across days/streams/clusters without re-reading raw data.
+
+Only the raw HLL estimator is implemented (no small-range linear
+counting / bias correction): the point here is the distributed register
+algebra; corrections are driver-side arithmetic on the same 2^p rows.
+Raw-estimate relative error is ~1.04/sqrt(2^p).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# md5 prefix width: 15 hex chars = 60 bits, positive in BIGINT on both
+# Spark and DuckDB (the engine-wide hash idiom).
+_HASH_BITS = 60
+
+
+def _alpha_num(p: int) -> float:
+    """alpha_m * m^2 * 2^(W+1) — the estimator numerator, ONE float
+    literal shared verbatim by the Column path and the SQL oracle
+    fragment. The 2^(W+1) scale makes every register contribution an
+    exact int64 even at the rho = W+1 corner (all-zero hash rest)."""
+    m = 1 << p
+    w = _HASH_BITS - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * m * m * float(2 ** (w + 1))
+
+
+def hll_rho_col(col: Column, p: int = 8) -> tuple[Column, Column]:
+    """(register, rho) for one value: h = md5-60bit, register = low p
+    bits, rho = 1 + leading zeros of the remaining W-bit field (from
+    length of the minimal binary string — no transcendentals)."""
+    w = _HASH_BITS - p
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    reg = h.bitwiseAND(F.lit((1 << p) - 1))
+    rest = F.shiftrightunsigned(h, p)
+    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(rest))
+    )
+    return reg.alias("reg"), rho.cast("int").alias("rho")
+
+
+def hll_registers(
+    df: DataFrame,
+    col: str,
+    p: int = 8,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """HLL register table: one row per (group, non-empty register) with
+    the max rho. Map-side partial max means the shuffle carries at most
+    groups * 2^p tiny rows regardless of input size — the whole point
+    of sketching at 100 TB. Empty registers are implicit (the estimator
+    counts them as m - rows_present)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    reg, rho = hll_rho_col(F.col(col), p)
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(*group_cols, reg, rho)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Merge register tables (same p): union + groupBy-max. Sketches
+    built on different days / streams / clusters combine losslessly."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_estimate(
+    registers: DataFrame,
+    p: int = 8,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Raw HLL estimate per group from a register table.
+
+    S is the harmonic-mean denominator scaled by 2^(W+1) so it is an
+    EXACT int64 (max m * 2^(W+1) = 2^61 for p=8): non-empty register ->
+    2^(W+1 - rho) (>= 1 even at rho = W+1), empty -> 2^(W+1). The
+    estimate is then a single double division of two exactly-
+    representable operands — bit-identical in Spark and DuckDB.
+
+    Small-range correction (standard HLL): when the raw estimate is
+    <= 2.5m and empty registers remain, linear counting m*ln(m/V) is
+    far more accurate. That branch is transcendental — bit-parity with
+    the oracle is guaranteed only in the raw regime (the oracle query
+    targets a cardinality >> 2.5m; the small regime is accuracy-tested,
+    not hash-compared).
+    """
+    m = 1 << p
+    w = _HASH_BITS - p
+    s_int = F.sum(
+        F.expr(f"shiftleft(cast(1 as bigint), {w + 1} - rho)")
+    ) + (F.lit(m) - F.count(F.lit(1))) * F.lit(1 << (w + 1)).cast("long")
+    raw = F.lit(_alpha_num(p)) / s_int.cast("double")
+    v = F.lit(m) - F.count(F.lit(1))
+    est = F.when(
+        (raw <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw)
+    return registers.groupBy(*group_cols).agg(est.alias("est_distinct"))
+
+
+def hll_sql(val_expr: str, p: int = 8, group_by: str = "") -> str:
+    """DuckDB fragment replaying registers + estimate for the oracle.
+
+    Returns a SELECT producing (group_by cols..., est_distinct) from a
+    relation alias `hllsrc(v)` the caller provides via WITH. Shares the
+    estimator numerator literal with the Column path."""
+    m = 1 << p
+    w = _HASH_BITS - p
+    grp = f"{group_by}, " if group_by else ""
+    grp_by = f"GROUP BY {group_by}" if group_by else ""
+    return (
+        f"SELECT {grp}CASE WHEN raw <= {2.5 * m!r} AND v > 0 THEN "
+        f"{float(m)!r} * ln({float(m)!r} / CAST(v AS DOUBLE)) "
+        f"ELSE raw END AS est_distinct FROM ("
+        f"SELECT {grp}{_alpha_num(p)!r} / CAST(sum(sc) + ({m} - count(*)) "
+        f"* {1 << (w + 1)} AS DOUBLE) AS raw, {m} - count(*) AS v FROM ("
+        f"SELECT {grp}reg, (1::BIGINT << ({w + 1} - max(rho))) AS sc FROM ("
+        f"SELECT {grp}h & {m - 1} AS reg, CASE WHEN (h >> {p}) = 0 "
+        f"THEN {w + 1} ELSE {w + 1} - length(bin(h >> {p})) END AS rho "
+        f"FROM (SELECT {grp}('0x' || substr(md5(CAST({val_expr} AS VARCHAR)), "
+        f"1, 15))::BIGINT AS h FROM hllsrc WHERE {val_expr} IS NOT NULL)) "
+        f"GROUP BY {grp}reg) {grp_by})"
+    )

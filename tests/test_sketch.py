@@ -1,0 +1,70 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoharvest_spark.sketch import (
+    hll_estimate,
+    hll_merge,
+    hll_registers,
+)
+
+SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF001}/events.parquet").cache()
+
+
+def _rows(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_registers_partition_invariant(spark, events):
+    # the sketch must be bit-identical on any partitioning (resume /
+    # cluster-size invariance — the whole point of a mergeable sketch)
+    a = _rows(hll_registers(events.repartition(1), "user_id"))
+    b = _rows(hll_registers(events.repartition(16), "user_id"))
+    assert a == b and len(a) > 0
+
+
+def test_merge_equals_sketch_of_union(spark, events):
+    left = events.where("event_id % 2 = 0")
+    right = events.where("event_id % 2 = 1")
+    merged = hll_merge(
+        hll_registers(left, "user_id"), hll_registers(right, "user_id")
+    )
+    whole = hll_registers(events, "user_id")
+    assert _rows(merged) == _rows(whole)
+
+
+def test_estimate_accuracy(spark, events):
+    exact = events.select("user_id").distinct().count()
+    est = hll_estimate(hll_registers(events, "user_id")).collect()[0][
+        "est_distinct"
+    ]
+    # raw HLL at p=8: sigma ~ 1.04/16 = 6.5%; 4 sigma bound
+    assert abs(est - exact) / exact < 0.26, (est, exact)
+
+
+def test_grouped_registers_and_estimate(spark, events):
+    regs = hll_registers(events, "user_id", group_cols=("event_type",))
+    ests = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_estimate(regs, group_cols=("event_type",)).collect()
+    }
+    exacts = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(ests) == set(exacts)
+    for k, exact in exacts.items():
+        assert abs(ests[k] - exact) / exact < 0.30, (k, ests[k], exact)
+
+
+def test_p_validation(spark, events):
+    with pytest.raises(ValueError, match="p must be"):
+        hll_registers(events, "user_id", p=2)
