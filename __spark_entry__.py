@@ -2921,6 +2921,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["hll_distinct_orders"] = hll_distinct_orders
 
+    def funnel_conversion_steps(spark, sf):
+        """Ordered-sequence conversion funnel (funnel.py): users who
+        viewed, then clicked strictly later, then purchased strictly
+        later still. ONE shuffle: groupBy(user) + sorted collect_list +
+        a Catalyst higher-order fold over (t_us, event_id, type) — no
+        per-step self-join, no window, no Python. The oracle is an
+        INDEPENDENT algorithm: per-step correlated min-after joins
+        (greedy-first-match == earliest-qualifying-min under strict >,
+        so the two must agree exactly — semantics edge cases incl. the
+        same-instant tie are unit-pinned in test_funnel). Day-one
+        window + signup-first steps so the funnel actually drops
+        (53/11/5 at sf0.01) — a >= slip, an unordered match, or a lost
+        step dependency all change the row values."""
+        from geoharvest_spark.funnel import funnel_counts
+
+        ev = spark.read.parquet(f"{sf}/events.parquet").where(
+            F.col("ts") < F.expr("timestamp_ntz'2024-01-02 00:00:00'")
+        )
+        return funnel_counts(ev, ("signup", "click", "purchase")).orderBy(
+            "step"
+        )
+
+    Q["funnel_conversion_steps"] = funnel_conversion_steps
+
     def host_authority(spark, sf):
         """Site-level link authority (graph.host_authority): docs become
         pages spread over 40 hosts (h0.site..h39.site; every 5th page
@@ -5055,6 +5079,26 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "FROM lineitem GROUP BY l_returnflag) "
             "SELECT hest.l_returnflag, est_distinct, exact_distinct "
             "FROM hest JOIN hexact USING (l_returnflag) ORDER BY l_returnflag"
+        ),
+        "funnel_conversion_steps": (
+            # INDEPENDENT algorithm: per-step correlated min-after joins
+            # in integer microseconds (epoch_us), strict > between steps
+            "WITH fue AS (SELECT user_id, event_type, epoch_us(ts) AS t "
+            "FROM events WHERE event_type IN ('signup','click','purchase') "
+            "AND ts < TIMESTAMP '2024-01-02 00:00:00'), "
+            "fu1 AS (SELECT user_id, min(t) AS t1 FROM fue "
+            "WHERE event_type = 'signup' GROUP BY user_id), "
+            "fu2 AS (SELECT e.user_id, min(t) AS t2 FROM fue e "
+            "JOIN fu1 USING (user_id) WHERE event_type = 'click' "
+            "AND t > t1 GROUP BY e.user_id), "
+            "fu3 AS (SELECT e.user_id, min(t) AS t3 FROM fue e "
+            "JOIN fu2 USING (user_id) WHERE event_type = 'purchase' "
+            "AND t > t2 GROUP BY e.user_id) "
+            "SELECT 1 AS step, 'signup' AS step_name, "
+            "(SELECT count(*) FROM fu1) AS n_users "
+            "UNION ALL SELECT 2, 'click', (SELECT count(*) FROM fu2) "
+            "UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM fu3) "
+            "ORDER BY step"
         ),
         "session_window_native": (
             # gap-cumsum sessionization with Spark's half-open convention:
