@@ -2945,6 +2945,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["funnel_conversion_steps"] = funnel_conversion_steps
 
+    def doc_unicode_nfc(spark, sf):
+        """Unicode NFC normalization (textops.normalize_unicode): web
+        corpora mix composed/decomposed forms of the same grapheme, and
+        every hash-based operator downstream (exact dedup, shingles,
+        decontamination) treats them as different bytes unless the
+        corpus is normalized first. Docs get a planted suffix covering
+        all five normalization behaviors (compose-acute, compose-ring,
+        Hangul jamo, already-composed stability, combining-mark
+        CANONICAL REORDERING without composition); the oracle replays
+        with DuckDB's independent normalizer (utf8proc vs Python's
+        unicodedata — two implementations of UAX #15 must agree
+        byte-for-byte, witnessed by md5 over UTF-8)."""
+        from geoharvest_spark.textops import UNICODE_PLANT, normalize_unicode
+
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        planted = docs.select(
+            "doc_id",
+            F.concat(
+                F.substring("text", 1, 40), F.lit(UNICODE_PLANT)
+            ).alias("raw"),
+        )
+        out = normalize_unicode(planted, text_col="raw", out_col="nfc")
+        return out.select(
+            "doc_id",
+            F.length("raw").alias("n_chars_raw"),
+            F.length("nfc").alias("n_chars_nfc"),
+            F.md5(F.col("nfc").cast("binary")).alias("nfc_md5"),
+        ).orderBy("doc_id")
+
+    Q["doc_unicode_nfc"] = doc_unicode_nfc
+
     def host_authority(spark, sf):
         """Site-level link authority (graph.host_authority): docs become
         pages spread over 40 hosts (h0.site..h39.site; every 5th page
@@ -5099,6 +5130,19 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "UNION ALL SELECT 2, 'click', (SELECT count(*) FROM fu2) "
             "UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM fu3) "
             "ORDER BY step"
+        ),
+        "doc_unicode_nfc": (
+            # DuckDB's utf8proc normalizer vs Python's unicodedata —
+            # independent UAX #15 implementations, compared by md5 of
+            # the UTF-8 bytes; plant literal single-sourced from textops
+            "SELECT doc_id, "
+            f"length(substr(text, 1, 40) || '{tx.UNICODE_PLANT}')::INTEGER "
+            "AS n_chars_raw, "
+            "length(nfc_normalize(substr(text, 1, 40) || "
+            f"'{tx.UNICODE_PLANT}'))::INTEGER AS n_chars_nfc, "
+            "md5(nfc_normalize(substr(text, 1, 40) || "
+            f"'{tx.UNICODE_PLANT}')) AS nfc_md5 "
+            "FROM documents ORDER BY doc_id"
         ),
         "session_window_native": (
             # gap-cumsum sessionization with Spark's half-open convention:

@@ -1287,3 +1287,49 @@ def substring_span_dedup(
         "tokens_kept",
         *(["clean_md5"] if emit_clean else []),
     )
+
+
+# ---------------------------------------------------------------------------
+# unicode normalization
+# ---------------------------------------------------------------------------
+
+# Planted non-NFC sequences for the oracle query (single-sourced so the
+# Spark query and the DuckDB SQL concatenate EXACTLY the same string):
+# combining acute (e+U+0301 -> e-acute), ring (A+U+030A -> Angstrom A),
+# Hangul jamo pair (-> precomposed syllable), an already-composed e-acute
+# (must stay put), and q with dot-above+dot-below in NON-canonical order
+# (ccc 230 before 220 -> NFC must reorder the marks without composing).
+UNICODE_PLANT = " é Å 가 é q̣̇"
+
+
+def normalize_unicode(
+    df: DataFrame, text_col: str = "text", form: str = "NFC",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Unicode normalization (UAX #15) as an Arrow-batched pandas_udf.
+
+    Real web corpora mix composed and decomposed forms of the same
+    grapheme (copy-paste from different editors/OSes); every downstream
+    hash-based operator (exact dedup, minhash shingles, decontamination)
+    silently treats them as different documents unless the corpus is
+    normalized first. Spark has no built-in normalizer, so this is the
+    honest pandas_udf case — still Arrow-batched and narrow (no
+    shuffle), stream-composable like redact_pii.
+
+    NFC is the production default and the oracle-checked form (DuckDB
+    nfc_normalize replays it); NFD/NFKC/NFKD are accepted for parity
+    with Python's unicodedata.
+    """
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    out = out_col or text_col
+
+    @F.pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize(form, t)
+        )
+
+    return df.withColumn(out, _norm(F.col(text_col)))

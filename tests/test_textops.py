@@ -984,3 +984,31 @@ def test_cooccurrence_stays_jvm_side_single_split(spark):
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("split(") == 1  # token array staged once
+
+
+def test_normalize_unicode_nfc(spark):
+    import unicodedata
+
+    from geoharvest_spark.textops import UNICODE_PLANT, normalize_unicode
+
+    df = spark.createDataFrame(
+        [(1, "plain ascii" + UNICODE_PLANT), (2, None), (3, "")],
+        "id long, text string",
+    )
+    got = {
+        r["id"]: r["text"]
+        for r in normalize_unicode(df).collect()
+    }
+    assert got[1] == unicodedata.normalize("NFC", "plain ascii" + UNICODE_PLANT)
+    assert got[1] != "plain ascii" + UNICODE_PLANT  # plant really non-NFC
+    assert got[2] is None and got[3] == ""
+
+
+def test_normalize_unicode_form_validation(spark):
+    import pytest
+
+    from geoharvest_spark.textops import normalize_unicode
+
+    df = spark.createDataFrame([(1, "x")], "id long, text string")
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_unicode(df, form="NFX")
