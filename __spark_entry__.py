@@ -2976,6 +2976,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["doc_unicode_nfc"] = doc_unicode_nfc
 
+    def zorder_point_keys(spark, sf):
+        """Z-order (Morton) spatial layout key (index.zorder_key): the
+        100-TB scan-pruning primitive — linearize the 2-D cell grid so
+        a repartitionByRange+sort write yields parquet files with
+        DISJOINT key ranges (pinned in test_index) and any spatial bbox
+        prunes to a few zkey intervals. Pure codegen magic-number bit
+        spread; the oracle interleaves bit-by-bit via list_transform —
+        an independent algorithm, so a mask/shift slip on either side
+        breaks equality on all 10k keys."""
+        from geoharvest_spark.index import zorder_key
+
+        pts = _points(spark, sf)
+        return pts.select(
+            "event_id",
+            zorder_key(F.col("lon"), F.col("lat"), 12).alias("zkey"),
+        ).orderBy("event_id")
+
+    Q["zorder_point_keys"] = zorder_point_keys
+
     def host_authority(spark, sf):
         """Site-level link authority (graph.host_authority): docs become
         pages spread over 40 hosts (h0.site..h39.site; every 5th page
@@ -5143,6 +5162,19 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "md5(nfc_normalize(substr(text, 1, 40) || "
             f"'{tx.UNICODE_PLANT}')) AS nfc_md5 "
             "FROM documents ORDER BY doc_id"
+        ),
+        "zorder_point_keys": (
+            # independent bit-by-bit interleave (list_transform) vs the
+            # engine's magic-number spread; ghcell x/y arithmetic at
+            # res 12 (nx=32768, ny=16384) inlined as in ghcell_sql
+            f"WITH zp AS ({_POINTS_SQL}), "
+            "zxy AS (SELECT event_id, "
+            "least(greatest(cast(floor((lon + 180.0) / 360.0 * 32768.0) "
+            "as bigint), 0), 32767) AS zx, "
+            "least(greatest(cast(floor((lat + 90.0) / 180.0 * 16384.0) "
+            "as bigint), 0), 16383) AS zy FROM zp) "
+            f"SELECT event_id, ({ix.morton_sql('zx', 'zy')})::BIGINT "
+            "AS zkey FROM zxy ORDER BY event_id"
         ),
         "session_window_native": (
             # gap-cumsum sessionization with Spark's half-open convention:

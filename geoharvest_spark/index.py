@@ -461,3 +461,95 @@ def geohash_np(
             )
         )
     return np.array(out)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (Morton) spatial layout keys
+# ---------------------------------------------------------------------------
+# At 100 TB the scan-pruning story is file LAYOUT, not just partitioning:
+# parquet min/max footer stats prune row groups only if rows near in space
+# are near in file order. A Morton key linearizes the 2-D cell grid so one
+# repartitionByRange + sortWithinPartitions write yields files whose zkey
+# ranges are DISJOINT (asserted in tests) — any spatial bbox becomes a few
+# zkey intervals and the scan skips every other file. Pure codegen bitwise
+# ops (the classic magic-number bit spread), DuckDB-replayable via an
+# INDEPENDENT bit-by-bit formulation (morton_sql).
+
+_MORTON_SPREAD = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+
+def _spread_bits16(v: Column) -> Column:
+    """Spread a 16-bit value's bits to even positions of a 32-bit word."""
+    v = v.cast("long").bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _MORTON_SPREAD:
+        v = v.bitwiseOR(F.shiftleft(v, shift)).bitwiseAND(F.lit(mask))
+    return v
+
+
+def morton_key(x: Column, y: Column) -> Column:
+    """Interleave two 16-bit cell coordinates into a Z-order key
+    (x in even bits, y in odd bits; key < 2^32). Whole-stage codegen."""
+    return _spread_bits16(x).bitwiseOR(
+        F.shiftleft(_spread_bits16(y), 1)
+    ).cast("long")
+
+
+def zorder_key(lon: Column, lat: Column, res: int = 12) -> Column:
+    """Point -> Z-order layout key over the ghcell grid at `res`.
+
+    res <= 13 so x (< 8*2^res) and y fit in 16 bits. The key orders the
+    SAME cells ghcell addresses — zkey is a layout permutation of the
+    grid, not a new index."""
+    if not 0 <= res <= 13:
+        raise ValueError(f"zorder res must be in [0, 13], got {res}")
+    nx, ny = ghcell_nx(res), ghcell_ny(res)
+    x = F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(nx)))
+    y = F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(ny)))
+    x = F.least(F.greatest(x, F.lit(0)), F.lit(nx - 1))
+    y = F.least(F.greatest(y, F.lit(0)), F.lit(ny - 1))
+    return morton_key(x, y)
+
+
+def morton_sql(x_expr: str, y_expr: str) -> str:
+    """DuckDB twin as an INDEPENDENT algorithm: bit-by-bit interleave via
+    list_transform/list_sum instead of the magic-number spread — a
+    transposed constant or mask slip in either side breaks equality."""
+    return (
+        f"list_sum(list_transform(range(16), k -> "
+        f"((({x_expr}) >> k) & 1) * (1::BIGINT << (2 * k)) + "
+        f"((({y_expr}) >> k) & 1) * (1::BIGINT << (2 * k + 1))))"
+    )
+
+
+def morton_np(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """numpy reference twin (bit-by-bit, independent of the Column path)."""
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    out = np.zeros_like(x)
+    for k in range(16):
+        out |= ((x >> k) & 1) << (2 * k)
+        out |= ((y >> k) & 1) << (2 * k + 1)
+    return out
+
+
+def zorder_layout(
+    df: DataFrame,
+    lon: str = "lon",
+    lat: str = "lat",
+    res: int = 12,
+    partitions: int = 32,
+    key_col: str = "zkey",
+) -> DataFrame:
+    """Spatially-clustered layout: add the Z-order key, range-partition
+    on it and sort within partitions. Writing this frame produces files
+    with non-overlapping zkey ranges (pinned in test_index), which is
+    what turns parquet footer min/max stats into real spatial pruning."""
+    out = df.withColumn(key_col, zorder_key(F.col(lon), F.col(lat), res))
+    return out.repartitionByRange(partitions, key_col).sortWithinPartitions(
+        key_col
+    )

@@ -155,3 +155,81 @@ def test_geohash_external_conformance_and_twins(spark):
     # hierarchy: precision-4 hash is the 4-char prefix of precision-7
     p4 = geohash_np(lon, lat, 4)
     assert all(w[:4] == p for w, p in zip(want, p4))
+
+
+def test_morton_column_matches_numpy_twin(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.index import morton_key, morton_np
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") * 37 % 65536).alias("x"),
+        (F.col("id") * 101 % 65536).alias("y"),
+    )
+    got = df.select("x", "y", morton_key(F.col("x"), F.col("y")).alias("z"))
+    pdf = got.toPandas()
+    exp = morton_np(pdf.x.values, pdf.y.values)
+    assert (pdf.z.values == exp).all()
+
+
+def test_morton_quadtree_nesting():
+    import numpy as np
+
+    from geoharvest_spark.index import morton_np
+
+    rs = np.random.RandomState(11)
+    x = rs.randint(0, 65536, 1000)
+    y = rs.randint(0, 65536, 1000)
+    # dropping one resolution level == dropping the low bit pair:
+    # the hierarchical-nesting property bbox pruning relies on
+    assert (morton_np(x, y) >> 2 == morton_np(x >> 1, y >> 1)).all()
+
+
+def test_zorder_res_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.index import zorder_key
+
+    with pytest.raises(ValueError, match="zorder res"):
+        zorder_key(F.lit(0.0), F.lit(0.0), res=14)
+
+
+def test_zorder_layout_files_disjoint(spark, tmp_path):
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.index import zorder_layout
+
+    pts = spark.range(0, 20000).select(
+        ((F.col("id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+    out = str(tmp_path / "zorder")
+    zorder_layout(pts, partitions=8).write.parquet(out)
+    import glob
+
+    ranges = []
+    for f in glob.glob(f"{out}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        cols = {
+            md.row_group(0).column(i).path_in_schema: i
+            for i in range(md.row_group(0).num_columns)
+        }
+        zi = cols["zkey"]
+        lo = min(
+            md.row_group(g).column(zi).statistics.min
+            for g in range(md.num_row_groups)
+        )
+        hi = max(
+            md.row_group(g).column(zi).statistics.max
+            for g in range(md.num_row_groups)
+        )
+        ranges.append((lo, hi))
+    ranges.sort()
+    assert len(ranges) >= 4
+    # the pruning contract: file zkey ranges never overlap, so a spatial
+    # bbox (= a set of zkey intervals) touches only the files it must
+    for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges
