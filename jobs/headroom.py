@@ -694,9 +694,153 @@ def main() -> None:
     run_round5_legs(spark)
     run_round6_legs(spark)
     run_round6b_legs(spark)
+    run_round6c_legs(spark)
     run_textops_legs(spark)
     spark.stop()
 
 
 if __name__ == "__main__":
     main()
+
+
+def run_round6c_legs(spark) -> None:
+    """Late-round-6 batch 2 at 4-8x scale: image dHash near-dup, the
+    funnel fold, HLL registers, and the Z-order key. Per-unit cost must
+    be flat or falling."""
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.funnel import funnel_counts
+    from geoharvest_spark.imagehash import dhash_near_dups, with_image_dhash
+    from geoharvest_spark.index import zorder_key
+    from geoharvest_spark.sketch import hll_estimate, hll_registers
+
+    # image dhash: distributed gray-PPM synthesis (24x27, ~2 KB each),
+    # decode + hash + band join + Hamming filter all on the timed path
+    def _ppm_images(n):
+        import numpy as np
+        import pandas as pd
+
+        def _gen(batches):
+            for pdf in batches:
+                payloads = []
+                for i in pdf["id"]:
+                    grid = np.random.RandomState(int(i) % 100_000).randint(
+                        0, 256, size=(8, 9)
+                    )
+                    img = np.repeat(np.repeat(grid, 3, 0), 3, 1).astype(
+                        np.uint8
+                    )
+                    rgb = np.stack([img, img, img], axis=2)
+                    payloads.append(
+                        b"P6\n%d %d\n255\n" % (rgb.shape[1], rgb.shape[0])
+                        + rgb.tobytes()
+                    )
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["id"].astype(str),
+                        "kind": "image",
+                        "payload": payloads,
+                    }
+                )
+
+        return spark.range(n, numPartitions=48).mapInPandas(
+            _gen, "media_id string, kind string, payload binary"
+        )
+
+    for n_img in (50_000, 200_000):
+        imgs = _ppm_images(n_img)
+        best = min(
+            time_noop(dhash_near_dups(with_image_dhash(imgs)))
+            for _ in range(2)
+        )
+        print(
+            json.dumps(
+                {
+                    "workload": "image_dhash_dups",
+                    "rows": n_img,
+                    "sec": round(best, 3),
+                    "us_per_image": round(best / n_img * 1e6, 2),
+                }
+            ),
+            flush=True,
+        )
+
+    # funnel + HLL over synthetic event streams (JVM-side generator)
+    i = F.col("id")
+    for n_ev in (1_000_000, 8_000_000):
+        ev = spark.range(n_ev, numPartitions=48).select(
+            i.alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + (i * 7919) % 2_592_000_000_000
+            ).alias("ts"),
+            (i % 50_000).alias("user_id"),
+            F.element_at(
+                F.array(
+                    F.lit("view"),
+                    F.lit("click"),
+                    F.lit("purchase"),
+                    F.lit("error"),
+                    F.lit("signup"),
+                ),
+                ((i * 13) % 5 + 1).cast("int"),
+            ).alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit("{}").alias("props"),
+        ).cache()
+        ev.count()
+        for name, build in (
+            (
+                "funnel_fold",
+                lambda d=ev: funnel_counts(
+                    d, ("view", "click", "purchase")
+                ),
+            ),
+            (
+                "hll_grouped",
+                lambda d=ev: hll_estimate(
+                    hll_registers(
+                        d, "user_id", group_cols=("event_type",)
+                    ),
+                    group_cols=("event_type",),
+                ),
+            ),
+        ):
+            best = min(time_noop(build()) for _ in range(2))
+            print(
+                json.dumps(
+                    {
+                        "workload": name,
+                        "rows": n_ev,
+                        "sec": round(best, 3),
+                        "us_per_event": round(best / n_ev * 1e6, 3),
+                    }
+                ),
+                flush=True,
+            )
+        ev.unpersist()
+
+    # z-order key: pure codegen throughput over synthetic points
+    for n_pts in (4_000_000, 16_000_000):
+        pts = spark.range(n_pts, numPartitions=48).select(
+            ((i * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+            ((i * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+        )
+        best = min(
+            time_noop(
+                pts.select(
+                    zorder_key(F.col("lon"), F.col("lat"), 12).alias("z")
+                )
+            )
+            for _ in range(2)
+        )
+        print(
+            json.dumps(
+                {
+                    "workload": "zorder_key",
+                    "rows": n_pts,
+                    "sec": round(best, 3),
+                    "us_per_point": round(best / n_pts * 1e6, 3),
+                }
+            ),
+            flush=True,
+        )
