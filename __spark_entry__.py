@@ -2995,6 +2995,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["zorder_point_keys"] = zorder_point_keys
 
+    def bloom_semi_prune(spark, sf):
+        """Scan-side Bloom prefilter (bloom.py): the explicit runtime
+        filter — dim keys (302 BUILDING customers) -> 2048-bit bitset
+        built DISTRIBUTED (explode k positions, groupBy-byte bit_or),
+        embedded as a hex literal so the probe is whole-stage codegen at
+        the orders scan. Output per priority: n_pass (bloom survivors,
+        INCLUDING ~4.6% false positives), n_true + revenue after the
+        exact broadcast semi-join. The oracle builds its own bitset with
+        the pure-Python twin and replays the probe bit arithmetic in
+        SQL — a Spark-side build or probe slip changes n_pass."""
+        from geoharvest_spark.bloom import bloom_build, bloom_might_contain
+
+        m_bits, k = 2048, 3
+        cust = (
+            spark.read.parquet(f"{sf}/customer.parquet")
+            .where("c_mktsegment = 'BUILDING'")
+            .select("c_custkey")
+        )
+        orders = spark.read.parquet(f"{sf}/orders.parquet")
+        hx = bloom_build(cust, "c_custkey", m_bits, k)
+        pre = orders.where(
+            bloom_might_contain(F.col("o_custkey"), hx, m_bits, k)
+        )
+        n_pass = pre.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_pass")
+        )
+        true = pre.join(
+            F.broadcast(cust),
+            pre["o_custkey"] == F.col("c_custkey"),
+            "left_semi",
+        )
+        agg = true.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+        return n_pass.join(agg, "o_orderpriority").orderBy("o_orderpriority")
+
+    Q["bloom_semi_prune"] = bloom_semi_prune
+
     def host_authority(spark, sf):
         """Site-level link authority (graph.host_authority): docs become
         pages spread over 40 hosts (h0.site..h39.site; every 5th page
@@ -3908,6 +3949,31 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     stage = stage_all(sf_dir)
     cell5 = ix.ghcell_sql("lon", "lat", 5)
     dec = "cast({c} as decimal(18,2))"
+
+    # Bloom bitset for bloom_semi_prune, built with the PURE-PYTHON twin
+    # over the same dim keys (or-accumulation is order-independent); the
+    # Spark query builds its bitset distributed — any divergence between
+    # the two builds changes the oracle's n_pass and fails the row.
+    import os as _bos
+
+    import pyarrow.parquet as _bpq
+
+    from geoharvest_spark import bloom as _bl
+
+    _bct = _bpq.read_table(
+        _bos.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+    )
+    _bkeys = [
+        k
+        for k, s in zip(
+            _bct.column("c_custkey").to_pylist(),
+            _bct.column("c_mktsegment").to_pylist(),
+        )
+        if s == "BUILDING"
+    ]
+    _bhex = _bl.bloom_build_py(_bkeys, 2048, 3)
+    _bprobe = _bl.bloom_sql_probe("o_custkey", _bhex, 2048, 3)
     rev = (
         "cast(sum(cast(l_extendedprice as decimal(18,2)) * "
         "(cast(1 as decimal(18,2)) - cast(l_discount as decimal(18,2)))) "
@@ -5175,6 +5241,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "as bigint), 0), 16383) AS zy FROM zp) "
             f"SELECT event_id, ({ix.morton_sql('zx', 'zy')})::BIGINT "
             "AS zkey FROM zxy ORDER BY event_id"
+        ),
+        "bloom_semi_prune": (
+            # probe replayed bit-for-bit against the Python-built bitset;
+            # n_pass counts bloom survivors (false positives included),
+            # n_true/sum_price after the exact membership check
+            f"WITH bp AS (SELECT * FROM orders WHERE {_bprobe}), "
+            "bn AS (SELECT o_orderpriority, count(*) AS n_pass "
+            "FROM bp GROUP BY o_orderpriority), "
+            "bt AS (SELECT o_orderpriority, count(*) AS n_true, "
+            "cast(sum(cast(o_totalprice as decimal(18,2))) as double) "
+            "AS sum_price FROM bp WHERE o_custkey IN "
+            "(SELECT c_custkey FROM customer "
+            "WHERE c_mktsegment = 'BUILDING') GROUP BY o_orderpriority) "
+            "SELECT bn.o_orderpriority, n_pass, n_true, sum_price "
+            "FROM bn JOIN bt USING (o_orderpriority) "
+            "ORDER BY o_orderpriority"
         ),
         "session_window_native": (
             # gap-cumsum sessionization with Spark's half-open convention:
