@@ -3036,6 +3036,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["bloom_semi_prune"] = bloom_semi_prune
 
+    def od_cell_flows(spark, sf):
+        """Origin-destination flow matrix (mobility.od_matrix): per-user
+        consecutive cell transitions over the res-1 ghcell grid — ONE
+        window shuffle on the entity (lag over (t_us, event_id); the id
+        tie-break pins same-instant fixes) + one map-side-combining
+        aggregate on (from_cell, to_cell); self-loops dropped. The
+        oracle replays cell assignment, ordering, lag and the self-loop
+        filter in SQL over the same closed-form points."""
+        from geoharvest_spark.mobility import od_matrix
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        pts = ev.select(
+            "event_id",
+            "ts",
+            "user_id",
+            ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias(
+                "lon"
+            ),
+            ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias(
+                "lat"
+            ),
+        )
+        return od_matrix(pts, res=1).orderBy("from_cell", "to_cell")
+
+    Q["od_cell_flows"] = od_cell_flows
+
     def host_authority(spark, sf):
         """Site-level link authority (graph.host_authority): docs become
         pages spread over 40 hosts (h0.site..h39.site; every 5th page
@@ -5257,6 +5283,22 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "SELECT bn.o_orderpriority, n_pass, n_true, sum_price "
             "FROM bn JOIN bt USING (o_orderpriority) "
             "ORDER BY o_orderpriority"
+        ),
+        "od_cell_flows": (
+            # full replay: closed-form points, res-1 ghcell, lag window
+            # with the (t, event_id) tie-break, self-loop filter
+            "WITH odp AS (SELECT event_id, user_id, epoch_us(ts) AS t, "
+            "(event_id * 7919 % 36000) / 100.0 - 180.0 AS lon, "
+            "(event_id * 104729 % 18000) / 100.0 - 90.0 AS lat "
+            "FROM events), "
+            f"odc AS (SELECT user_id, t, event_id, "
+            f"{ix.ghcell_sql('lon', 'lat', 1)} AS cell FROM odp), "
+            "odf AS (SELECT lag(cell) OVER (PARTITION BY user_id "
+            "ORDER BY t, event_id) AS from_cell, cell AS to_cell "
+            "FROM odc) "
+            "SELECT from_cell, to_cell, count(*) AS n_trips FROM odf "
+            "WHERE from_cell IS NOT NULL AND from_cell <> to_cell "
+            "GROUP BY from_cell, to_cell ORDER BY from_cell, to_cell"
         ),
         "session_window_native": (
             # gap-cumsum sessionization with Spark's half-open convention:

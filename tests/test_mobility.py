@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from geoharvest_spark.mobility import od_matrix
+
+SF001 = "/root/testdata/sf0.001"
+SCHEMA = "event_id long, ts timestamp, user_id long, lon double, lat double"
+
+
+def _fx(i, user, sec, lon, lat):
+    return (i, dt.datetime(2024, 1, 1, 0, 0, sec), user, lon, lat)
+
+
+def test_od_semantics(spark):
+    rows = [
+        # u1 crosses three res-1 cells west->east along the equator:
+        # (-170,..) -> (-100,..) -> (0,..) -> (0,..) again (self-loop)
+        _fx(1, 1, 1, -170.0, 1.0),
+        _fx(2, 1, 2, -100.0, 1.0),
+        _fx(3, 1, 3, 0.5, 1.0),
+        _fx(4, 1, 4, 0.6, 1.0),
+        # u2 makes the SAME first hop -> that flow has n_trips=2
+        _fx(5, 2, 1, -170.0, 1.0),
+        _fx(6, 2, 2, -100.0, 1.0),
+        # u3: single fix, no transition
+        _fx(7, 3, 1, 10.0, 10.0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["from_cell"], r["to_cell"]): r["n_trips"]
+        for r in od_matrix(df).collect()
+    }
+    assert len(got) == 2  # self-loop dropped, single fix ignored
+    assert sorted(got.values()) == [1, 2]
+    with_self = {
+        (r["from_cell"], r["to_cell"]): r["n_trips"]
+        for r in od_matrix(df, include_self=True).collect()
+    }
+    # 3 transitions for u1 + 1 for u2 = 4 total across 3 distinct flows
+    assert len(with_self) == 3 and sum(with_self.values()) == 4
+
+
+def test_same_instant_tiebreak_by_id(spark):
+    # two fixes at the same second: order must follow event_id
+    rows = [
+        _fx(10, 7, 1, -170.0, 1.0),
+        _fx(11, 7, 1, -100.0, 1.0),
+        _fx(12, 7, 2, 0.5, 1.0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        (r["from_cell"], r["to_cell"]) for r in od_matrix(df).collect()
+    }
+    # path is cell(-170) -> cell(-100) -> cell(0.5): exactly those 2 hops
+    assert len(got) == 2
+
+
+def test_partition_invariance(spark):
+    ev = spark.read.parquet(f"{SF001}/events.parquet")
+    pts = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+    a = sorted(map(tuple, od_matrix(pts.repartition(1)).collect()))
+    b = sorted(map(tuple, od_matrix(pts.repartition(16)).collect()))
+    assert a == b and len(a) > 0
