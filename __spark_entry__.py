@@ -3062,6 +3062,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["od_cell_flows"] = od_cell_flows
 
+    def stay_point_cells(spark, sf):
+        """Stay-point detection (mobility.stay_points): maximal runs of
+        consecutive same-cell fixes per user (gaps-and-islands over the
+        (t_us, event_id) order — revisits to a cell stay separate
+        islands), kept at >= 2 fixes. Shares od_matrix's single
+        (user)-shuffle shape; all integer arithmetic. The oracle
+        replays the gap-cumsum idiom in SQL."""
+        from geoharvest_spark.mobility import stay_points
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        pts = ev.select(
+            "event_id",
+            "ts",
+            "user_id",
+            ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias(
+                "lon"
+            ),
+            ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias(
+                "lat"
+            ),
+        )
+        return stay_points(pts, res=0).orderBy("user_id", "enter_us")
+
+    Q["stay_point_cells"] = stay_point_cells
+
     def host_authority(spark, sf):
         """Site-level link authority (graph.host_authority): docs become
         pages spread over 40 hosts (h0.site..h39.site; every 5th page
@@ -5299,6 +5324,27 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "SELECT from_cell, to_cell, count(*) AS n_trips FROM odf "
             "WHERE from_cell IS NOT NULL AND from_cell <> to_cell "
             "GROUP BY from_cell, to_cell ORDER BY from_cell, to_cell"
+        ),
+        "stay_point_cells": (
+            # gap-cumsum islands over (t, event_id) order, res-0 cells
+            "WITH spp AS (SELECT event_id, user_id, epoch_us(ts) AS t, "
+            "(event_id * 7919 % 36000) / 100.0 - 180.0 AS lon, "
+            "(event_id * 104729 % 18000) / 100.0 - 90.0 AS lat "
+            "FROM events), "
+            f"spc AS (SELECT user_id, t, event_id, "
+            f"{ix.ghcell_sql('lon', 'lat', 0)} AS cell FROM spp), "
+            "spm AS (SELECT user_id, t, event_id, cell, "
+            "CASE WHEN lag(cell) OVER (PARTITION BY user_id "
+            "ORDER BY t, event_id) IS DISTINCT FROM cell THEN 1 ELSE 0 "
+            "END AS new_run FROM spc), "
+            "spi AS (SELECT user_id, t, cell, sum(new_run) OVER ("
+            "PARTITION BY user_id ORDER BY t, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS island FROM spm), "
+            "spr AS (SELECT user_id, island, cell, min(t) AS enter_us, "
+            "max(t) AS leave_us, count(*) AS n_fixes FROM spi "
+            "GROUP BY user_id, island, cell) "
+            "SELECT user_id, cell, enter_us, leave_us, n_fixes FROM spr "
+            "WHERE n_fixes >= 2 ORDER BY user_id, enter_us"
         ),
         "session_window_native": (
             # gap-cumsum sessionization with Spark's half-open convention:

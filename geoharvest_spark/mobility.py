@@ -62,3 +62,59 @@ def od_matrix(
     return flows.groupBy("from_cell", "to_cell").agg(
         F.count(F.lit(1)).alias("n_trips")
     )
+
+
+def stay_points(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    res: int = 0,
+    min_fixes: int = 2,
+    min_duration_us: int = 0,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Stay-point detection: maximal runs of consecutive fixes inside
+    one cell (gaps-and-islands — island id = running count of cell
+    changes), kept if the run has >= min_fixes fixes and spans >=
+    min_duration_us. Returns (user, cell, enter_us, leave_us, n_fixes).
+
+    Same distributed shape as od_matrix: the two windows share ONE
+    (user)-partitioned shuffle (Catalyst collapses same-spec windows),
+    then a hash aggregate on (user, island). All integer arithmetic —
+    the oracle replays it with the identical gap-cumsum SQL idiom used
+    by the sessionization oracle.
+    """
+    t = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    cells = df.select(
+        F.col(user_col).alias("u"),
+        t.alias("t"),
+        F.col(id_col).alias("eid"),
+        ghcell(F.col(lon_col), F.col(lat_col), res).alias("cell"),
+    )
+    w = Window.partitionBy("u").orderBy("t", "eid")
+    marked = cells.withColumn(
+        "new_run",
+        F.when(
+            F.lag("cell").over(w).isNull()
+            | (F.lag("cell").over(w) != F.col("cell")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_run").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = marked.groupBy("u", "island", "cell").agg(
+        F.min("t").alias("enter_us"),
+        F.max("t").alias("leave_us"),
+        F.count(F.lit(1)).alias("n_fixes"),
+    )
+    return runs.where(
+        (F.col("n_fixes") >= min_fixes)
+        & (F.col("leave_us") - F.col("enter_us") >= min_duration_us)
+    ).select(
+        F.col("u").alias(user_col), "cell", "enter_us", "leave_us", "n_fixes"
+    )

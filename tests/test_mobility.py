@@ -70,3 +70,47 @@ def test_partition_invariance(spark):
     a = sorted(map(tuple, od_matrix(pts.repartition(1)).collect()))
     b = sorted(map(tuple, od_matrix(pts.repartition(16)).collect()))
     assert a == b and len(a) > 0
+
+
+def test_stay_points_semantics(spark):
+    from geoharvest_spark.mobility import stay_points
+
+    rows = [
+        # u1: 3 fixes in one res-0 cell, then 1 away, then 2 back: two
+        # runs in the SAME cell must stay separate islands
+        _fx(1, 1, 1, 10.0, 10.0),
+        _fx(2, 1, 2, 10.5, 10.2),
+        _fx(3, 1, 3, 10.1, 10.9),
+        _fx(4, 1, 4, -170.0, -80.0),
+        _fx(5, 1, 5, 10.2, 10.3),
+        _fx(6, 1, 6, 10.3, 10.4),
+        # u2: never two consecutive fixes in one cell -> no stay points
+        _fx(7, 2, 1, 10.0, 10.0),
+        _fx(8, 2, 2, -170.0, -80.0),
+    ]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = sorted(
+        (r["user_id"], r["n_fixes"], r["enter_us"], r["leave_us"])
+        for r in stay_points(df).collect()
+    )
+    base = 1704067200 * 1_000_000
+    assert got == [
+        (1, 2, base + 5_000_000, base + 6_000_000),
+        (1, 3, base + 1_000_000, base + 3_000_000),
+    ]
+
+
+def test_stay_points_partition_invariance(spark):
+    from geoharvest_spark.mobility import stay_points
+
+    ev = spark.read.parquet(f"{SF001}/events.parquet")
+    pts = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+    a = sorted(map(tuple, stay_points(pts.repartition(1)).collect()))
+    b = sorted(map(tuple, stay_points(pts.repartition(16)).collect()))
+    assert a == b and len(a) > 0
