@@ -3087,6 +3087,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["stay_point_cells"] = stay_point_cells
 
+    def warc_cdx_index(spark, sf):
+        """CDX capture index (warc.cdx_index): the lookup artifact real
+        crawl archives ship next to the WARCs — SURT key (reversed
+        host), capture time, and the byte location (file_id, offset,
+        rec_len) that fetches one record without scanning the file. The
+        oracle derives every offset CLOSED-FORM from the page template:
+        rec_len = 214 + len(uri) + digits(clen) + clen with clen = 77 +
+        digits(body_len) + body_len, offsets = 243 (warcinfo) + window
+        cumsum of (rec_len + 4) in doc order — so ANY byte slip in the
+        builder, the parser's record walk, or the Content-Length
+        arithmetic shifts an offset and fails the row."""
+        from geoharvest_spark import warc as wc
+
+        recs = _warc_response_recs(spark, sf)
+        return wc.cdx_index(recs).orderBy("file_id", "offset")
+
+    Q["warc_cdx_index"] = warc_cdx_index
+
     def host_authority(spark, sf):
         """Site-level link authority (graph.host_authority): docs become
         pages spread over 40 hosts (h0.site..h39.site; every 5th page
@@ -5345,6 +5363,30 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "GROUP BY user_id, island, cell) "
             "SELECT user_id, cell, enter_us, leave_us, n_fixes FROM spr "
             "WHERE n_fixes >= 2 ORDER BY user_id, enter_us"
+        ),
+        "warc_cdx_index": (
+            # closed-form record geometry: HTTP payload = 77 fixed bytes
+            # + digits(body_len) + body_len; WARC record = 214 fixed +
+            # len(uri) + digits(clen) + clen; warcinfo head = 243;
+            # separator = 4. Offsets via window cumsum in doc order.
+            f"WITH {_html_page_cte()}, "
+            "cx AS (SELECT doc_id, doc_id // 10 AS file_id, "
+            "octet_length(encode(html)) AS blen, md5(html) AS body_md5 "
+            "FROM h), "
+            "cl AS (SELECT *, 77 + length(CAST(blen AS VARCHAR)) + blen "
+            "AS clen, length('http://warc.site/' || doc_id) AS ulen "
+            "FROM cx), "
+            "rl AS (SELECT *, 214 + ulen + "
+            "length(CAST(clen AS VARCHAR)) + clen AS rec_len FROM cl), "
+            "co AS (SELECT *, 243 + COALESCE(sum(rec_len + 4) OVER ("
+            "PARTITION BY file_id ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            'AS "offset" FROM rl) '
+            "SELECT 'site,warc)/' || doc_id AS surt_key, "
+            "'2024-01-01T00:00:00Z' AS warc_date, "
+            "'http://warc.site/' || doc_id AS target_uri, file_id, "
+            '"offset", rec_len, body_md5 '
+            'FROM co ORDER BY file_id, "offset"'
         ),
         "session_window_native": (
             # gap-cumsum sessionization with Spark's half-open convention:

@@ -34,7 +34,8 @@ from pyspark.sql import DataFrame
 WARC_RECORDS_DDL = (
     "file_id long, rec_idx int, warc_type string, record_id string, "
     "target_uri string, warc_date string, http_status int, "
-    "http_content_type string, body binary, ok boolean, err string"
+    "http_content_type string, body binary, ok boolean, err string, "
+    "offset long, rec_len long"
 )
 
 
@@ -112,6 +113,8 @@ def parse_warc_bytes(payload: bytes, file_id: int = 0) -> "list[dict]":
             "body": None,
             "ok": False,
             "err": err,
+            "offset": None,
+            "rec_len": None,
         }
 
     rows: list[dict] = []
@@ -121,6 +124,7 @@ def parse_warc_bytes(payload: bytes, file_id: int = 0) -> "list[dict]":
             i += 2
         if i >= n:
             break
+        start = i
         if not payload[i:].startswith(b"WARC/"):
             rows.append(divert(idx, f"bad record magic at offset {i}"))
             break
@@ -175,6 +179,11 @@ def parse_warc_bytes(payload: bytes, file_id: int = 0) -> "list[dict]":
                 "body": bytes(content),
                 "ok": True,
                 "err": None,
+                # CDX fields: record start and header+payload byte count
+                # (the CRLF CRLF separator is NOT part of the record, so
+                # next offset = offset + rec_len + 4)
+                "offset": start,
+                "rec_len": hdr_end + 4 + clen - start,
             }
         )
         idx += 1
@@ -226,3 +235,36 @@ def wet_records(recs: DataFrame, text_col: str = "wet_text") -> DataFrame:
         & (F.col("http_status") == 200)
         & F.col("http_content_type").contains("text/html")
     ).withColumn(text_col, extract_text_from_html(F.col("body").cast("string")))
+
+
+def cdx_index(recs: DataFrame) -> DataFrame:
+    """CDX capture index from parsed WARC records — the lookup artifact
+    real crawl archives ship next to the WARCs (Common Crawl's cdx-*):
+    one row per successful response capture, keyed by SURT (reversed
+    host + path, so one host's captures sort contiguously), carrying
+    the byte location (file_id, offset, rec_len) a reader needs to
+    fetch that single record without scanning the file, plus a content
+    digest. Pure codegen over the parse output — building the index for
+    a 100-TB crawl is one narrow projection, and serving a URL lookup
+    is a sorted-key range scan (pair with zorder-style range writes).
+    """
+    from pyspark.sql import functions as F
+
+    host = F.regexp_extract("target_uri", r"^[a-z][a-z0-9+.-]*://([^/]+)", 1)
+    path = F.regexp_extract(
+        "target_uri", r"^[a-z][a-z0-9+.-]*://[^/]+(/.*)?$", 1
+    )
+    surt = F.concat(
+        F.array_join(F.reverse(F.split(F.lower(host), r"\.")), ","),
+        F.lit(")"),
+        path,
+    )
+    return recs.where(F.col("ok") & (F.col("warc_type") == "response")).select(
+        surt.alias("surt_key"),
+        "warc_date",
+        "target_uri",
+        "file_id",
+        "offset",
+        "rec_len",
+        F.md5("body").alias("body_md5"),
+    )

@@ -183,3 +183,39 @@ def test_pipeline_warc_ingest_roundtrip(spark):
     a = {(r.doc_id, r.url, r.html) for r in pages.collect()}
     b = {(r.doc_id, r.url, r.html) for r in back.collect()}
     assert a == b
+
+
+def test_offsets_and_cdx(spark):
+    from geoharvest_spark.warc import (
+        build_warc_file,
+        cdx_index,
+        parse_warc_bytes,
+    )
+
+    recs = [
+        (f"http://sub.Example.com/p/{i}", "2024-01-01T00:00:00Z",
+         b"<html>" + b"x" * (10 * i) + b"</html>")
+        for i in range(4)
+    ]
+    payload = build_warc_file(recs, 9)
+    rows = parse_warc_bytes(payload, 9)
+    # offsets index back into the file: the bytes at each offset are the
+    # record's own version line, and rec_len reaches the payload end
+    for r in rows:
+        assert payload[r["offset"] : r["offset"] + 9] == b"WARC/1.0\r"
+        assert payload[r["offset"] + r["rec_len"] : r["offset"] + r["rec_len"] + 4] == b"\r\n\r\n"
+    # next offset = offset + rec_len + 4 (separator not in the record)
+    for a, b in zip(rows, rows[1:]):
+        assert b["offset"] == a["offset"] + a["rec_len"] + 4
+
+    df = spark.createDataFrame(
+        pd.DataFrame([{"file_id": 9, "payload": payload}]),
+        "file_id long, payload binary",
+    )
+    from geoharvest_spark.warc import parse_warc_records
+
+    cdx = cdx_index(parse_warc_records(df)).collect()
+    assert len(cdx) == 4
+    for r in cdx:
+        assert r["surt_key"].startswith("com,example,sub)/p/")
+        assert r["rec_len"] > 0 and r["offset"] > 0
