@@ -3105,6 +3105,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["warc_cdx_index"] = warc_cdx_index
 
+    def cms_token_counts(spark, sf):
+        """Count-Min frequency sketch (sketch.cms_build/estimate): the
+        sum-mergeable fixed-size counter table — shuffle carries at
+        most depth*width rows at any input size. Deliberately tiny
+        (2x16) over the 31-token vocabulary so hash collisions REALLY
+        occur and the min-over-rows estimator does work; exact counts
+        ride along, witnessing the never-underestimate guarantee row by
+        row. Oracle replays build + probe + min in SQL."""
+        from geoharvest_spark.sketch import cms_build, cms_estimate
+        from geoharvest_spark.textops import tokens_col
+
+        depth, width = 2, 16
+        docs = spark.read.parquet(f"{sf}/documents.parquet")
+        toks = docs.select(
+            F.explode(tokens_col(F.col("text"))).alias("tok")
+        ).where(F.col("tok") != "")
+        sk = cms_build(toks, "tok", depth, width)
+        qs = toks.select("tok").distinct()
+        est = cms_estimate(sk, qs, "tok", depth, width)
+        exact = toks.groupBy(F.col("tok").alias("value")).agg(
+            F.count(F.lit(1)).alias("exact_count")
+        )
+        return est.join(exact, "value").orderBy("value")
+
+    Q["cms_token_counts"] = cms_token_counts
+
     def host_authority(spark, sf):
         """Site-level link authority (graph.host_authority): docs become
         pages spread over 40 hosts (h0.site..h39.site; every 5th page
@@ -5387,6 +5413,19 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "'http://warc.site/' || doc_id AS target_uri, file_id, "
             '"offset", rec_len, body_md5 '
             'FROM co ORDER BY file_id, "offset"'
+        ),
+        "cms_token_counts": (
+            # Count-Min build + probe + min replayed in SQL over the
+            # identical \s+ tokenization; exact counts joined alongside
+            "WITH cmt AS (SELECT unnest(list_filter("
+            "string_split_regex(text, '\\s+'), t -> t <> '')) AS v "
+            "FROM documents), "
+            "cmsq AS (SELECT DISTINCT v FROM cmt), "
+            "cme AS (" + _sketch.cms_sql("v", "cmt", 2, 16) + "), "
+            "cmx AS (SELECT v AS value, count(*)::BIGINT AS exact_count "
+            "FROM cmt GROUP BY v) "
+            "SELECT cme.value, est_count, exact_count "
+            "FROM cme JOIN cmx USING (value) ORDER BY value"
         ),
         "session_window_native": (
             # gap-cumsum sessionization with Spark's half-open convention:

@@ -1,4 +1,5 @@
-"""Distributed cardinality sketches (HyperLogLog, Flajolet et al. 2007).
+"""Distributed data sketches: HyperLogLog cardinality (Flajolet et al.
+2007) and Count-Min frequency (Cormode & Muthukrishnan 2005).
 
 COUNT(DISTINCT x) is the one aggregate that does not decompose: exact
 distinct over 100 TB shuffles every distinct value. The HLL register
@@ -22,10 +23,11 @@ Register tables merge by groupBy-max: hll_merge(union of sketches) ==
 sketch of the union (tested), which is what makes the sketch usable
 across days/streams/clusters without re-reading raw data.
 
-Only the raw HLL estimator is implemented (no small-range linear
-counting / bias correction): the point here is the distributed register
-algebra; corrections are driver-side arithmetic on the same 2^p rows.
-Raw-estimate relative error is ~1.04/sqrt(2^p).
+The HLL estimator implements the raw harmonic mean plus the standard
+small-range linear-counting branch (m*ln(m/V) when raw <= 2.5m — that
+branch is transcendental, so oracle queries target the raw regime and
+the small regime is accuracy-tested instead). Raw-estimate relative
+error is ~1.04/sqrt(2^p).
 """
 
 from __future__ import annotations
@@ -152,4 +154,117 @@ def hll_sql(val_expr: str, p: int = 8, group_by: str = "") -> str:
         f"FROM (SELECT {grp}('0x' || substr(md5(CAST({val_expr} AS VARCHAR)), "
         f"1, 15))::BIGINT AS h FROM hllsrc WHERE {val_expr} IS NOT NULL)) "
         f"GROUP BY {grp}reg) {grp_by})"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+# The frequency twin of the HLL register table: "how often does X occur"
+# over data too big to hold exact counts per key. d rows x w counters,
+# updated additively -> the sketch is a SUM-mergeable fixed-size table
+# (d*w rows max in the shuffle regardless of input), estimates are
+# min over d counters: never an underestimate, overestimate bounded by
+# e*N/w with probability 1 - e^-d. Same determinism contract as HLL:
+# md5-60bit + double hashing, pure integers, SQL-replayable.
+
+
+def cms_positions(col: Column, depth: int, width: int) -> Column:
+    """Array of d (row, col) probe positions via double hashing —
+    pos_j = (h + j*h2) mod w, h2 odd (the bloom.py probe schedule)."""
+    h = F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    h2 = F.shiftrightunsigned(h, 29).bitwiseOR(F.lit(1))
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                ((h + F.lit(j) * h2) % F.lit(width)).alias("col"),
+            )
+            for j in range(depth)
+        ]
+    )
+
+
+def cms_build(
+    df: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1 << 12,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Count-Min table (row, col, c): explode d positions per value,
+    one hash aggregate with map-side combine. Merge sketches built on
+    different shards/days by union + groupBy-sum (tested)."""
+    if not 1 <= depth <= 16:
+        raise ValueError(f"depth must be in [1, 16], got {depth}")
+    if width < 16:
+        raise ValueError(f"width must be >= 16, got {width}")
+    w = F.col(weight_col).cast("long") if weight_col else F.lit(1).cast("long")
+    return (
+        df.where(F.col(col).isNotNull())
+        .select(
+            F.explode(cms_positions(F.col(col), depth, width)).alias("p"),
+            w.alias("w"),
+        )
+        .select(F.col("p.row").alias("row"), F.col("p.col").alias("col"), "w")
+        .groupBy("row", "col")
+        .agg(F.sum("w").alias("c"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Sum-merge Count-Min tables built with the same (depth, width)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("row", "col").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(
+    sketch_df: DataFrame,
+    queries: DataFrame,
+    col: str,
+    depth: int = 4,
+    width: int = 1 << 12,
+) -> DataFrame:
+    """Point-frequency estimates for each query value: explode the d
+    probe positions, inner-join the sketch table (missing counter =
+    impossible here: every probed counter was touched if the value
+    occurred; a fully absent value keeps its true 0 only via left join
+    + coalesce), take min over rows. Returns (value, est_count)."""
+    probes = queries.select(
+        F.col(col).alias("value"),
+        F.explode(cms_positions(F.col(col), depth, width)).alias("p"),
+    ).select("value", F.col("p.row").alias("row"), F.col("p.col").alias("col"))
+    joined = probes.join(sketch_df, ["row", "col"], "left").select(
+        "value", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    return joined.groupBy("value").agg(F.min("c").alias("est_count"))
+
+
+def cms_sql(
+    val_expr: str, src: str, depth: int = 4, width: int = 1 << 12
+) -> str:
+    """DuckDB replay of build+estimate: returns a SELECT producing
+    (value, est_count) for every distinct value of `q_expr` in relation
+    `cmsq(v)`, over a sketch built from relation `{src}` (one column
+    referenced by val_expr). Caller provides both via WITH."""
+    h = f"('0x' || substr(md5(CAST({val_expr} AS VARCHAR)), 1, 15))::BIGINT"
+    pos = (
+        f"(({h}) + j.j * ((({h}) >> 29) | 1)) % {width}"
+    )
+    return (
+        f"SELECT value, min(c) AS est_count FROM ("
+        f"SELECT q.value, q.row, q.col, COALESCE(s.c, 0) AS c FROM ("
+        f"SELECT v AS value, j.j AS row, "
+        f"(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT "
+        f"+ j.j * ((('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT "
+        f">> 29) | 1)) % {width} AS col "
+        f"FROM cmsq, range({depth}) j(j)) q LEFT JOIN ("
+        f"SELECT j.j AS row, {pos} AS col, count(*)::BIGINT AS c "
+        f"FROM {src}, range({depth}) j(j) WHERE {val_expr} IS NOT NULL "
+        f"GROUP BY j.j, {pos}) s ON q.row = s.row AND q.col = s.col) "
+        f"GROUP BY value"
     )

@@ -68,3 +68,68 @@ def test_grouped_registers_and_estimate(spark, events):
 def test_p_validation(spark, events):
     with pytest.raises(ValueError, match="p must be"):
         hll_registers(events, "user_id", p=2)
+
+
+def test_cms_never_underestimates_and_is_tight(spark, events):
+    from geoharvest_spark.sketch import cms_build, cms_estimate
+
+    # exact per-type counts (5 types over 1000 events)
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    sk = cms_build(events, "event_type")
+    qs = events.select("event_type").distinct()
+    est = {
+        r["value"]: r["est_count"]
+        for r in cms_estimate(sk, qs, "event_type").collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        assert est[k] >= n  # the CM guarantee: never under
+        # 5 distinct values in a 4x4096 table: collisions are ~impossible
+        assert est[k] == n, (k, est[k], n)
+
+
+def test_cms_merge_equals_build_on_union(spark, events):
+    from geoharvest_spark.sketch import cms_build, cms_merge
+
+    left = events.where("event_id % 2 = 0")
+    right = events.where("event_id % 2 = 1")
+    merged = cms_merge(
+        cms_build(left, "user_id"), cms_build(right, "user_id")
+    )
+    whole = cms_build(events, "user_id")
+    assert _rows(merged) == _rows(whole)
+
+
+def test_cms_partition_invariance(spark, events):
+    from geoharvest_spark.sketch import cms_build
+
+    a = _rows(cms_build(events.repartition(1), "user_id"))
+    b = _rows(cms_build(events.repartition(16), "user_id"))
+    assert a == b and len(a) > 0
+
+
+def test_cms_absent_value_estimates_zero_or_collision(spark, events):
+    from geoharvest_spark.sketch import cms_build, cms_estimate
+
+    sk = cms_build(events, "event_type")
+    qs = spark.createDataFrame(
+        [("never-seen-type",)], "event_type string"
+    )
+    est = cms_estimate(sk, qs, "event_type").collect()[0]["est_count"]
+    assert est == 0  # 4x4096 with 5 values: all probes land on empty
+
+
+def test_cms_validation(spark, events):
+    import pytest
+
+    from geoharvest_spark.sketch import cms_build
+
+    with pytest.raises(ValueError, match="depth"):
+        cms_build(events, "user_id", depth=0)
+    with pytest.raises(ValueError, match="width"):
+        cms_build(events, "user_id", width=8)
