@@ -3131,6 +3131,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["cms_token_counts"] = cms_token_counts
 
+    def event_ohlc_hourly(spark, sf):
+        """Hourly OHLC bars per event series (bars.ohlc_bars): the
+        standard metric/market downsampling aggregate — one hash
+        aggregate; min_by/max_by decompose, so the shuffle carries
+        per-(series, bar) partials, never raw events. open/close SELECT
+        existing doubles (no float arithmetic) ordered by a zero-padded
+        (t_us, event_id) string key replayed verbatim by DuckDB's
+        arg_min/arg_max; bar bucketing is true integer div (float
+        division rounds up at exact boundaries — unit-pinned)."""
+        from geoharvest_spark.bars import ohlc_bars
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        return ohlc_bars(ev).orderBy("series", "bar")
+
+    Q["event_ohlc_hourly"] = event_ohlc_hourly
+
     def host_authority(spark, sf):
         """Site-level link authority (graph.host_authority): docs become
         pages spread over 40 hosts (h0.site..h39.site; every 5th page
@@ -5426,6 +5442,18 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "FROM cmt GROUP BY v) "
             "SELECT cme.value, est_count, exact_count "
             "FROM cme JOIN cmx USING (value) ORDER BY value"
+        ),
+        "event_ohlc_hourly": (
+            # arg_min/arg_max over the identical padded (t_us, event_id)
+            # string key; integer // bucketing
+            "WITH ob AS (SELECT event_type AS series, "
+            "epoch_us(ts) // 3600000000 AS bar, value AS v, "
+            "lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') || "
+            "lpad(CAST(event_id AS VARCHAR), 10, '0') AS k FROM events) "
+            "SELECT series, bar, arg_min(v, k) AS open, max(v) AS high, "
+            "min(v) AS low, arg_max(v, k) AS close, "
+            "count(*)::BIGINT AS n_events "
+            "FROM ob GROUP BY series, bar ORDER BY series, bar"
         ),
         "session_window_native": (
             # gap-cumsum sessionization with Spark's half-open convention:
