@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, "/root/repo")
 
 from geoharvest_spark import index as ix  # noqa: E402
+from geoharvest_spark import geo as _geo  # noqa: E402
 from geoharvest_spark import sketch as _sketch  # noqa: E402
 from geoharvest_spark import retrieval as rt  # noqa: E402
 from geoharvest_spark import textops as tx  # noqa: E402
@@ -3147,6 +3148,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["event_ohlc_hourly"] = event_ohlc_hourly
 
+    def polygon_area_centroid(spark, sf):
+        """Exact vector-polygon aggregates (geo.polygon_stats): integer
+        shoelace area2 + centroid over array<struct<x,y>> vertices —
+        whole-stage-codegen higher-order functions, no UDF, no shuffle
+        (the per-feature geometry pass of a vector-tile pipeline).
+        Nations become deterministic octagons (rectangles with corner
+        cuts parameterized by the key — closed-form area 2wh - 4a^2 is
+        unit-pinned); centroid is one double division of exact-int
+        operands. Oracle replays the HOF arithmetic with DuckDB list
+        lambdas."""
+        from geoharvest_spark.geo import polygon_stats
+
+        nat = spark.read.parquet(f"{sf}/nation.parquet")
+        k = F.col("n_nationkey").cast("long")
+        x0 = (k % 5) * 1000
+        y0 = F.expr("cast(n_nationkey as bigint) div 5") * 1000
+        w = F.lit(400) + 20 * (k % 7)
+        h = F.lit(300) + 30 * (k % 5)
+        a = F.lit(50) + 10 * (k % 3)
+
+        def _pt(x, y):
+            return F.struct(
+                x.cast("long").alias("x"), y.cast("long").alias("y")
+            )
+
+        verts = F.array(
+            _pt(x0 + a, y0),
+            _pt(x0 + w - a, y0),
+            _pt(x0 + w, y0 + a),
+            _pt(x0 + w, y0 + h - a),
+            _pt(x0 + w - a, y0 + h),
+            _pt(x0 + a, y0 + h),
+            _pt(x0, y0 + h - a),
+            _pt(x0, y0 + a),
+        )
+        polys = nat.select(k.alias("pid"), verts.alias("vertices"))
+        return (
+            polygon_stats(polys)
+            .select("pid", "area2", "cx", "cy")
+            .orderBy("pid")
+        )
+
+    Q["polygon_area_centroid"] = polygon_area_centroid
+
     def host_authority(spark, sf):
         """Site-level link authority (graph.host_authority): docs become
         pages spread over 40 hosts (h0.site..h39.site; every 5th page
@@ -5454,6 +5499,24 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "min(v) AS low, arg_max(v, k) AS close, "
             "count(*)::BIGINT AS n_events "
             "FROM ob GROUP BY series, bar ORDER BY series, bar"
+        ),
+        "polygon_area_centroid": (
+            # identical octagon synthesis + shoelace HOF arithmetic via
+            # DuckDB list lambdas (geo.polygon_shoelace_sql)
+            "WITH pg AS (SELECT CAST(n_nationkey AS BIGINT) AS pid, "
+            "(n_nationkey % 5) * 1000 AS x0, "
+            "(n_nationkey // 5) * 1000 AS y0, "
+            "400 + 20 * (n_nationkey % 7) AS w, "
+            "300 + 30 * (n_nationkey % 5) AS h, "
+            "50 + 10 * (n_nationkey % 3) AS a FROM nation), "
+            "pv AS (SELECT pid, [" 
+            "{'x': x0 + a, 'y': y0}, {'x': x0 + w - a, 'y': y0}, "
+            "{'x': x0 + w, 'y': y0 + a}, {'x': x0 + w, 'y': y0 + h - a}, "
+            "{'x': x0 + w - a, 'y': y0 + h}, {'x': x0 + a, 'y': y0 + h}, "
+            "{'x': x0, 'y': y0 + h - a}, {'x': x0, 'y': y0 + a}"
+            "]::STRUCT(x BIGINT, y BIGINT)[] AS vertices FROM pg) "
+            f"SELECT pid, {_geo.polygon_shoelace_sql('vertices')} "
+            "FROM pv ORDER BY pid"
         ),
         "session_window_native": (
             # gap-cumsum sessionization with Spark's half-open convention:

@@ -259,3 +259,97 @@ def haversine_scalar(lon1: float, lat1: float, lon2: float, lat2: float) -> floa
         + math.cos(rl1) * math.cos(rl2) * math.sin(math.radians(lon2 - lon1) / 2.0) ** 2
     )
     return 2.0 * EARTH_RADIUS_M * math.asin(math.sqrt(a))
+
+
+# ---------------------------------------------------------------------------
+# vector polygon aggregates (integer shoelace)
+# ---------------------------------------------------------------------------
+
+def polygon_shoelace_cols(vertices: Column) -> "dict[str, Column]":
+    """Exact shoelace terms for a simple polygon given as an
+    array<struct<x:long, y:long>> of INTEGER vertices (scaled coords —
+    the layout vector formats actually use, e.g. geobuf/MVT).
+
+    Everything is whole-stage-codegen higher-order functions over the
+    vertex array — no UDF, no shuffle — and exact int64 arithmetic:
+
+      area2   = |sum cross_i|            (twice the area; exact)
+      cx_num  = sum (x_i + x_j) cross_i  (centroid numerator, exact;
+      cy_num  = sum (y_i + y_j) cross_i   centroid = num / (3 * sum))
+
+    with cross_i = x_i*y_j - x_j*y_i over consecutive vertex pairs
+    (wrapping). The SIGNED cross sum is kept for the centroid so vertex
+    orientation cancels. Keep |coord| <= ~1e6 so the centroid
+    numerators stay within exact-double range for the final division.
+    """
+    n = F.size(vertices)
+    idx = F.sequence(F.lit(0), n - 1)
+
+    def _pair(fn):
+        return F.transform(
+            idx,
+            lambda i: fn(
+                F.element_at(vertices, i + 1),
+                F.element_at(vertices, ((i + 1) % n) + 1),
+            ),
+        )
+
+    def _ssum(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda a, v: a + v)
+
+    cross = _pair(lambda p, q: p["x"] * q["y"] - q["x"] * p["y"])
+    cx_t = _pair(
+        lambda p, q: (p["x"] + q["x"])
+        * (p["x"] * q["y"] - q["x"] * p["y"])
+    )
+    cy_t = _pair(
+        lambda p, q: (p["y"] + q["y"])
+        * (p["x"] * q["y"] - q["x"] * p["y"])
+    )
+    s = _ssum(cross)
+    return {
+        "area2": F.abs(s),
+        "cross_sum": s,
+        "cx_num": _ssum(cx_t),
+        "cy_num": _ssum(cy_t),
+    }
+
+
+def polygon_stats(df: DataFrame, vertices_col: str = "vertices") -> DataFrame:
+    """Add exact area2 (bigint) and centroid (cx, cy doubles — ONE
+    division each of exact-integer operands, bit-identical in DuckDB)."""
+    t = polygon_shoelace_cols(F.col(vertices_col))
+    den = (F.lit(3).cast("long") * t["cross_sum"]).cast("double")
+    return df.select(
+        "*",
+        t["area2"].alias("area2"),
+        (t["cx_num"].cast("double") / den).alias("cx"),
+        (t["cy_num"].cast("double") / den).alias("cy"),
+    )
+
+
+def polygon_shoelace_sql(vertices_expr: str) -> str:
+    """DuckDB twin: (area2, cx, cy) SELECT-list fragment over a
+    LIST(STRUCT(x BIGINT, y BIGINT)) expression (1-indexed lists)."""
+    v = vertices_expr
+    n = f"len({v})"
+
+    def pair(fn: str) -> str:
+        # p = v[i], q = v[(i % n) + 1] for i in 1..n
+        return (
+            f"list_transform(range(1, {n} + 1), i -> {fn})"
+            .replace("PX", f"{v}[i].x")
+            .replace("PY", f"{v}[i].y")
+            .replace("QX", f"{v}[(i % {n}) + 1].x")
+            .replace("QY", f"{v}[(i % {n}) + 1].y")
+        )
+
+    cross = "PX*QY - QX*PY"
+    s = f"list_sum({pair(cross)})"
+    cxn = f"list_sum({pair(f'(PX + QX) * ({cross})')})"
+    cyn = f"list_sum({pair(f'(PY + QY) * ({cross})')})"
+    return (
+        f"abs({s})::BIGINT AS area2, "
+        f"CAST({cxn} AS DOUBLE) / CAST(3 * ({s}) AS DOUBLE) AS cx, "
+        f"CAST({cyn} AS DOUBLE) / CAST(3 * ({s}) AS DOUBLE) AS cy"
+    )
