@@ -3192,6 +3192,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["polygon_area_centroid"] = polygon_area_centroid
 
+    def graph_triangle_counts(spark, sf):
+        """Distributed triangle counting (graph.triangle_count):
+        degree-ordered edge orientation caps per-node out-degree at
+        O(sqrt(E)) so the wedge self-join is arboricity-bounded — the
+        hub-safe formulation (a naive wedge join on a degree-d hub
+        materializes d^2 rows). Synthetic 600-node graph: ring + chord
+        + every-third shortcut edges. The oracle is an INDEPENDENT
+        algorithm — brute-force canonical triple join (no orientation,
+        no degree table) — so the two agree only if the orientation
+        trick finds EXACTLY every triangle once."""
+        from geoharvest_spark.graph import triangle_count
+
+        i = F.col("id")
+        n = 600
+        ed = (
+            spark.range(n)
+            .select(i.alias("src"), ((i + 1) % n).alias("dst"))
+            .unionAll(
+                spark.range(n).select(
+                    i.alias("src"), ((i * 7 + 3) % n).alias("dst")
+                )
+            )
+            .unionAll(
+                spark.range(n)
+                .where(i % 3 == 0)
+                .select(i.alias("src"), ((i + 2) % n).alias("dst"))
+            )
+        )
+        return triangle_count(ed).orderBy("node")
+
+    Q["graph_triangle_counts"] = graph_triangle_counts
+
     def host_authority(spark, sf):
         """Site-level link authority (graph.host_authority): docs become
         pages spread over 40 hosts (h0.site..h39.site; every 5th page
@@ -5517,6 +5549,23 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "]::STRUCT(x BIGINT, y BIGINT)[] AS vertices FROM pg) "
             f"SELECT pid, {_geo.polygon_shoelace_sql('vertices')} "
             "FROM pv ORDER BY pid"
+        ),
+        "graph_triangle_counts": (
+            # INDEPENDENT algorithm: brute-force canonical (a<b<c)
+            # triple join — no degree table, no orientation
+            "WITH ted AS (SELECT i AS s, (i + 1) % 600 AS t "
+            "FROM range(600) r(i) "
+            "UNION ALL SELECT i, (i * 7 + 3) % 600 FROM range(600) r(i) "
+            "UNION ALL SELECT i, (i + 2) % 600 FROM range(600) r(i) "
+            "WHERE i % 3 = 0), "
+            "te AS (SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b "
+            "FROM ted WHERE s <> t), "
+            "tri AS (SELECT e1.a AS u, e1.b AS v, e2.b AS w "
+            "FROM te e1 JOIN te e2 ON e2.a = e1.b "
+            "JOIN te e3 ON e3.a = e1.a AND e3.b = e2.b), "
+            "corners AS (SELECT unnest([u, v, w]) AS node FROM tri) "
+            "SELECT node, count(*)::BIGINT AS n_triangles FROM corners "
+            "GROUP BY node ORDER BY node"
         ),
         "session_window_native": (
             # gap-cumsum sessionization with Spark's half-open convention:

@@ -190,3 +190,76 @@ def host_authority(
     return hosts.join(pr, F.xxhash64("host") == F.col("id")).select(
         "host", F.col("rank").alias("authority")
     )
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle counts via degree-ordered edge orientation
+    (the MapReduce-era standard, Suri & Vassilvitskii 2011).
+
+    The naive wedge join explodes on hubs (a degree-d node makes d^2
+    wedges). Orienting every edge from the LOWER (degree, id) endpoint
+    to the higher caps each node's out-degree at O(sqrt(|E|)), so the
+    wedge self-join is bounded by arboricity — the difference between
+    a web-scale run finishing and one hub node materializing 10^12
+    wedge rows. Pipeline: canonical distinct undirected edges -> degree
+    table -> orientation by the scalar key deg*2^32 + id (total order,
+    SQL-replayable) -> wedge self-join on the common source -> hash
+    semi-join closing each wedge against the oriented edge set -> each
+    triangle found EXACTLY once (its (deg,id)-minimum vertex is the
+    wedge center) -> explode the 3 corners -> per-node count.
+
+    Returns (node, n_triangles), nodes in >= 1 triangle. All joins are
+    equi-joins on node ids; everything integer; no windows, no Python.
+    """
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    e = (
+        edges.where(F.col(src) != F.col(dst))
+        .select(a.alias("a"), b.alias("b"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("n"))
+        .unionAll(e.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    key = (F.col("d") * F.lit(1 << 32) + F.col("n")).alias("k")
+    ka = deg.select(F.col("n").alias("a"), key.alias("ka"))
+    kb = deg.select(F.col("n").alias("b"), key.alias("kb"))
+    ek = e.join(ka, "a").join(kb, "b")
+    oriented = ek.select(
+        F.when(F.col("ka") < F.col("kb"), F.col("a"))
+        .otherwise(F.col("b"))
+        .alias("lo"),
+        F.when(F.col("ka") < F.col("kb"), F.col("b"))
+        .otherwise(F.col("a"))
+        .alias("hi"),
+        F.least("ka", "kb").alias("klo"),
+        F.greatest("ka", "kb").alias("khi"),
+    )
+    x = oriented.select(
+        F.col("lo").alias("u"),
+        F.col("hi").alias("v"),
+        F.col("khi").alias("kv"),
+    )
+    y = oriented.select(
+        F.col("lo").alias("u"),
+        F.col("hi").alias("w"),
+        F.col("khi").alias("kw"),
+    )
+    wedges = x.join(y, "u").where(F.col("kv") < F.col("kw"))
+    closed = wedges.join(
+        oriented.select(
+            F.col("lo").alias("v"), F.col("hi").alias("w")
+        ),
+        ["v", "w"],
+        "left_semi",
+    )
+    corners = closed.select(
+        F.explode(F.array("u", "v", "w")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

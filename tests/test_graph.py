@@ -84,3 +84,60 @@ def test_host_authority_linked_host_outranks(spark):
     assert set(got) == {"a.com", "b.com", "c.com"}
     assert got["a.com"] == base9 and got["c.com"] == base9
     assert got["b.com"] > base9
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_triangles_complete_k4(spark):
+    from geoharvest_spark.graph import triangle_count
+
+    import itertools
+
+    k4 = list(itertools.combinations(range(4), 2))
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(_edges_df(spark, k4)).collect()
+    }
+    # K4 has 4 triangles; every node sits in C(3,2) = 3 of them
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_cycle_has_none(spark):
+    from geoharvest_spark.graph import triangle_count
+
+    c5 = [(i, (i + 1) % 5) for i in range(5)]
+    assert triangle_count(_edges_df(spark, c5)).count() == 0
+
+
+def test_triangles_shared_edge_and_noise(spark):
+    from geoharvest_spark.graph import triangle_count
+
+    pairs = [(1, 2), (2, 3), (1, 3), (2, 4), (3, 4), (5, 6), (4, 4)]
+    # duplicates + reversed directions + self loop must not change counts
+    noisy = pairs + [(b, a) for a, b in pairs] + pairs
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(_edges_df(spark, noisy)).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_triangles_partition_invariance(spark):
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.graph import triangle_count
+
+    i = F.col("id")
+    ed = spark.range(300).select(i.alias("src"), ((i + 1) % 300).alias("dst"))
+    ed = ed.unionAll(
+        spark.range(300).select(i.alias("src"), ((i * 7 + 3) % 300).alias("dst"))
+    ).unionAll(
+        spark.range(300)
+        .where(i % 3 == 0)
+        .select(i.alias("src"), ((i + 2) % 300).alias("dst"))
+    )
+    a = sorted(map(tuple, triangle_count(ed.repartition(1)).collect()))
+    b = sorted(map(tuple, triangle_count(ed.repartition(16)).collect()))
+    assert a == b and len(a) > 0
