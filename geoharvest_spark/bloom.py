@@ -102,19 +102,16 @@ def bloom_build_py(keys, m_bits: int = 1 << 15, k: int = 3) -> str:
     return bytes(buf).hex()
 
 
-def bloom_might_contain(
-    col: Column, hex_filter: str, m_bits: int, k: int = 3
-) -> Column:
-    """Codegen membership probe against the hex-literal bitset. No false
-    negatives; false-positive rate ~ (k*n/m)^k."""
-    h = _h60(col)
+def _probe_cols(h: Column, hex_col: Column, m_bits: int, k: int) -> Column:
+    """Membership test given an already-staged hash column and an
+    already-staged hex-string column (both plain column REFERENCES —
+    never re-inlined per probe term)."""
     h2 = F.shiftrightunsigned(h, 29).bitwiseOR(F.lit(1))
-    lit = F.lit(hex_filter)
     out = F.lit(True)
     for i in range(k):
         pos = (h + F.lit(i) * h2) % F.lit(m_bits)
         byte_val = F.conv(
-            lit.substr(
+            hex_col.substr(
                 (F.shiftrightunsigned(pos, 3) * 2 + 1).cast("int"), F.lit(2)
             ),
             16,
@@ -125,6 +122,75 @@ def bloom_might_contain(
         )
         out = out & (byte_val.bitwiseAND(mask) != 0)
     return out
+
+
+def bloom_might_contain(
+    col: Column, hex_filter: str, m_bits: int, k: int = 3
+) -> Column:
+    """Inline membership probe — SMALL filters only (m_bits <= ~2^15).
+
+    INLINE-REUSE TRAP (measured): this Column embeds the hex literal
+    AND the md5 hash expression once PER probe term — at m = 2^20 that
+    is a megabyte-scale task binary and codegen blowout (the 4M-row
+    probe leg ran minutes instead of sub-second). For big filters use
+    bloom_filter_where, which stages both through projection aliases.
+    """
+    return _probe_cols(_h60(col), F.lit(hex_filter), m_bits, k)
+
+
+def bloom_filter_where(
+    df: DataFrame,
+    key_col: str,
+    hex_filter: str,
+    m_bits: int,
+    k: int = 3,
+) -> DataFrame:
+    """Scan-side prefilter safe at any filter size.
+
+    Two measured traps shape this implementation:
+    - the inline probe (bloom_might_contain) embeds the hex literal and
+      the md5 expression once PER term — megabyte task binaries and
+      codegen blowout at m = 2^20;
+    - staging the hex through withColumn(lit(hex)) is WORSE: the
+      projection materializes the 256 KB string INTO EVERY ROW.
+
+    - substr on a 2^18-char STRING literal is O(position) per call
+      (UTF8String re-resolves char offsets to byte offsets), ~150 us a
+      row at m = 2^20; substring on a BINARY literal is byte-addressed
+      O(1).
+
+    The fix: the md5 hash is staged as a projection alias (8 bytes/row,
+    evaluated once), the filter bitset is ONE binary literal, the k
+    probe positions become an array, and the byte test runs inside ONE
+    higher-order F.filter lambda — the literal appears exactly once in
+    the plan, lambda evaluation just references it, and the row data
+    never carries it."""
+    h = F.col("_bloom_h")
+    h2 = F.shiftrightunsigned(h, 29).bitwiseOR(F.lit(1))
+    pos_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(k - 1).cast("long")),
+        lambda i: (h + i * h2) % F.lit(m_bits),
+    )
+    lit_bin = F.lit(bytes.fromhex(hex_filter))
+
+    def _hit(pos: Column) -> Column:
+        byte_val = F.conv(
+            F.hex(
+                lit_bin.substr(
+                    (F.shiftrightunsigned(pos, 3) + 1).cast("int"), F.lit(1)
+                )
+            ),
+            16,
+            10,
+        ).cast("long")
+        mask = F.element_at(
+            _bit_masks(), (pos.bitwiseAND(F.lit(7)) + 1).cast("int")
+        )
+        return byte_val.bitwiseAND(mask) != 0
+
+    keep = F.size(F.filter(pos_arr, _hit)) == k
+    staged = df.withColumn("_bloom_h", _h60(F.col(key_col)))
+    return staged.where(keep).drop("_bloom_h")
 
 
 def bloom_sql_probe(val_expr: str, hex_filter: str, m_bits: int, k: int = 3) -> str:
@@ -153,4 +219,4 @@ def bloom_prune(
     set. ALWAYS follow with the exact join — false positives survive
     this stage by design."""
     hx = bloom_build(dim, dim_key, m_bits, k)
-    return df.where(bloom_might_contain(F.col(key_col), hx, m_bits, k))
+    return bloom_filter_where(df, key_col, hx, m_bits, k)

@@ -695,6 +695,7 @@ def main() -> None:
     run_round6_legs(spark)
     run_round6b_legs(spark)
     run_round6c_legs(spark)
+    run_round6d_legs(spark)
     run_textops_legs(spark)
     spark.stop()
 
@@ -840,6 +841,137 @@ def run_round6c_legs(spark) -> None:
                     "rows": n_pts,
                     "sec": round(best, 3),
                     "us_per_point": round(best / n_pts * 1e6, 3),
+                }
+            ),
+            flush=True,
+        )
+
+
+def run_round6d_legs(spark) -> None:
+    """Late-round-6 batch 3 at 4-8x scale: bloom scan pruning, the
+    Count-Min sketch build, OHLC bars, OD flows + stay points, and
+    hub-safe triangle counting. Per-unit cost must be flat or falling."""
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.bars import ohlc_bars
+    from geoharvest_spark.bloom import bloom_build, bloom_filter_where
+    from geoharvest_spark.graph import triangle_count
+    from geoharvest_spark.mobility import od_matrix, stay_points
+    from geoharvest_spark.sketch import cms_build
+
+    i = F.col("id")
+
+    # bloom: 100k-key dim -> 2^20-bit filter; probe the fact scan
+    dim = spark.range(100_000, numPartitions=16).select(
+        (i * 13 + 7).alias("key")
+    )
+    hx = bloom_build(dim, "key", m_bits=1 << 20, k=5)
+    for n_fact in (4_000_000, 16_000_000):
+        fact = spark.range(n_fact, numPartitions=48).select(
+            (i % 2_000_000).alias("key")
+        )
+        best = min(
+            time_noop(bloom_filter_where(fact, "key", hx, 1 << 20, 5))
+            for _ in range(2)
+        )
+        print(
+            json.dumps(
+                {
+                    "workload": "bloom_probe_scan",
+                    "rows": n_fact,
+                    "sec": round(best, 3),
+                    "us_per_row": round(best / n_fact * 1e6, 3),
+                }
+            ),
+            flush=True,
+        )
+
+    def _events(n):
+        return spark.range(n, numPartitions=48).select(
+            i.alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + (i * 7919) % 2_592_000_000_000
+            ).alias("ts"),
+            (i % 50_000).alias("user_id"),
+            F.concat(F.lit("t"), (i % 40).cast("string")).alias("event_type"),
+            (i % 997 / 10.0).alias("value"),
+        )
+
+    def _fixes(n):
+        return spark.range(n, numPartitions=48).select(
+            i.alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + (i * 7919) % 2_592_000_000_000
+            ).alias("ts"),
+            (i % 50_000).alias("user_id"),
+            ((i * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+            ((i * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+        )
+
+    for n in (2_000_000, 8_000_000):
+        ev = _events(n).cache()
+        ev.count()
+        for name, build in (
+            ("cms_build", lambda d=ev: cms_build(d, "user_id")),
+            ("ohlc_bars", lambda d=ev: ohlc_bars(d)),
+        ):
+            best = min(time_noop(build()) for _ in range(2))
+            print(
+                json.dumps(
+                    {
+                        "workload": name,
+                        "rows": n,
+                        "sec": round(best, 3),
+                        "us_per_event": round(best / n * 1e6, 3),
+                    }
+                ),
+                flush=True,
+            )
+        ev.unpersist()
+        fx = _fixes(n).cache()
+        fx.count()
+        for name, build in (
+            ("od_matrix", lambda d=fx: od_matrix(d, res=1)),
+            ("stay_points", lambda d=fx: stay_points(d, res=0)),
+        ):
+            best = min(time_noop(build()) for _ in range(2))
+            print(
+                json.dumps(
+                    {
+                        "workload": name,
+                        "rows": n,
+                        "sec": round(best, 3),
+                        "us_per_fix": round(best / n * 1e6, 3),
+                    }
+                ),
+                flush=True,
+            )
+        fx.unpersist()
+
+    # triangles: ring + two chord families, |E| ~ 3n
+    for n_nodes in (250_000, 1_000_000):
+        ed = (
+            spark.range(n_nodes, numPartitions=48)
+            .select(i.alias("src"), ((i + 1) % n_nodes).alias("dst"))
+            .unionAll(
+                spark.range(n_nodes, numPartitions=48).select(
+                    i.alias("src"), ((i * 7 + 3) % n_nodes).alias("dst")
+                )
+            )
+            .unionAll(
+                spark.range(n_nodes, numPartitions=48)
+                .where(i % 3 == 0)
+                .select(i.alias("src"), ((i + 2) % n_nodes).alias("dst"))
+            )
+        )
+        best = min(time_noop(triangle_count(ed)) for _ in range(2))
+        print(
+            json.dumps(
+                {
+                    "workload": "triangle_count",
+                    "edges": int(n_nodes * 7 / 3),
+                    "sec": round(best, 3),
+                    "us_per_edge": round(best / (n_nodes * 7 / 3) * 1e6, 3),
                 }
             ),
             flush=True,

@@ -265,3 +265,26 @@ def test_pack_and_cap_minimal_plans(spark):
     cg = _plan(tx.cap_per_key(keyed, "dom", 3))
     assert cg.count("Window") == 1
     assert "EvalPython" not in cg
+
+
+def test_bloom_staged_probe_plan(spark):
+    # the 2^20-bit probe must carry ONE md5 evaluation (staged hash
+    # alias) and ONE copy of the bitset literal (inside the HOF
+    # lambda) — the inline form regressed to minutes at 4M rows
+    # (per-term literal copies + O(position) string substr)
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.bloom import bloom_build, bloom_filter_where
+
+    i = F.col("id")
+    dim = spark.range(1000).select((i * 13 + 7).alias("key"))
+    hx = bloom_build(dim, "key", m_bits=1 << 20, k=5)
+    out = bloom_filter_where(
+        spark.range(1000).select(i.alias("key")), "key", hx, 1 << 20, 5
+    )
+    plan = _plan(out)
+    # Catalyst inlines the staged hash into the filter's two reference
+    # sites (h, h2) -> exactly 2 md5 evals/row; the inline form had 2*k
+    assert plan.count("md5") == 2, plan.count("md5")
+    # binary literal, not string: byte-addressed O(1) substring
+    assert plan.count(hx[:64].upper()) <= 1
