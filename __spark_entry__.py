@@ -3224,6 +3224,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["graph_triangle_counts"] = graph_triangle_counts
 
+    def cell_heat_smooth(spark, sf):
+        """3x3 box-kernel smoothing over the cell count grid
+        (index.smooth_cell_counts) — the kernel-density-lite pass heat
+        tile pipelines run before rendering. Scatter-gather shape: each
+        NON-EMPTY cell explodes to <= 9 neighbor ids (edge cells fewer
+        — no longitude wrap, pinned in tests) and one hash aggregate
+        gathers; cost O(9 * occupied cells), never O(grid). Oracle
+        replays decode -> neighbor lattice -> bounds -> re-encode ->
+        sum in SQL."""
+        from geoharvest_spark.index import ghcell, smooth_cell_counts
+
+        res = 4
+        pts = _points(spark, sf)
+        counts = pts.select(
+            ghcell(F.col("lon"), F.col("lat"), res).alias("cell")
+        ).groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+        return smooth_cell_counts(counts, res).orderBy("cell")
+
+    Q["cell_heat_smooth"] = cell_heat_smooth
+
     def host_authority(spark, sf):
         """Site-level link authority (graph.host_authority): docs become
         pages spread over 40 hosts (h0.site..h39.site; every 5th page
@@ -5566,6 +5586,23 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "corners AS (SELECT unnest([u, v, w]) AS node FROM tri) "
             "SELECT node, count(*)::BIGINT AS n_triangles FROM corners "
             "GROUP BY node ORDER BY node"
+        ),
+        "cell_heat_smooth": (
+            # decode cell -> (x, y), scatter over the 3x3 lattice with
+            # edge clamping (res 4: nx=128, ny=64), re-encode, gather
+            f"WITH shp AS ({_POINTS_SQL}), "
+            f"shc AS (SELECT {ix.ghcell_sql('lon', 'lat', 4)} AS cell, "
+            "count(*) AS n FROM shp GROUP BY 1), "
+            f"shd AS (SELECT n, (cell % {2**50}) // {2**25} AS x, "
+            f"cell % {2**25} AS y FROM shc), "
+            f"shn AS (SELECT 4::BIGINT * {2**50} + "
+            f"(x + dx.d) * {2**25} + (y + dy.d) AS cell, n AS m "
+            "FROM shd, (VALUES (-1), (0), (1)) dx(d), "
+            "(VALUES (-1), (0), (1)) dy(d) "
+            "WHERE x + dx.d BETWEEN 0 AND 127 "
+            "AND y + dy.d BETWEEN 0 AND 63) "
+            "SELECT cell, sum(m)::BIGINT AS n_smooth FROM shn "
+            "GROUP BY cell ORDER BY cell"
         ),
         "session_window_native": (
             # gap-cumsum sessionization with Spark's half-open convention:

@@ -553,3 +553,56 @@ def zorder_layout(
     return out.repartitionByRange(partitions, key_col).sortWithinPartitions(
         key_col
     )
+
+
+def ghcell_neighbors(cell: Column, res: int) -> Column:
+    """Array of the 3x3 neighborhood cell ids (edge cells emit fewer;
+    longitude does NOT wrap — the grid is a flat lattice here, matching
+    ghcell_kring_np). Pure codegen: decode -> 9 candidate (x, y) -> filter
+    in-range -> re-encode."""
+    nx, ny = ghcell_nx(res), ghcell_ny(res)
+    d = ghcell_decode(cell)
+    cands = F.array(
+        *[
+            F.struct(
+                (d["x"] + F.lit(dx)).alias("x"), (d["y"] + F.lit(dy)).alias("y")
+            )
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    valid = F.filter(
+        cands,
+        lambda p: (p["x"] >= 0)
+        & (p["x"] < nx)
+        & (p["y"] >= 0)
+        & (p["y"] < ny),
+    )
+    return F.transform(
+        valid,
+        lambda p: F.lit(res).cast("long") * F.lit(GHCELL_RES_BITS)
+        + p["x"] * F.lit(GHCELL_X_BITS)
+        + p["y"],
+    )
+
+
+def smooth_cell_counts(counts: DataFrame, res: int, weight: int = 1) -> DataFrame:
+    """3x3 box-kernel smoothing over a (cell, n) count grid — the
+    kernel-density-lite pass every heat-map tile pipeline runs before
+    rendering. Each non-empty cell SCATTERS its count to its <= 9
+    neighbors (explode) and one hash aggregate gathers — cost is
+    O(9 * non-empty cells), never O(grid); empty cells that receive
+    mass appear in the output, deserts stay absent. Center cell gets
+    `weight` x its own count (weight=1 -> plain box sum). All integer.
+    """
+    scattered = counts.select(
+        F.explode(ghcell_neighbors(F.col("cell"), res)).alias("cell"),
+        F.col("n").alias("m"),
+        F.col("cell").alias("src"),
+    ).select(
+        "cell",
+        F.when(F.col("cell") == F.col("src"), F.col("m") * F.lit(weight))
+        .otherwise(F.col("m"))
+        .alias("m"),
+    )
+    return scattered.groupBy("cell").agg(F.sum("m").alias("n_smooth"))

@@ -233,3 +233,47 @@ def test_zorder_layout_files_disjoint(spark, tmp_path):
     # bbox (= a set of zkey intervals) touches only the files it must
     for (lo1, hi1), (lo2, _) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, ranges
+
+
+def test_ghcell_neighbors_interior_and_corner(spark):
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.index import ghcell, ghcell_neighbors
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (-180.0, -90.0)], "lon double, lat double"
+    )
+    got = df.select(
+        F.size(
+            ghcell_neighbors(ghcell(F.col("lon"), F.col("lat"), 4), 4)
+        ).alias("n")
+    ).collect()
+    # interior cell: 9 neighbors; the SW corner cell: 4 (no wrap)
+    assert sorted(r["n"] for r in got) == [4, 9]
+
+
+def test_smooth_cell_counts_known_grid(spark):
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.index import (
+        GHCELL_RES_BITS,
+        GHCELL_X_BITS,
+        smooth_cell_counts,
+    )
+
+    res = 4
+
+    def cid(x, y):
+        return res * GHCELL_RES_BITS + x * GHCELL_X_BITS + y
+
+    # two diagonal neighbors deep in the grid interior
+    counts = spark.createDataFrame(
+        [(cid(10, 10), 5), (cid(11, 11), 7)], "cell long, n long"
+    )
+    got = {r["cell"]: r["n_smooth"] for r in smooth_cell_counts(counts, res).collect()}
+    # 3x3 of each source overlaps on the 2x2 middle block
+    assert got[cid(10, 10)] == 12 and got[cid(11, 11)] == 12
+    assert got[cid(10, 11)] == 12 and got[cid(11, 10)] == 12
+    assert got[cid(9, 9)] == 5 and got[cid(12, 12)] == 7
+    # total mass = sum over sources of count * neighborhood size
+    assert sum(got.values()) == 5 * 9 + 7 * 9
