@@ -3244,6 +3244,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["cell_heat_smooth"] = cell_heat_smooth
 
+    def hist_price_quantiles(spark, sf):
+        """Log-scaled histogram quantile sketch (sketch.hist_buckets /
+        hist_quantiles): p50/p90/p99 of l_extendedprice per return
+        flag WITHOUT a global sort — one hash aggregate into <=
+        63*2^6 sum-mergeable buckets per group (bit-length + top-bits
+        bucketing, the HLL bin() idiom), then a window over the BUCKET
+        table only. Estimates are bucket lower bounds, within 2^-5
+        relative of exact (accuracy-tested vs numpy); the oracle
+        replays bucketing, cumulation and the rank rule in SQL."""
+        from geoharvest_spark.sketch import hist_buckets, hist_quantiles
+
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        sk = hist_buckets(
+            li, "l_extendedprice", group_cols=("l_returnflag",)
+        )
+        return hist_quantiles(
+            sk, (0.5, 0.9, 0.99), group_cols=("l_returnflag",)
+        ).orderBy("l_returnflag", "q")
+
+    Q["hist_price_quantiles"] = hist_price_quantiles
+
     def host_authority(spark, sf):
         """Site-level link authority (graph.host_authority): docs become
         pages spread over 40 hosts (h0.site..h39.site; every 5th page
@@ -5603,6 +5624,27 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "AND y + dy.d BETWEEN 0 AND 63) "
             "SELECT cell, sum(m)::BIGINT AS n_smooth FROM shn "
             "GROUP BY cell ORDER BY cell"
+        ),
+        "hist_price_quantiles": (
+            # bucket = (bit length e, top-6-bits b) of floor(100*price);
+            # lower bound = b << max(e-6, 0); rank rule ceil(q * total)
+            "WITH hq AS (SELECT l_returnflag AS g, "
+            "greatest(CAST(floor(l_extendedprice * 100) AS BIGINT), 1) "
+            "AS x FROM lineitem), "
+            "hb AS (SELECT g, length(bin(x)) AS e, "
+            "x // (1::BIGINT << greatest(length(bin(x)) - 6, 0)) AS b, "
+            "count(*) AS cnt FROM hq GROUP BY 1, 2, 3), "
+            "hc AS (SELECT g, e, b, cnt, "
+            "b * (1::BIGINT << greatest(e - 6, 0)) AS lo, "
+            "sum(cnt) OVER (PARTITION BY g ORDER BY e, b "
+            "ROWS UNBOUNDED PRECEDING) AS cum, "
+            "sum(cnt) OVER (PARTITION BY g) AS total FROM hb), "
+            "hv(q) AS (VALUES (CAST(0.5 AS DOUBLE)), "
+            "(CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) "
+            "SELECT g AS l_returnflag, q, "
+            "CAST(min(lo) AS DOUBLE) / 100 AS est "
+            "FROM hc, hv WHERE cum >= CAST(ceil(q * total) AS BIGINT) "
+            "GROUP BY g, q ORDER BY l_returnflag, q"
         ),
         "session_window_native": (
             # gap-cumsum sessionization with Spark's half-open convention:

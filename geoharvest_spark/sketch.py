@@ -1,5 +1,6 @@
 """Distributed data sketches: HyperLogLog cardinality (Flajolet et al.
-2007) and Count-Min frequency (Cormode & Muthukrishnan 2005).
+2007), Count-Min frequency (Cormode & Muthukrishnan 2005), and a
+log-scaled histogram for quantiles (HdrHistogram-style).
 
 COUNT(DISTINCT x) is the one aggregate that does not decompose: exact
 distinct over 100 TB shuffles every distinct value. The HLL register
@@ -268,3 +269,108 @@ def cms_sql(
         f"GROUP BY j.j, {pos}) s ON q.row = s.row AND q.col = s.col) "
         f"GROUP BY value"
     )
+
+
+# ---------------------------------------------------------------------------
+# log-scaled histogram sketch (HdrHistogram-style quantiles)
+# ---------------------------------------------------------------------------
+# The quantile member of the sketch family: exact percentiles need a
+# global sort; this histogram needs one hash aggregate over at most
+# 63 * 2^(sub_bits+1) buckets and merges by SUM (like Count-Min), with
+# relative error bounded by 2^-sub_bits. Bucket id derives from the
+# fixed-point value's bit length (the HLL bin() idiom) plus its top
+# sub_bits+1 bits — pure integers, SQL-replayable, no transcendentals.
+
+
+def _pow2_arr() -> Column:
+    return F.array(*[F.lit(1 << i).cast("long") for i in range(63)])
+
+
+def hist_buckets(
+    df: DataFrame,
+    col: str,
+    sub_bits: int = 5,
+    scale: int = 100,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Histogram sketch rows (group..., e, b, cnt): x = the value at
+    fixed-point `scale` (clamped to >= 1 — the sketch is for positive
+    measures), e = bit length of x, b = x's top min(e, sub_bits+1)
+    bits. Bucket lower bound = b << (e - 1 - sub_bits) when e >
+    sub_bits + 1, else exactly x (small values are EXACT)."""
+    if not 0 <= sub_bits <= 12:
+        raise ValueError(f"sub_bits must be in [0, 12], got {sub_bits}")
+    if scale < 1:
+        raise ValueError(f"scale must be >= 1, got {scale}")
+    x = F.greatest(
+        F.floor(F.col(col) * F.lit(scale)).cast("long"), F.lit(1).cast("long")
+    )
+    e = F.length(F.bin(x))
+    shift = F.greatest(e - F.lit(1 + sub_bits), F.lit(0))
+    div = F.element_at(_pow2_arr(), (shift + 1).cast("int"))
+    b = F.expr("xv div dv")
+    staged = (
+        df.where(F.col(col).isNotNull())
+        .select(*group_cols, x.alias("xv"), e.alias("e"), div.alias("dv"))
+        .select(*group_cols, "e", b.alias("b"))
+    )
+    return staged.groupBy(*group_cols, "e", "b").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def hist_merge(*sketches: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Sum-merge histogram sketches built with the same (sub_bits, scale)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy(*group_cols, "e", "b").agg(F.sum("cnt").alias("cnt"))
+
+
+def hist_quantiles(
+    buckets: DataFrame,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+    sub_bits: int = 5,
+    scale: int = 100,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: the LOWER BOUND of
+    the first bucket whose cumulative count reaches ceil(q * N) (a
+    deterministic rank rule; estimate is within 2^-sub_bits relative
+    of the true quantile). The window runs over the BUCKET table —
+    <= 63 * 2^(sub_bits+1) rows per group, never the data."""
+    from pyspark.sql import Window
+
+    lower = F.col("b") * F.element_at(
+        _pow2_arr(),
+        (F.greatest(F.col("e") - F.lit(1 + sub_bits), F.lit(0)) + 1).cast(
+            "int"
+        ),
+    )
+    w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy("e", "b")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = buckets.select(
+        *group_cols,
+        lower.alias("lo"),
+        F.sum("cnt").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cum"),
+        F.sum("cnt").over(wall).alias("total"),
+    )
+    outs = []
+    for q in qs:
+        rank = F.ceil(F.lit(q) * F.col("total")).cast("long")
+        outs.append(
+            cum.where(F.col("cum") >= rank)
+            .groupBy(*group_cols)
+            .agg(F.min("lo").alias("lo"))
+            .select(
+                *group_cols,
+                F.lit(q).alias("q"),
+                (F.col("lo").cast("double") / F.lit(scale)).alias("est"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

@@ -133,3 +133,62 @@ def test_cms_validation(spark, events):
         cms_build(events, "user_id", depth=0)
     with pytest.raises(ValueError, match="width"):
         cms_build(events, "user_id", width=8)
+
+
+def test_hist_quantiles_bounded_relative_error(spark):
+    import numpy as np
+
+    from geoharvest_spark.sketch import hist_buckets, hist_quantiles
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet")
+    sk = hist_buckets(li, "l_extendedprice")
+    got = {
+        r["q"]: r["est"]
+        for r in hist_quantiles(sk, (0.5, 0.9, 0.99)).collect()
+    }
+    vals = np.array(
+        [r["l_extendedprice"] for r in li.select("l_extendedprice").collect()]
+    )
+    for q, est in got.items():
+        exact = float(np.quantile(vals, q, method="inverted_cdf"))
+        assert abs(est - exact) / exact < 2 ** -4, (q, est, exact)
+
+
+def test_hist_merge_equals_build_on_union(spark):
+    from geoharvest_spark.sketch import hist_buckets, hist_merge
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet")
+    left = li.where("l_orderkey % 2 = 0")
+    right = li.where("l_orderkey % 2 = 1")
+    merged = hist_merge(
+        hist_buckets(left, "l_extendedprice"),
+        hist_buckets(right, "l_extendedprice"),
+    )
+    whole = hist_buckets(li, "l_extendedprice")
+    assert _rows(merged) == _rows(whole)
+
+
+def test_hist_partition_invariance_and_small_exact(spark):
+    from geoharvest_spark.sketch import hist_buckets, hist_quantiles
+
+    li = spark.read.parquet(f"{SF001}/lineitem.parquet")
+    a = _rows(hist_buckets(li.repartition(1), "l_extendedprice"))
+    b = _rows(hist_buckets(li.repartition(16), "l_extendedprice"))
+    assert a == b and len(a) > 0
+    # values small enough for the sub-bit field are EXACT: quantiles of
+    # a constant column equal the constant
+    df = spark.range(100).selectExpr("0.31 as v")
+    got = hist_quantiles(hist_buckets(df, "v"), (0.5,)).collect()[0]["est"]
+    assert got == 0.31
+
+
+def test_hist_validation(spark):
+    import pytest
+
+    from geoharvest_spark.sketch import hist_buckets
+
+    df = spark.range(10).selectExpr("cast(id as double) v")
+    with pytest.raises(ValueError, match="sub_bits"):
+        hist_buckets(df, "v", sub_bits=13)
+    with pytest.raises(ValueError, match="scale"):
+        hist_buckets(df, "v", scale=0)
