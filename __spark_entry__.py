@@ -3265,6 +3265,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["hist_price_quantiles"] = hist_price_quantiles
 
+    def stream_hll_registers(spark, sf):
+        """Sketches AS streaming state: the HLL register table built by
+        a REAL Structured Streaming aggregation (3 micro-batches,
+        maxFilesPerTrigger=1, complete-mode groupBy-max) — max is the
+        canonical mergeable streaming aggregate, so the final state is
+        provably independent of micro-batch arrival order AND equals
+        the batch sketch over the union (the hll_merge law, here
+        enforced by the engine's streaming state store). The oracle is
+        the one-shot batch register SQL over the same events — any
+        drift between streaming state and the batch sketch fails the
+        row. At 100 TB this is the 'distinct users per day, updated
+        continuously' pattern: state is 2^8 tiny registers, not the
+        key space."""
+        from geoharvest_spark.sketch import hll_rho_col
+
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        base = _scratch("stream_hll_")
+        in_dir = f"{base}/in"
+        for i in range(3):
+            ev.where(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        reg, rho = hll_rho_col(F.col("user_id"), 8)
+        agg = (
+            stream.where(F.col("user_id").isNotNull())
+            .select(reg, rho)
+            .groupBy("reg")
+            .agg(F.max("rho").alias("rho"))
+        )
+        sink = "stream_hll_sink"
+        spark.catalog.dropTempView(sink)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.table(sink).orderBy("reg")
+
+    Q["stream_hll_registers"] = stream_hll_registers
+
     def host_authority(spark, sf):
         """Site-level link authority (graph.host_authority): docs become
         pages spread over 40 hosts (h0.site..h39.site; every 5th page
@@ -5645,6 +5694,16 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "CAST(min(lo) AS DOUBLE) / 100 AS est "
             "FROM hc, hv WHERE cum >= CAST(ceil(q * total) AS BIGINT) "
             "GROUP BY g, q ORDER BY l_returnflag, q"
+        ),
+        "stream_hll_registers": (
+            # one-shot batch register build over the same events — the
+            # streaming complete-mode state must land exactly here
+            "SELECT h & 255 AS reg, "
+            "max(CASE WHEN (h >> 8) = 0 THEN 53 "
+            "ELSE 53 - length(bin(h >> 8)) END)::INTEGER AS rho "
+            "FROM (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), "
+            "1, 15))::BIGINT AS h FROM events WHERE user_id IS NOT NULL) "
+            "GROUP BY reg ORDER BY reg"
         ),
         "session_window_native": (
             # gap-cumsum sessionization with Spark's half-open convention:
