@@ -128,8 +128,15 @@ def dhash_near_dups(
             "4x16 banding guarantees recall only for max_hamming<=3; "
             f"got {max_hamming}"
         )
-    sigs = hashed.where(F.col(hash_col).isNotNull()).select(
-        F.col(id_col).alias("id"), F.col(hash_col).alias("h")
+    # cache the (id, h) signatures — 16 bytes/row — because BOTH sides
+    # of the band self-join scan them: without this the upstream DECODE
+    # mapInPandas runs twice (measured: 2 MapInPandas stages, no
+    # ReusedExchange), doubling the dominant cost at scale. Same
+    # discipline as minhash_lsh_pairs' signature cache.
+    sigs = (
+        hashed.where(F.col(hash_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(hash_col).alias("h"))
+        .cache()
     )
     chunks = F.array(
         *[

@@ -289,3 +289,17 @@ def test_bloom_staged_probe_plan(spark):
     # one copy of the 2^18-hex-char bitset in the plan, not k copies
     # (the plan string embeds the literal; k copies would exceed 5x)
     assert len(hx) // 2 * 2 == len(hx) and len(plan) < 2 * len(hx), len(plan)
+
+
+def test_dhash_near_dups_caches_signatures(spark):
+    # both sides of the band self-join must read the signature CACHE —
+    # without it the upstream decode mapInPandas runs twice (measured)
+    from geoharvest_spark.imagehash import (
+        dhash_near_dups,
+        synth_dhash_media_df,
+        with_image_dhash,
+    )
+
+    out = dhash_near_dups(with_image_dhash(synth_dhash_media_df(spark, 6)))
+    plan = _plan(out)
+    assert plan.count("InMemoryTableScan") >= 2, plan[:1500]
