@@ -70,3 +70,14 @@ def test_validation(spark, dim):
         bloom_build(dim, "c_custkey", m_bits=100)
     with pytest.raises(ValueError, match="k must"):
         bloom_build(dim, "c_custkey", k=0)
+
+
+def test_bloom_edge_params_and_key_types(spark):
+    # minimal table, max probes, unicode + negative keys
+    df = spark.createDataFrame(
+        [("héllo wörld",), ("-42",), ("",)], "k string"
+    )
+    hx = bloom_build(df, "k", m_bits=64, k=16)
+    assert hx == bloom_build_py(["héllo wörld", "-42", ""], 64, 16)
+    n = df.where(bloom_might_contain(F.col("k"), hx, 64, 16)).count()
+    assert n == 3  # no false negatives even at saturation

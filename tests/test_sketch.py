@@ -192,3 +192,46 @@ def test_hist_validation(spark):
         hist_buckets(df, "v", sub_bits=13)
     with pytest.raises(ValueError, match="scale"):
         hist_buckets(df, "v", scale=0)
+
+
+def test_cms_weighted_build(spark, events):
+    from geoharvest_spark.sketch import cms_build, cms_estimate
+
+    # weighting by an integer column == replicating rows that many times
+    w = events.selectExpr("event_type", "cast(event_id % 3 as long) AS w")
+    sk = cms_build(w, "event_type", weight_col="w")
+    qs = events.select("event_type").distinct()
+    est = {
+        r["value"]: r["est_count"]
+        for r in cms_estimate(sk, qs, "event_type").collect()
+    }
+    exact = {
+        r["event_type"]: r["s"]
+        for r in w.groupBy("event_type").agg(F.sum("w").alias("s")).collect()
+    }
+    assert est == exact  # 5 values in 4x4096: no collisions
+
+
+def test_hll_extreme_p_and_type_mix(spark, events):
+    from geoharvest_spark.sketch import hll_estimate, hll_registers
+
+    # p=14: 16384 registers over 1000 distinct -> linear-counting branch
+    regs = hll_registers(events, "event_id", p=14)
+    est = hll_estimate(regs, p=14).collect()[0]["est_distinct"]
+    exact = events.select("event_id").distinct().count()
+    assert abs(est - exact) / exact < 0.05, (est, exact)
+    # string column hashes by its cast-to-string value: '1' and 1 agree
+    a = hll_registers(events.selectExpr("cast(user_id as string) u"), "u")
+    b = hll_registers(events, "user_id")
+    assert {tuple(r) for r in a.collect()} == {tuple(r) for r in b.collect()}
+
+
+def test_hist_negative_values_clamp(spark):
+    from geoharvest_spark.sketch import hist_buckets
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (0.001,), (2.0,)], "v double"
+    )
+    rows = {(r["e"], r["b"]): r["cnt"] for r in hist_buckets(df, "v").collect()}
+    # -5, 0, 0.001 all clamp to x=1 (e=1, b=1); 2.0 -> x=200
+    assert rows[(1, 1)] == 3 and sum(rows.values()) == 4
