@@ -3509,6 +3509,223 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["cooc_top_pairs"] = cooc_top_pairs
 
+    # ------- round-6 session-3: graph search / trajectories / linkage /
+    # ------- profiling / skyline / ordered-event analytics ----------------
+
+    def graph_bfs_hops(spark, sf):
+        """Single-source BFS hop counts (graph.bfs_hops): level-synchronous
+        frontier expansion over the triangle_counts 600-node multigraph,
+        taken DIRECTED this time (ring + 7i+3 chords + every-third
+        shortcuts). Per level one frontier-sized equi-join + anti-join —
+        the scalable Pregel formulation (total work O(|E|)); edges
+        localCheckpoint once. Oracle is an INDEPENDENT algorithm: DuckDB
+        recursive CTE enumerating all (node, hop<=8) walk states with
+        UNION-dedup, then min(hop) per node — agrees with BFS only if the
+        frontier/visited bookkeeping is exact."""
+        from geoharvest_spark.graph import bfs_hops
+
+        i = F.col("id")
+        n = 600
+        ed = (
+            spark.range(n)
+            .select(i.alias("src"), ((i + 1) % n).alias("dst"))
+            .unionAll(
+                spark.range(n).select(
+                    i.alias("src"), ((i * 7 + 3) % n).alias("dst")
+                )
+            )
+            .unionAll(
+                spark.range(n)
+                .where(i % 3 == 0)
+                .select(i.alias("src"), ((i + 2) % n).alias("dst"))
+            )
+        )
+        return bfs_hops(ed, source=0, max_hops=8).orderBy("node")
+
+    Q["graph_bfs_hops"] = graph_bfs_hops
+
+    def user_trajectory_lengths(spark, sf):
+        """Per-user great-circle track length (mobility.trajectory_lengths)
+        over the derived event points: ONE user-keyed window (lag) + one
+        hash aggregate; each hop FLOORS to whole meters so the BIGINT sum
+        is order-free across partitionings (pagerank's scaled-int
+        discipline). Transcendental floor-safety verified on the fixed
+        sf0.01 data: the closest of the 9,850 hops to an integer boundary
+        is 9.2e-6 m away — ~400x the worst cross-engine libm drift at
+        2e7 m magnitude. Oracle replays lag + SQL haversine + floor."""
+        from geoharvest_spark.mobility import trajectory_lengths
+
+        ev = _t(spark, sf, "events")
+        pts = ev.select(
+            "event_id",
+            "ts",
+            "user_id",
+            ((F.col("event_id") * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+            ((F.col("event_id") * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+        )
+        return trajectory_lengths(pts, ts_col="ts").orderBy("user_id")
+
+    Q["user_trajectory_lengths"] = user_trajectory_lengths
+
+    def doc_tfidf_top3(spark, sf):
+        """Top-3 characteristic terms per document (retrieval.
+        tfidf_top_terms): explode -> tf/df hash aggregates -> term-keyed
+        join -> per-doc top-k window. score = (tf*N)/df is ONE IEEE
+        division of exact ints (operands far under 2^53) so the double
+        bit-matches DuckDB; rank ties break on the term string."""
+        from geoharvest_spark.retrieval import tfidf_top_terms
+
+        d = _t(spark, sf, "documents")
+        return tfidf_top_terms(d, k=3).orderBy(
+            "doc_id", F.desc("score"), "term"
+        )
+
+    Q["doc_tfidf_top3"] = doc_tfidf_top3
+
+    def doc_boilerplate_lines(spark, sf):
+        """CCNet-style per-source boilerplate-line removal (textops.
+        remove_boilerplate_lines): every doc gets a 6-token per-source
+        banner prepended (two aligned 3-token lines — guaranteed hot), so
+        line frequency >= 3 within a source cuts ALL its occurrences while
+        unique prose survives. Two line-hash-keyed shuffles + one per-doc
+        reassembly aggregate. The oracle counts (source, line) STRINGS —
+        no hash — so an xxhash64 collision or slice misalignment breaks
+        parity."""
+        from geoharvest_spark.textops import remove_boilerplate_lines
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                " ",
+                F.col("source"),
+                F.lit("banner cookie notice accept all"),
+                F.col("text"),
+            ).alias("text"),
+        )
+        return remove_boilerplate_lines(d).orderBy("doc_id")
+
+    Q["doc_boilerplate_lines"] = doc_boilerplate_lines
+
+    def fuzzy_name_linkage(spark, sf):
+        """Blocked fuzzy self-join (linkage.blocked_fuzzy_join): all
+        customer-name pairs within edit distance 1 via q-gram blocking
+        (names are 18 chars >= the (k+1)q+k-1 completeness bound, so
+        gram-blocking provably loses no pair) + JVM levenshtein refine;
+        candidate generation shuffles ids only. Oracle is the BRUTE-FORCE
+        all-pairs levenshtein — blocking recall is what's on trial."""
+        from geoharvest_spark.linkage import blocked_fuzzy_join
+
+        c = _t(spark, sf, "customer")
+        lt = c.select(F.col("c_custkey").alias("id_a"), "c_name")
+        rt = c.select(F.col("c_custkey").alias("id_b"), "c_name")
+        return (
+            blocked_fuzzy_join(lt, rt, "id_a", "id_b", "c_name", max_dist=1)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                "left_c_name",
+                "right_c_name",
+                F.col("dist").cast("int").alias("dist"),
+            )
+            .orderBy("id_a", "id_b")
+        )
+
+    Q["fuzzy_name_linkage"] = fuzzy_name_linkage
+
+    def table_profile_orders(spark, sf):
+        """One-pass column profiler (profile.profile_columns) over orders:
+        per column null count, exact distinct count, min/max (numerics +
+        timestamps as doubles, strings lexicographic) — ONE aggregate job
+        whose multi-distinct rewrites to a single Expand + two-stage agg.
+        Oracle recomputes each column's row independently via UNION ALL."""
+        from geoharvest_spark.profile import profile_columns
+
+        o = _t(spark, sf, "orders")
+        return profile_columns(o).orderBy("column")
+
+    Q["table_profile_orders"] = table_profile_orders
+
+    def skyline_docs(spark, sf):
+        """Two-phase distributed skyline (profile.skyline2d) on integer
+        axes (x = n_chars, y = doc_id*7919 % 997): partition-local
+        skylines (a provable superset filter) then one merge scan of the
+        survivors. Oracle is the textbook NOT EXISTS dominance test —
+        an independent O(n^2) algorithm, so a lost frontier point or an
+        extra dominated row breaks parity."""
+        from geoharvest_spark.profile import skyline2d
+
+        d = _t(spark, sf, "documents").select(
+            "doc_id",
+            F.col("n_chars").alias("x"),
+            (F.col("doc_id") * 7919 % 997).alias("y"),
+        )
+        return skyline2d(d, "x", "y", "doc_id").orderBy("doc_id")
+
+    Q["skyline_docs"] = skyline_docs
+
+    def rolling_value_1d(spark, sf):
+        """Trailing 24h per-user rolling sum (timeseries.
+        rolling_range_sum): RANGE frame on epoch-second BIGINTs so
+        equal-timestamp rows are peers (order-free, unlike ROWS); value
+        is the integer-derived (event_id%1000)/100 double so the
+        DECIMAL(18,2) accumulation is exact and the final double cast is
+        the only rounding — replayed verbatim by DuckDB's RANGE window."""
+        from geoharvest_spark.timeseries import rolling_range_sum
+
+        ev = _t(spark, sf, "events").select(
+            "event_id",
+            "user_id",
+            "ts",
+            ((F.col("event_id") % 1000) / 100.0).alias("v"),
+        )
+        out = rolling_range_sum(ev, "user_id", "ts", "v", 86400)
+        return out.select(
+            "user_id", "event_id", "ts_sec", "rolling_sum"
+        ).orderBy("user_id", "ts_sec", "event_id")
+
+    Q["rolling_value_1d"] = rolling_value_1d
+
+    def scd2_user_state(spark, sf):
+        """SCD2 validity intervals (timeseries.scd2_intervals): per-user
+        runs of consecutive equal event_type collapse to (valid_from,
+        valid_to) half-open rows via gaps-and-islands — three windows +
+        one aggregate sharing ONE user-keyed Exchange. Equal floored
+        seconds tie-break on event_id so island boundaries replay
+        identically in SQL; valid_to chains by lead over (valid_from,
+        island)."""
+        from geoharvest_spark.timeseries import scd2_intervals
+
+        ev = _t(spark, sf, "events")
+        return scd2_intervals(
+            ev, "user_id", "ts", "event_type", "event_id"
+        ).orderBy("user_id", "valid_from", "event_type")
+
+    Q["scd2_user_state"] = scd2_user_state
+
+    def peak_concurrent_events(spark, sf):
+        """Sweep-line interval concurrency (timeseries.max_concurrent):
+        max simultaneously-open half-open [s, e) intervals per event
+        type, with e = s + 300 + event_id%900. Boundaries pre-aggregate
+        to per-(key, t) net deltas BEFORE the cumsum, so the running
+        value is row-order-free. Oracle is an INDEPENDENT formulation:
+        brute-force count of open intervals at every start time (the
+        sweep maximum is always attained at a start)."""
+        from geoharvest_spark.timeseries import max_concurrent
+
+        sec = F.col("ts").cast("timestamp").cast("long")
+        iv = _t(spark, sf, "events").select(
+            "event_type",
+            sec.alias("s"),
+            (sec + 300 + F.col("event_id") % 900).alias("e"),
+        )
+        return max_concurrent(iv, "event_type", "s", "e").orderBy(
+            "event_type"
+        )
+
+    Q["peak_concurrent_events"] = peak_concurrent_events
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -5781,5 +5998,192 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "CAST(CASE WHEN pid = 5 THEN 0 ELSE sv END AS BIGINT) "
             "AS sum_val "
             "FROM agg ORDER BY partition_id"
+        ),
+        "graph_bfs_hops": (
+            # INDEPENDENT algorithm: recursive walk enumeration with
+            # UNION dedup on (node, hop), min(hop) per node — no
+            # frontier/visited bookkeeping
+            "WITH RECURSIVE bfse(s, t) AS ("
+            "SELECT i, (i + 1) % 600 FROM range(600) r(i) "
+            "UNION ALL SELECT i, (i * 7 + 3) % 600 FROM range(600) r(i) "
+            "UNION ALL SELECT i, (i + 2) % 600 FROM range(600) r(i) "
+            "WHERE i % 3 = 0), "
+            "bfsr(node, hop) AS ("
+            "SELECT CAST(0 AS BIGINT), 0 "
+            "UNION SELECT bfse.t, bfsr.hop + 1 FROM bfsr "
+            "JOIN bfse ON bfse.s = bfsr.node WHERE bfsr.hop < 8) "
+            "SELECT node, min(hop)::INTEGER AS hop FROM bfsr "
+            "GROUP BY node ORDER BY node"
+        ),
+        "user_trajectory_lengths": (
+            # lag over (t, event_id) + SQL haversine + floor-to-meters;
+            # floor-safety on the fixed data: min hop distance to an
+            # integer boundary is 9.2e-6 m (see query docstring)
+            "WITH tjp AS (SELECT event_id, user_id, epoch_us(ts) AS t, "
+            "(event_id * 7919 % 36000) / 100.0 - 180.0 AS lon, "
+            "(event_id * 104729 % 18000) / 100.0 - 90.0 AS lat "
+            "FROM events), "
+            "tjh AS (SELECT user_id, lon, lat, "
+            "lag(lon) OVER w AS plon, lag(lat) OVER w AS plat FROM tjp "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)), "
+            "tjd AS (SELECT user_id, CAST(floor("
+            "2.0 * 6371008.8 * asin(sqrt("
+            "sin(radians(lat - plat) / 2.0) * sin(radians(lat - plat) / 2.0) "
+            "+ cos(radians(plat)) * cos(radians(lat)) "
+            "* sin(radians(lon - plon) / 2.0) * sin(radians(lon - plon) / 2.0)"
+            "))) AS BIGINT) AS hop_m FROM tjh WHERE plon IS NOT NULL) "
+            "SELECT user_id, count(*) AS n_hops, "
+            "CAST(sum(hop_m) AS BIGINT) AS path_m FROM tjd "
+            "GROUP BY user_id ORDER BY user_id"
+        ),
+        "doc_tfidf_top3": (
+            # tf/df aggregates + (tf*N)/df single-division score; ties
+            # break on the term string in both engines
+            "WITH tft AS (SELECT doc_id, unnest(list_filter("
+            "string_split_regex(text, '\\s+'), t -> t <> '')) AS term "
+            "FROM documents), "
+            "tfc AS (SELECT doc_id, term, count(*) AS tf FROM tft "
+            "GROUP BY 1, 2), "
+            "dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1), "
+            "tfn AS (SELECT count(*) AS n FROM documents), "
+            "tfs AS (SELECT doc_id, term, tf, df, "
+            "CAST(tf * n AS DOUBLE) / df AS score "
+            "FROM tfc JOIN dfc USING (term) CROSS JOIN tfn), "
+            "tfr AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+            "ORDER BY score DESC, term) AS rn FROM tfs) "
+            "SELECT doc_id, term, tf, df, score FROM tfr WHERE rn <= 3 "
+            "ORDER BY doc_id, score DESC, term"
+        ),
+        "doc_boilerplate_lines": (
+            # frequency >= 3 within a source cuts ALL occurrences of a
+            # line; the oracle counts (source, line) STRINGS (no hash)
+            "WITH bl0 AS (SELECT doc_id, source, string_split_regex("
+            "source || ' banner cookie notice accept all ' || text, "
+            "'\\s+') AS toks FROM documents), "
+            "bl1 AS (SELECT doc_id, source, toks, "
+            "CAST(ceil(len(toks) / 3.0) AS INT) AS nl FROM bl0), "
+            "blx AS (SELECT doc_id, source, (u.s).i AS line_idx, "
+            "(u.s).line AS line FROM (SELECT doc_id, source, "
+            "unnest(list_transform(range(nl), i -> {'i': i, "
+            "'line': array_to_string(toks[i*3+1:i*3+3], ' ')})) AS s "
+            "FROM bl1) u(doc_id, source, s)), "
+            "blh AS (SELECT source, line FROM blx GROUP BY source, line "
+            "HAVING count(*) >= 3), "
+            "blk AS (SELECT x.* FROM blx x ANTI JOIN blh h "
+            "ON x.source = h.source AND x.line = h.line), "
+            "blt AS (SELECT doc_id, source, count(*) AS n_lines FROM blx "
+            "GROUP BY 1, 2), "
+            "blr AS (SELECT doc_id, count(*) AS n_kept, "
+            "md5(string_agg(line, ' ' ORDER BY line_idx)) AS clean_md5 "
+            "FROM blk GROUP BY 1) "
+            "SELECT t.doc_id, t.source, n_lines, "
+            "COALESCE(n_kept, 0) AS n_kept, "
+            "COALESCE(clean_md5, 'd41d8cd98f00b204e9800998ecf8427e') "
+            "AS clean_md5 FROM blt t LEFT JOIN blr r USING (doc_id) "
+            "ORDER BY doc_id"
+        ),
+        "fuzzy_name_linkage": (
+            # BRUTE-FORCE all-pairs levenshtein — q-gram blocking recall
+            # is what's on trial
+            "SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, "
+            "a.c_name AS left_c_name, b.c_name AS right_c_name, "
+            "levenshtein(a.c_name, b.c_name)::INTEGER AS dist "
+            "FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey "
+            "WHERE levenshtein(a.c_name, b.c_name) <= 1 "
+            "ORDER BY id_a, id_b"
+        ),
+        "table_profile_orders": (
+            # per-column profile rows recomputed independently; numeric
+            # min/max are value SELECTION (no arithmetic) so doubles are
+            # exact; timestamps floor to epoch seconds
+            " UNION ALL ".join(
+                f"SELECT '{c}' AS \"column\", count(*) AS n_rows, "
+                f"count(*) - count({c}) AS n_null, "
+                f"count(DISTINCT {c}) AS n_distinct, "
+                + (
+                    f"CAST(min({v}) AS DOUBLE) AS min_num, "
+                    f"CAST(max({v}) AS DOUBLE) AS max_num, "
+                    "CAST(NULL AS VARCHAR) AS min_str, "
+                    "CAST(NULL AS VARCHAR) AS max_str "
+                    if kind == "num"
+                    else "CAST(NULL AS DOUBLE) AS min_num, "
+                    "CAST(NULL AS DOUBLE) AS max_num, "
+                    f"min({c}) AS min_str, max({c}) AS max_str "
+                )
+                + "FROM orders"
+                for c, kind, v in [
+                    ("o_orderkey", "num", "o_orderkey"),
+                    ("o_custkey", "num", "o_custkey"),
+                    ("o_orderstatus", "str", None),
+                    ("o_totalprice", "num", "o_totalprice"),
+                    (
+                        "o_orderdate",
+                        "num",
+                        "epoch_us(o_orderdate) // 1000000",
+                    ),
+                    ("o_orderpriority", "str", None),
+                ]
+            )
+            + ' ORDER BY "column"'
+        ),
+        "skyline_docs": (
+            # textbook NOT EXISTS dominance — independent O(n^2) check
+            "WITH sk AS (SELECT doc_id, n_chars AS x, "
+            "doc_id * 7919 % 997 AS y FROM documents) "
+            "SELECT p.doc_id, p.x, p.y FROM sk p WHERE NOT EXISTS ("
+            "SELECT 1 FROM sk q WHERE q.x >= p.x AND q.y >= p.y "
+            "AND (q.x > p.x OR q.y > p.y)) ORDER BY p.doc_id"
+        ),
+        "rolling_value_1d": (
+            # identical RANGE frame on epoch-second BIGINTs; DECIMAL
+            # accumulation of exact 2-dec values, one final double cast
+            "WITH rv AS (SELECT user_id, event_id, "
+            "epoch_us(ts) // 1000000 AS ts_sec, "
+            "(event_id % 1000) / 100.0 AS v FROM events) "
+            "SELECT user_id, event_id, ts_sec, "
+            "CAST(sum(CAST(v AS DECIMAL(18,2))) OVER ("
+            "PARTITION BY user_id ORDER BY ts_sec "
+            "RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS DOUBLE) "
+            "AS rolling_sum FROM rv ORDER BY user_id, ts_sec, event_id"
+        ),
+        "scd2_user_state": (
+            # gaps-and-islands replay: lag-compare flags, cumsum islands,
+            # per-island aggregate, lead chains valid_to over
+            # (valid_from, island)
+            "WITH sce AS (SELECT user_id, event_id, event_type, "
+            "epoch_us(ts) // 1000000 AS t FROM events), "
+            "scm AS (SELECT *, CASE WHEN lag(event_type) OVER ("
+            "PARTITION BY user_id ORDER BY t, event_id) IS NULL "
+            "OR lag(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY t, event_id) <> event_type THEN 1 ELSE 0 END "
+            "AS chg FROM sce), "
+            "scg AS (SELECT *, sum(chg) OVER (PARTITION BY user_id "
+            "ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS grp "
+            "FROM scm), "
+            "scr AS (SELECT user_id, grp, min(event_type) AS event_type, "
+            "min(t) AS valid_from, count(*) AS n_events FROM scg "
+            "GROUP BY 1, 2) "
+            "SELECT user_id, event_type, valid_from, "
+            "lead(valid_from) OVER (PARTITION BY user_id "
+            "ORDER BY valid_from, grp) AS valid_to, n_events FROM scr "
+            "ORDER BY user_id, valid_from, event_type"
+        ),
+        "peak_concurrent_events": (
+            # INDEPENDENT formulation: count open intervals at every
+            # start time (the sweep maximum is attained at a start)
+            "WITH pci AS (SELECT event_type, "
+            "epoch_us(ts) // 1000000 AS s, "
+            "epoch_us(ts) // 1000000 + 300 + event_id % 900 AS e "
+            "FROM events), "
+            "pct AS (SELECT DISTINCT event_type, s AS t FROM pci), "
+            "pcm AS (SELECT a.event_type, a.t, count(*) AS conc "
+            "FROM pct a JOIN pci b ON b.event_type = a.event_type "
+            "AND b.s <= a.t AND b.e > a.t GROUP BY 1, 2), "
+            "pcx AS (SELECT event_type, max(conc) AS max_concurrent "
+            "FROM pcm GROUP BY 1), "
+            "pcn AS (SELECT event_type, count(*) AS n_intervals "
+            "FROM pci GROUP BY 1) "
+            "SELECT event_type, max_concurrent, n_intervals "
+            "FROM pcx JOIN pcn USING (event_type) ORDER BY event_type"
         ),
     }

@@ -263,3 +263,53 @@ def triangle_count(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source: int,
+    max_hops: int = 12,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Single-source unweighted shortest paths (BFS hop counts) up to
+    ``max_hops``, level-synchronous — the Pregel SSSP specialization
+    crawl planners use for "how many clicks from the seed set".
+
+    Per level: one equi-join of the CURRENT frontier onto the (cached)
+    edge set, one anti-join against the visited set, one distinct —
+    all shuffles keyed on node id, frontier-sized (not graph-sized),
+    which is why level-synchronous BFS is the scalable formulation:
+    total work is O(sum of frontier out-edges) = O(|E|) across all
+    levels. Edges are localCheckpointed ONCE before the loop (pagerank
+    discipline — never re-run the edge lineage per level) and the
+    visited set is checkpointed per level so the plan stays flat.
+
+    The loop exits when a frontier count hits zero — a per-level 1-row
+    driver sync, same cost class as connected_components' convergence
+    fingerprint. Returns (node, hop) with hop = exact BFS distance for
+    every node reachable within max_hops (the source at hop 0).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    visited = spark.createDataFrame(
+        [(int(source), 0)], "node long, hop int"
+    ).localCheckpoint(eager=True)
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hop", F.lit(hop))
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -118,3 +118,60 @@ def stay_points(
     ).select(
         F.col("u").alias(user_col), "cell", "enter_us", "leave_us", "n_fixes"
     )
+
+
+def trajectory_lengths(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "t_us",
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-entity great-circle track length: order each entity's fixes
+    by (ts, id), measure every consecutive hop with the codegen
+    haversine, floor each hop to whole meters, and sum the resulting
+    BIGINTs — integer sums are order-free, so the total is identical
+    across partitionings, cluster sizes, and engines (the flooring is
+    the same determinism trick as graph.pagerank's scaled ints; the
+    sub-meter truncation loss is bounded by n_hops meters).
+
+    Plan: ONE window shuffle on the entity (lag gives the predecessor
+    fix — buffers one entity's track, the bound every trajectory engine
+    carries) -> narrow haversine + floor -> one hash aggregate per
+    entity with map-side combine. No Python anywhere.
+
+    Returns (user, n_hops, path_m): hop count and floored-meter length.
+    Single-fix entities have no hops and drop out (left-join the entity
+    table if 0-rows must appear).
+    """
+    from .geo import haversine_m
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    hops = df.select(
+        F.col(user_col),
+        F.col(ts_col),
+        F.col(id_col),
+        F.col(lon_col).alias("_lon"),
+        F.col(lat_col).alias("_lat"),
+    ).select(
+        F.col(user_col),
+        F.lag("_lon").over(w).alias("_plon"),
+        F.lag("_lat").over(w).alias("_plat"),
+        F.col("_lon"),
+        F.col("_lat"),
+    )
+    hop_m = F.floor(
+        haversine_m(
+            F.col("_plon"), F.col("_plat"), F.col("_lon"), F.col("_lat")
+        )
+    ).cast("long")
+    return (
+        hops.where(F.col("_plon").isNotNull())
+        .select(F.col(user_col), hop_m.alias("hop_m"))
+        .groupBy(user_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hops"),
+            F.sum("hop_m").alias("path_m"),
+        )
+    )

@@ -1,0 +1,177 @@
+"""Dataset profiling and Pareto-frontier (skyline) analytics.
+
+``profile_columns`` is the deequ/great-expectations-style one-pass
+profile a pipeline runs before training on a new table drop: per column
+null count, distinct count, and min/max — the cheapest corpus health
+check at 100 TB because it is a single aggregate over the scan.
+
+``skyline2d`` is the classic two-dimensional skyline (maximal-vector)
+query: the set of rows no other row dominates on both axes. Used for
+"best tradeoff" selection (quality vs length, freshness vs authority).
+
+Reference: no profiling/skyline exists in the reference harvester;
+these extend the engine's quality/analytics family.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def profile_columns(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """One-pass column profile: (column, n_rows, n_null, n_distinct,
+    min_num, max_num, min_str, max_str).
+
+    Numeric/timestamp columns report min/max as doubles (timestamps as
+    epoch seconds — exact integers, so the doubles are bit-stable);
+    string columns report min/max lexicographically; each family leaves
+    the other's slots NULL. Distinct counts are exact.
+
+    Plan: ONE aggregate job. count/min/max fold map-side; the exact
+    count(distinct) per column rewrites to a single Expand + two-stage
+    aggregate (one shuffle carrying (column-id, value) pairs — the
+    standard multi-distinct plan, linear in rows x profiled columns).
+    At 100 TB swap n_distinct for approx_count_distinct to drop the
+    Expand; the exact form is kept here because the oracle replays it.
+    """
+    if cols is None:
+        cols = df.columns
+    aggs = []
+    kinds: dict[str, str] = {}
+    for c in cols:
+        dt = df.schema[c].dataType
+        if isinstance(dt, (T.StringType,)):
+            kinds[c] = "str"
+            lo = F.min(c).alias(f"_lo_{c}")
+            hi = F.max(c).alias(f"_hi_{c}")
+        else:
+            kinds[c] = "num"
+            v = F.col(c)
+            if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+                v = v.cast("timestamp").cast("long")
+            lo = F.min(v.cast("double")).alias(f"_lo_{c}")
+            hi = F.max(v.cast("double")).alias(f"_hi_{c}")
+        aggs += [
+            F.count(F.lit(1)).alias(f"_n_{c}") if c == cols[0] else None,
+            F.sum(F.col(c).isNull().cast("long")).alias(f"_null_{c}"),
+            F.count_distinct(F.col(c)).alias(f"_dist_{c}"),
+            lo,
+            hi,
+        ]
+    one = df.agg(*[a for a in aggs if a is not None])
+    n0 = cols[0]
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column"),
+                F.col(f"_n_{n0}").alias("n_rows"),
+                F.col(f"_null_{c}").alias("n_null"),
+                F.col(f"_dist_{c}").alias("n_distinct"),
+                (
+                    F.col(f"_lo_{c}")
+                    if kinds[c] == "num"
+                    else F.lit(None).cast("double")
+                ).alias("min_num"),
+                (
+                    F.col(f"_hi_{c}")
+                    if kinds[c] == "num"
+                    else F.lit(None).cast("double")
+                ).alias("max_num"),
+                (
+                    F.col(f"_lo_{c}")
+                    if kinds[c] == "str"
+                    else F.lit(None).cast("string")
+                ).alias("min_str"),
+                (
+                    F.col(f"_hi_{c}")
+                    if kinds[c] == "str"
+                    else F.lit(None).cast("string")
+                ).alias("max_str"),
+            )
+            for c in cols
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+def skyline2d(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    id_col: str,
+    partitions: int = 32,
+) -> DataFrame:
+    """Two-dimensional skyline under maximize-both semantics: keep row p
+    unless some row q has q.x >= p.x AND q.y >= p.y with at least one
+    strict inequality. Ties (exactly equal (x, y)) are NOT dominance, so
+    duplicate optima all survive — the standard maximal-vector
+    definition, and the one a brute-force NOT EXISTS oracle replays.
+
+    Distributed two-phase plan (the textbook partition-skyline):
+      1. local phase — rows are hash-partitioned by id and each
+         partition computes its own skyline with a sort + linear scan
+         (a partition-local skyline is a SUPERSET filter: any globally
+         non-dominated row is also locally non-dominated, so phase 1
+         never loses an answer; it only discards rows some co-located
+         row already dominates);
+      2. merge phase — survivors (typically O(sqrt(n)) of the input;
+         worst case the anti-correlated diagonal) are re-scanned as ONE
+         group with the same kernel for the exact global frontier.
+    Both phases run the same Arrow-batched kernel via applyInPandas;
+    the merge group is a single task, sized by the LOCAL skylines, not
+    the input — the standard scale contract of this algorithm (a fully
+    anti-correlated 100 TB input has no small skyline under ANY
+    algorithm).
+    """
+    import pandas as pd
+
+    schema = T.StructType(
+        [
+            df.schema[id_col],
+            df.schema[x_col],
+            df.schema[y_col],
+        ]
+    )
+
+    def _sky(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Sorted x desc, y desc: p is dominated iff
+        #   max-y over strictly-greater x  >= p.y   (strict on x), or
+        #   p.y < max-y within p's own x-group      (strict on y).
+        # The first row of each x-group carries the group's max y, so a
+        # single linear scan decides both conditions; exact (x, y)
+        # duplicates of a frontier point all survive.
+        s = pdf.sort_values(
+            [x_col, y_col, id_col], ascending=[False, False, True]
+        )
+        keep = []
+        maxy_strict = None  # max y among rows with x strictly greater
+        group_x = None
+        group_maxy = None
+        for xv, yv in zip(s[x_col].values, s[y_col].values):
+            if group_x is None or xv != group_x:
+                if group_maxy is not None and (
+                    maxy_strict is None or group_maxy > maxy_strict
+                ):
+                    maxy_strict = group_maxy
+                group_x, group_maxy = xv, yv
+            dominated = (
+                maxy_strict is not None and maxy_strict >= yv
+            ) or yv < group_maxy
+            keep.append(not dominated)
+        return s.loc[keep, [id_col, x_col, y_col]]
+
+    base = df.select(id_col, x_col, y_col)
+    local = (
+        base.withColumn(
+            "_p", F.pmod(F.xxhash64(F.col(id_col)), F.lit(partitions))
+        )
+        .groupBy("_p")
+        .applyInPandas(lambda _, pdf: _sky(pdf), schema)
+    )
+    return (
+        local.withColumn("_p", F.lit(0))
+        .groupBy("_p")
+        .applyInPandas(lambda _, pdf: _sky(pdf), schema)
+    )

@@ -196,3 +196,58 @@ def bm25_oracle_sql(
         f"SELECT query_id, rank, doc_id, score_int FROM r WHERE rank <= {k} "
         "ORDER BY query_id, rank"
     )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF — the
+    keyword-extraction pass a corpus-QA pipeline runs to label clusters
+    and spot template domination.
+
+    Integer-exact scoring (oracle discipline): with N = corpus docs,
+    tf = term count in the doc, df = docs containing the term, the
+    score is the single IEEE division ``(tf * N) / df`` — same ranking
+    as tf * (N/df), no logarithm, bit-identical across engines since
+    both operands stay far under 2^53. Ties break on the term string.
+
+    Plan: explode tokens (array staged through its own projection) ->
+    (doc, term) hash aggregate for tf -> term-keyed aggregate for df ->
+    equi-join tf x df on term -> per-doc top-k window over a stream
+    already collapsed to distinct (doc, term) rows. Shuffles are keyed
+    on term / doc; nothing touches Python.
+
+    Returns (doc_id, term, tf, df, score) — k rows per non-empty doc.
+    """
+    base = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    terms = base.select(
+        F.col(id_col), F.explode("_toks").alias("term")
+    ).where(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(
+        F.count(F.lit(1)).alias("_n")
+    )
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("_n")).cast("double") / F.col("df"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.col("term")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select(id_col, "term", "tf", "df", "score")
+    )

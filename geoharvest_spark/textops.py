@@ -1333,3 +1333,91 @@ def normalize_unicode(
         )
 
     return df.withColumn(out, _norm(F.col(text_col)))
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    line_tokens: int = 3,
+    min_count: int = 3,
+) -> DataFrame:
+    """CCNet-style boilerplate removal: drop every "line" that repeats
+    ``min_count``-or-more times WITHIN its group (host / source), keep
+    everything else in document order.
+
+    Web corpora carry per-site boilerplate (nav bars, cookie banners,
+    footers) that exact-dedup misses because it keeps the FIRST copy and
+    because boilerplate is a line, not a whole page. The production rule
+    (CCNet, RefinedWeb) is frequency-based: a line seen on >= k pages of
+    the same host is template, not prose — ALL its occurrences go,
+    unlike chunk_dedup's first-wins. Lines here are fixed
+    ``line_tokens``-token windows of the whitespace token stream (the
+    corpus has no newlines); swap the chunker for split('\\n') on real
+    page text.
+
+    Plan: explode lines with position -> hash -> per-(group, hash)
+    count (hash aggregate) -> survivors re-join on (group, hash)
+    (broadcast-free equi-join; hot boilerplate hashes are exactly the
+    high-count rows CUT by the filter, so the join's build side shrinks
+    with dirtiness) -> one per-doc aggregate reassembles survivors via
+    array_sort on (idx, line) — per-DOC memory. Two shuffles keyed on
+    the line hash, one on the doc id. The token array is staged through
+    its own projection (inline-split trap, CLAUDE.md).
+
+    Returns (id, group, n_lines, n_kept, clean_md5): clean_md5 is md5 of
+    the space-rejoined surviving lines (empty-string md5 when every line
+    was template).
+    """
+    base = df.select(
+        F.col(id_col), F.col(group_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
+    n_lines = F.ceil(F.size(toks) / F.lit(float(line_tokens))).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_lines - 1),
+        lambda i: F.concat_ws(
+            " ", F.slice(toks, i * line_tokens + 1, line_tokens)
+        ),
+    )
+    ex = base.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.posexplode(lines).alias("line_idx", "line"),
+    ).withColumn("h", F.xxhash64("line"))
+    hot = (
+        ex.groupBy(group_col, "h")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select(group_col, "h")
+    )
+    kept = ex.join(hot, [group_col, "h"], "left_anti")
+    totals = ex.groupBy(id_col, group_col).agg(
+        F.count(F.lit(1)).alias("n_lines")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("line_idx", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    empty_md5 = F.lit("d41d8cd98f00b204e9800998ecf8427e")
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_md5", empty_md5).alias("clean_md5"),
+        )
+    )

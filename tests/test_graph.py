@@ -141,3 +141,35 @@ def test_triangles_partition_invariance(spark):
     a = sorted(map(tuple, triangle_count(ed.repartition(1)).collect()))
     b = sorted(map(tuple, triangle_count(ed.repartition(16)).collect()))
     assert a == b and len(a) > 0
+
+
+def test_bfs_hops_chain_and_unreachable(spark):
+    # 0->1->2->3, 5->6 island, 3->0 back edge
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0), (5, 6)], "src long, dst long"
+    )
+    from geoharvest_spark.graph import bfs_hops
+
+    out = {r["node"]: r["hop"] for r in bfs_hops(edges, 0).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_bfs_hops_shortest_wins(spark):
+    # two routes to 4: 0->4 direct and 0->1->4 — hop must be 1
+    edges = spark.createDataFrame(
+        [(0, 4), (0, 1), (1, 4), (4, 9)], "src long, dst long"
+    )
+    from geoharvest_spark.graph import bfs_hops
+
+    out = {r["node"]: r["hop"] for r in bfs_hops(edges, 0).collect()}
+    assert out == {0: 0, 4: 1, 1: 1, 9: 2}
+
+
+def test_bfs_hops_max_hops_truncates(spark):
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "src long, dst long"
+    )
+    from geoharvest_spark.graph import bfs_hops
+
+    out = bfs_hops(edges, 0, max_hops=3)
+    assert out.count() == 4 and out.agg({"hop": "max"}).collect()[0][0] == 3

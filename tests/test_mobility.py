@@ -114,3 +114,44 @@ def test_stay_points_partition_invariance(spark):
     a = sorted(map(tuple, stay_points(pts.repartition(1)).collect()))
     b = sorted(map(tuple, stay_points(pts.repartition(16)).collect()))
     assert a == b and len(a) > 0
+
+
+def test_trajectory_lengths_known_track(spark):
+    # equator hops: 1 deg lon at lat 0 = 111194.926 m (2*R*asin(sin(dlon/2)))
+    rows = [
+        (1, 0, 100, 0.0, 0.0),
+        (1, 1, 101, 1.0, 0.0),
+        (1, 2, 102, 2.0, 0.0),
+        (2, 0, 200, 10.0, 10.0),  # single fix: no hops
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, t_us long, event_id long, lon double, lat double"
+    )
+    from geoharvest_spark.mobility import trajectory_lengths
+
+    out = {
+        r["user_id"]: (r["n_hops"], r["path_m"])
+        for r in trajectory_lengths(df).collect()
+    }
+    assert set(out) == {1}
+    n, m = out[1]
+    assert n == 2
+    assert abs(m - 2 * 111194) <= 2  # floored meters per hop
+
+
+def test_trajectory_order_is_ts_then_id(spark):
+    # same path visited in shuffled row order: ordering is (t_us, event_id)
+    pts = [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)]
+    rows = [
+        (7, t, t, lon, lat) for t, (lon, lat) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(
+        rows[::-1],
+        "user_id long, t_us long, event_id long, lon double, lat double",
+    )
+    from geoharvest_spark.mobility import trajectory_lengths
+
+    r = trajectory_lengths(df).collect()[0]
+    assert r["n_hops"] == 3
+    # 3 hops of ~111 km (two meridian, one parallel at lat 1)
+    assert 3 * 111000 < r["path_m"] < 3 * 111300

@@ -1,0 +1,92 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geoharvest_spark.profile import profile_columns, skyline2d
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _brute_skyline(pts):
+    out = []
+    for p in pts:
+        dominated = any(
+            q[1] >= p[1]
+            and q[2] >= p[2]
+            and (q[1] > p[1] or q[2] > p[2])
+            for q in pts
+        )
+        if not dominated:
+            out.append(p)
+    return sorted(out)
+
+
+def test_skyline_brute_force(spark):
+    pts = [
+        (i, float((i * 37) % 100), float((i * 61) % 100)) for i in range(200)
+    ]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    got = sorted(
+        (r["id"], r["x"], r["y"]) for r in skyline2d(df, "x", "y", "id").collect()
+    )
+    assert got == _brute_skyline(pts)
+
+
+def test_skyline_duplicates_and_ties(spark):
+    pts = [
+        (1, 5.0, 5.0),
+        (2, 5.0, 5.0),  # exact duplicate of the frontier point: survives
+        (3, 5.0, 4.0),  # same x, lower y: dominated
+        (4, 4.0, 5.0),  # same y, lower x: dominated
+        (5, 6.0, 1.0),
+        (6, 1.0, 6.0),
+    ]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    ids = sorted(r["id"] for r in skyline2d(df, "x", "y", "id").collect())
+    assert ids == [1, 2, 5, 6]
+
+
+def test_skyline_partition_invariance(spark):
+    pts = [(i, float(i % 13), float((i * 7) % 13)) for i in range(300)]
+    df = spark.createDataFrame(pts, "id long, x double, y double")
+    a = sorted(
+        tuple(r) for r in skyline2d(df, "x", "y", "id", partitions=2).collect()
+    )
+    b = sorted(
+        tuple(r) for r in skyline2d(df, "x", "y", "id", partitions=32).collect()
+    )
+    assert a == b == sorted(_brute_skyline(pts))
+
+
+def test_profile_columns_orders(spark):
+    df = spark.read.parquet(f"{SF001}/orders.parquet")
+    prof = {
+        r["column"]: r for r in profile_columns(df).collect()
+    }
+    n = df.count()
+    assert set(prof) == set(df.columns)
+    for c in df.columns:
+        assert prof[c]["n_rows"] == n
+        assert prof[c]["n_null"] == 0
+    assert prof["o_orderkey"]["n_distinct"] == n
+    assert prof["o_orderstatus"]["min_str"] is not None
+    assert prof["o_orderstatus"]["min_num"] is None
+    assert prof["o_totalprice"]["min_num"] == df.agg(
+        F.min("o_totalprice")
+    ).collect()[0][0]
+    # timestamp min/max as epoch seconds
+    lo = prof["o_orderdate"]["min_num"]
+    assert lo == df.agg(
+        F.min(F.col("o_orderdate").cast("timestamp").cast("long"))
+    ).collect()[0][0]
+
+
+def test_profile_nulls_counted(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, None)], "k long, s string"
+    )
+    prof = {r["column"]: r for r in profile_columns(df).collect()}
+    assert prof["s"]["n_null"] == 2
+    assert prof["s"]["n_distinct"] == 1
+    assert prof["k"]["n_distinct"] == 3

@@ -95,3 +95,37 @@ def test_bm25_plan_prunes_below_aggregate(docs):
     # generator-constraint or filter re-evaluation of the split
     assert plan.count("split(") <= 3
     assert "size(split(" not in plan
+
+
+def test_tfidf_top_terms_hand_computed(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "apple apple banana"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry durian"),
+        ],
+        "doc_id long, text string",
+    )
+    from geoharvest_spark.retrieval import tfidf_top_terms
+
+    out = {
+        (r["doc_id"], r["term"]): (r["tf"], r["df"], r["score"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    # doc 1: apple tf=2 df=1 score=6.0 beats banana tf=1 df=2 score=1.5
+    assert out[(1, "apple")] == (2, 1, 6.0)
+    assert out[(1, "banana")] == (1, 2, 1.5)
+    # doc 3: cherry tf=3 df=2 score 4.5; durian tf=1 df=1 score 3.0
+    assert out[(3, "cherry")] == (3, 2, 4.5)
+    assert out[(3, "durian")] == (1, 1, 3.0)
+    assert len(out) == 6  # k=2 per doc
+
+
+def test_tfidf_tie_breaks_on_term(spark):
+    docs = spark.createDataFrame(
+        [(1, "zed abc"), (2, "zed abc")], "doc_id long, text string"
+    )
+    from geoharvest_spark.retrieval import tfidf_top_terms
+
+    rows = tfidf_top_terms(docs, k=1).collect()
+    assert {(r["doc_id"], r["term"]) for r in rows} == {(1, "abc"), (2, "abc")}

@@ -1012,3 +1012,58 @@ def test_normalize_unicode_form_validation(spark):
     df = spark.createDataFrame([(1, "x")], "id long, text string")
     with pytest.raises(ValueError, match="normalization form"):
         normalize_unicode(df, form="NFX")
+
+
+def test_boilerplate_lines_removed_per_group(spark):
+    from geoharvest_spark.textops import remove_boilerplate_lines
+
+    # line = 2 tokens; "nav bar" repeats 3x in src A (template), the same
+    # line appears once in src B (kept there)
+    rows = [
+        (1, "A", "nav bar alpha beta"),
+        (2, "A", "nav bar gamma delta"),
+        (3, "A", "nav bar epsilon zeta"),
+        (4, "B", "nav bar unique text"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: (r["n_lines"], r["n_kept"])
+        for r in remove_boilerplate_lines(
+            df, line_tokens=2, min_count=3
+        ).collect()
+    }
+    assert out[1] == (2, 1) and out[2] == (2, 1) and out[3] == (2, 1)
+    assert out[4] == (2, 2)
+
+
+def test_boilerplate_all_template_doc_empty_md5(spark):
+    from geoharvest_spark.textops import remove_boilerplate_lines
+
+    rows = [(i, "A", "cookie banner") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = remove_boilerplate_lines(df, line_tokens=2, min_count=3).collect()
+    for r in out:
+        assert r["n_kept"] == 0
+        assert r["clean_md5"] == "d41d8cd98f00b204e9800998ecf8427e"
+
+
+def test_boilerplate_order_preserved(spark):
+    import hashlib
+
+    from geoharvest_spark.textops import remove_boilerplate_lines
+
+    # doc 1's middle line is template (repeats in docs 2,3); survivors
+    # rejoin in original order
+    rows = [
+        (1, "A", "aa bb TPL TPL cc dd"),
+        (2, "A", "TPL TPL xx yy"),
+        (3, "A", "TPL TPL zz ww"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {
+        r["doc_id"]: (r["n_kept"], r["clean_md5"])
+        for r in remove_boilerplate_lines(
+            df, line_tokens=2, min_count=3
+        ).collect()
+    }
+    assert out[1] == (2, hashlib.md5(b"aa bb cc dd").hexdigest())
