@@ -225,8 +225,14 @@ def tfidf_top_terms(
     base = docs.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
     )
+    # the when(size>0) guard references _toks TWICE so the staging
+    # projection survives CollapseProject — with a single reference the
+    # explode's inferred not-null/size filter pushes below the alias and
+    # re-evaluates split(text) up to 5x per row (plan-pinned at 2: one
+    # per scan branch)
+    toks_nonempty = F.when(F.size("_toks") > 0, F.col("_toks"))
     terms = base.select(
-        F.col(id_col), F.explode("_toks").alias("term")
+        F.col(id_col), F.explode(toks_nonempty).alias("term")
     ).where(F.col("term") != "")
     tf = terms.groupBy(id_col, "term").agg(
         F.count(F.lit(1)).alias("tf")

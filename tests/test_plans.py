@@ -303,3 +303,107 @@ def test_dhash_near_dups_caches_signatures(spark):
     out = dhash_near_dups(with_image_dhash(synth_dhash_media_df(spark, 6)))
     plan = _plan(out)
     assert plan.count("InMemoryTableScan") >= 2, plan[:1500]
+
+
+def test_timeseries_single_exchange_plans(spark):
+    # scd2: three windows + the island aggregate all share the ONE
+    # user-keyed Exchange (groupBy(key, _grp) is satisfied by hash(key));
+    # rolling: one Exchange + one RANGE window; trajectories: the lag
+    # window's hash(user) also satisfies the final groupBy — one
+    # Exchange end to end. No Python anywhere.
+    from geoharvest_spark.mobility import trajectory_lengths
+    from geoharvest_spark.timeseries import rolling_range_sum, scd2_intervals
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    p = _plan(scd2_intervals(ev, "user_id", "ts", "event_type", "event_id"))
+    assert p.count("Exchange") == 1, p.count("Exchange")
+    assert "EvalPython" not in p
+    r = _plan(
+        rolling_range_sum(
+            ev.select("user_id", "ts", (F.col("event_id") % 10).alias("v")),
+            "user_id",
+            "ts",
+            "v",
+            86400,
+        )
+    )
+    assert r.count("Exchange") == 1 and r.count("Window") == 1
+    assert "EvalPython" not in r
+    pts = ev.select(
+        "event_id",
+        "ts",
+        "user_id",
+        (F.col("event_id") % 360 - 180.0).alias("lon"),
+        (F.col("event_id") % 180 - 90.0).alias("lat"),
+    )
+    t = _plan(trajectory_lengths(pts, ts_col="ts"))
+    assert t.count("Exchange") == 1 and t.count("Window") == 1
+    assert "EvalPython" not in t
+
+
+def test_profile_single_expand_no_python(spark):
+    # the multi-column exact-distinct profile must plan as ONE Expand +
+    # two-stage aggregate (the standard multi-distinct rewrite), not a
+    # per-column job or a Python stage
+    from geoharvest_spark.profile import profile_columns
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    p = _plan(profile_columns(o))
+    assert p.count("Expand") == 1, p.count("Expand")
+    assert "EvalPython" not in p
+
+
+def test_skyline_two_arrow_phases(spark):
+    # two-phase skyline = exactly two Arrow-batched applyInPandas
+    # stages (local skylines, then one merge group)
+    from geoharvest_spark.profile import skyline2d
+
+    d = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        F.col("n_chars").alias("x"),
+        (F.col("doc_id") % 997).alias("y"),
+    )
+    p = _plan(skyline2d(d, "x", "y", "doc_id"))
+    assert p.count("FlatMapGroupsInPandas") == 2, p
+
+
+def test_text_ops_split_once_r6s3(spark):
+    # tfidf + boilerplate: the whitespace split evaluates ONCE per row
+    # (inline-split trap, CLAUDE.md) and the refine/join paths stay JVM
+    from geoharvest_spark.retrieval import tfidf_top_terms
+    from geoharvest_spark.textops import remove_boilerplate_lines
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    # tfidf: tf and df branches each rescan documents -> 2 branches x 1
+    # split (the unstaged form re-evaluated split 5x per row via the
+    # generate-inferred filters)
+    p1 = _plan(tfidf_top_terms(d, k=3))
+    assert p1.count("split(") == 2, p1.count("split(")
+    assert "EvalPython" not in p1
+    # boilerplate: hot / kept / totals branches -> 3 x 1 split (the
+    # chunk_dedup pattern), never per-line splits
+    p2 = _plan(remove_boilerplate_lines(d))
+    assert p2.count("split(") == 3, p2.count("split(")
+    assert "EvalPython" not in p2
+
+
+def test_fuzzy_join_refine_shape(spark):
+    # exactly ONE levenshtein site (refine only — never inside candidate
+    # generation) and a codegen length cut before it; ids-only candidates
+    from geoharvest_spark.linkage import blocked_fuzzy_join
+
+    c = spark.read.parquet(f"{SF}/customer.parquet")
+    lt = c.select(F.col("c_custkey").alias("a"), "c_name")
+    rt = c.select(F.col("c_custkey").alias("b"), "c_name")
+    for pf in (True, False):
+        p = _plan(
+            blocked_fuzzy_join(
+                lt, rt, "a", "b", "c_name", max_dist=1, prefix_filter=pf
+            )
+        )
+        # two sites: the filter predicate + the dist output column
+        # (Catalyst inlines the withColumn into both) — the point of the
+        # pin is that levenshtein NEVER appears in candidate generation,
+        # i.e. never more than these two refine-stage sites
+        assert p.count("levenshtein") == 2, p.count("levenshtein")
+        assert "EvalPython" not in p
