@@ -313,3 +313,136 @@ def bfs_hops(
         visited = visited.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
     return visited
+
+
+def sssp_weighted(
+    edges: DataFrame,
+    source: int,
+    max_rounds: int = 40,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str = "w",
+) -> DataFrame:
+    """Single-source shortest paths over non-negative INTEGER edge
+    weights — frontier-based Bellman-Ford (the level-synchronous Pregel
+    SSSP): each round relaxes only edges leaving nodes whose distance
+    improved last round, so total work is O(rounds x frontier out-edges)
+    and the round count is bounded by the hop-depth of the shortest-path
+    tree, not |V|.
+
+    Integer weights keep every distance an exact BIGINT: min() is
+    order-free, results are bit-identical across partitionings and
+    cluster sizes, and the whole iteration replays as unrolled SQL CTEs
+    (the pagerank determinism discipline, graph.py:pagerank). Edges are
+    localCheckpointed ONCE before the loop; the distance table is
+    checkpointed per round to keep the plan flat. The per-round driver
+    sync is a 1-row isEmpty fingerprint (connected_components cost
+    class).
+
+    Raises RuntimeError if ``max_rounds`` is exhausted before the fixed
+    point — a truncated relaxation is NOT shortest paths (negative
+    weights also never converge here; they are out of contract).
+
+    Returns (node, dist) for every node reachable from ``source``.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+        F.col(weight).cast("long").alias("w"),
+    ).localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(source), 0)], "node long, dist long"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    converged = False
+    for _ in range(max_rounds):
+        cand = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"), (F.col("dist") + F.col("w")).alias("d"))
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+        )
+        improved = (
+            cand.join(dist, "node", "left")
+            .where(F.col("dist").isNull() | (F.col("d") < F.col("dist")))
+            .select("node", F.col("d").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        if improved.isEmpty():
+            converged = True
+            break
+        dist = (
+            dist.unionByName(improved)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        frontier = improved
+    if not converged:
+        raise RuntimeError(
+            f"sssp_weighted did not converge in {max_rounds} rounds"
+        )
+    return dist
+
+
+def kcore(
+    edges: DataFrame,
+    k: int,
+    max_rounds: int = 50,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """The k-core of an undirected graph: the maximal subgraph where
+    every node has degree >= k, computed by synchronous peeling —
+    repeatedly drop nodes whose degree within the REMAINING subgraph is
+    below k until a fixed point. The classic cohesion filter (spam-farm
+    pruning, community seeding) and a standard Pregel benchmark.
+
+    Per round: one degree aggregate + two semi-joins to restrict the
+    edge set — all shuffles keyed on node id, edge-linear. Edges are
+    canonicalized undirected (both directions emitted once) and
+    localCheckpointed per round (lineage truncation; the loop re-derives
+    the edge set each round so the frame shrinks monotonically).
+    Convergence is a 1-row count sync per round; peeling rounds are
+    graph-dependent (worst case a path peels one node per round — the
+    documented adversarial case, same class as CC's star-forest bound).
+
+    Raises RuntimeError if ``max_rounds`` is exhausted (a partial peel
+    is not a k-core). Returns (node, degree) for k-core members with
+    their final in-core degree.
+    """
+    und = (
+        edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    cur = (
+        und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = cur.count()
+    converged = False
+    for _ in range(max_rounds):
+        deg = cur.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.where(F.col("deg") >= k).select("a")
+        nxt = (
+            cur.join(keep, "a", "left_semi")
+            .join(keep.select(F.col("a").alias("b")), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        n_now = nxt.count()
+        cur = nxt
+        if n_now == n_prev:
+            converged = True
+            break
+        n_prev = n_now
+    if not converged:
+        raise RuntimeError(f"kcore did not converge in {max_rounds} rounds")
+    return cur.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

@@ -175,3 +175,97 @@ def trajectory_lengths(
             F.sum("hop_m").alias("path_m"),
         )
     )
+
+
+def grid_density_clusters(
+    df: DataFrame,
+    res: int = 3,
+    min_pts: int = 5,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Grid-density clustering (the STING/CLIQUE-family approximation of
+    DBSCAN production systems run at scale): a cell with >= ``min_pts``
+    points is DENSE, and dense cells that touch (8-neighborhood, with
+    longitude wraparound) merge into one cluster. Cluster id = the
+    minimum dense-cell id in the connected component.
+
+    Why this formulation at 100 TB: point-level DBSCAN needs an
+    eps-neighbor join over every point; the grid version reduces the
+    data ONCE to per-cell counts (hash aggregate, map-side combine) and
+    then runs entirely on the DENSE-CELL graph — millions of cells, not
+    billions of points. The merge is the engine's distributed
+    large-star/small-star connected components (textops.py:752), the
+    same machinery the near-dup clustering uses, so rounds are
+    O(log^2 n) with checkpoint-truncated lineage.
+
+    Plan: one (cell) hash aggregate over the points -> dense filter ->
+    4-offset neighbor explode + self-equi-join builds the adjacency
+    (each undirected edge emitted once; the CC treats pairs as
+    undirected) -> connected components -> re-join labels to dense
+    cells. Shuffles are cell-keyed; nothing touches Python.
+
+    Returns (cell, cluster, n_points) for every dense cell; cold cells
+    are noise by definition and drop out (join the cell table back for
+    per-point labels).
+    """
+    from .index import (
+        GHCELL_RES_BITS,
+        GHCELL_X_BITS,
+        ghcell,
+        ghcell_nx,
+        ghcell_ny,
+    )
+    from .textops import connected_components
+
+    nx, ny = ghcell_nx(res), ghcell_ny(res)
+    cells = (
+        df.select(ghcell(F.col(lon_col), F.col(lat_col), res).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_points"))
+    )
+    dense = cells.where(F.col("n_points") >= min_pts)
+    rem = F.col("cell") % F.lit(GHCELL_RES_BITS)
+    x = (rem / F.lit(GHCELL_X_BITS)).cast("long")
+    y = (rem % F.lit(GHCELL_X_BITS)).cast("long")
+    # 4 of the 8 neighbor offsets — the symmetric half arrives from the
+    # other endpoint's emission; x wraps (longitude), y clamps (poles)
+    offsets = [(1, -1), (1, 0), (1, 1), (0, 1)]
+    nbr = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.pmod(x + F.lit(dx), F.lit(nx)).alias("nx"),
+                    (y + F.lit(dy)).alias("ny"),
+                )
+                for dx, dy in offsets
+            ]
+        )
+    )
+    edges = (
+        dense.select(F.col("cell"), nbr.alias("nb"))
+        .where((F.col("nb.ny") >= 0) & (F.col("nb.ny") < ny))
+        .select(
+            F.col("cell").alias("id_a"),
+            (
+                F.lit(res).cast("long") * F.lit(GHCELL_RES_BITS)
+                + F.col("nb.nx") * F.lit(GHCELL_X_BITS)
+                + F.col("nb.ny")
+            ).alias("id_b"),
+        )
+        .join(
+            dense.select(F.col("cell").alias("id_b")),
+            "id_b",
+            "left_semi",
+        )
+    )
+    comps = connected_components(
+        edges,
+        vertices=dense.select(F.col("cell").alias("id")),
+        max_iter=max_iter,
+    )
+    return (
+        dense.join(comps, dense["cell"] == comps["id"])
+        .select("cell", F.col("component").alias("cluster"), "n_points")
+    )

@@ -696,6 +696,7 @@ def main() -> None:
     run_round6b_legs(spark)
     run_round6c_legs(spark)
     run_round6d_legs(spark)
+    run_round6e_legs(spark)
     run_textops_legs(spark)
     spark.stop()
 
@@ -976,3 +977,235 @@ def run_round6d_legs(spark) -> None:
             ),
             flush=True,
         )
+
+
+def run_round6e_legs(spark) -> None:
+    """Session-3 batch at 4x scale: BFS hops, trajectory lengths, TF-IDF,
+    boilerplate-line removal, prefix-filtered fuzzy join, the column
+    profiler, skyline, and the three ordered-event operators. Per-unit
+    cost must be flat or falling (the fuzzy join reports per-CANDIDATE
+    cost — similarity self-join work is output-bound, and candidate
+    count on a fixed gram vocabulary grows ~n^2/V by design)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.graph import bfs_hops
+    from geoharvest_spark.linkage import blocked_fuzzy_join
+    from geoharvest_spark.mobility import trajectory_lengths
+    from geoharvest_spark.profile import profile_columns, skyline2d
+    from geoharvest_spark.retrieval import tfidf_top_terms
+    from geoharvest_spark.textops import remove_boilerplate_lines
+    from geoharvest_spark.timeseries import (
+        max_concurrent,
+        rolling_range_sum,
+        scd2_intervals,
+    )
+
+    i = F.col("id")
+
+    def emit(workload, n, sec, unit, per):
+        print(
+            json.dumps(
+                {
+                    "workload": workload,
+                    "rows": n,
+                    "sec": round(sec, 3),
+                    unit: round(per, 4),
+                }
+            ),
+            flush=True,
+        )
+
+    # BFS: expander-ish multigraph (ring + 7i+3 chords + thirds), |E|~7n/3;
+    # the call itself runs the per-level jobs, so time the invocation
+    for n_nodes in (250_000, 1_000_000):
+        ed = (
+            spark.range(n_nodes, numPartitions=48)
+            .select(i.alias("src"), ((i + 1) % n_nodes).alias("dst"))
+            .unionAll(
+                spark.range(n_nodes, numPartitions=48).select(
+                    i.alias("src"), ((i * 7 + 3) % n_nodes).alias("dst")
+                )
+            )
+            .unionAll(
+                spark.range(n_nodes, numPartitions=48)
+                .where(i % 3 == 0)
+                .select(i.alias("src"), ((i + 2) % n_nodes).alias("dst"))
+            )
+        )
+        best = None
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            bfs_hops(ed, source=0, max_hops=16).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            el = _time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        edges = int(n_nodes * 7 / 3)
+        emit("bfs_hops", edges, best, "us_per_edge", best / edges * 1e6)
+
+    def _fixes(n):
+        return spark.range(n, numPartitions=48).select(
+            i.alias("event_id"),
+            F.timestamp_micros(
+                F.lit(1_700_000_000_000_000) + (i * 7919) % 2_592_000_000_000
+            ).alias("ts"),
+            (i % 50_000).alias("user_id"),
+            F.concat(F.lit("t"), (i % 40).cast("string")).alias("event_type"),
+            ((i * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+            ((i * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+            ((i % 1000) / 100.0).alias("v"),
+        )
+
+    for n in (2_000_000, 8_000_000):
+        fx = _fixes(n).cache()
+        fx.count()
+        for name, build in (
+            (
+                "trajectory_lengths",
+                lambda d=fx: trajectory_lengths(d, ts_col="ts"),
+            ),
+            (
+                "rolling_range_sum",
+                lambda d=fx: rolling_range_sum(
+                    d, "user_id", "ts", "v", 86400
+                ),
+            ),
+            (
+                "scd2_intervals",
+                lambda d=fx: scd2_intervals(
+                    d, "user_id", "ts", "event_type", "event_id"
+                ),
+            ),
+            (
+                "max_concurrent",
+                lambda d=fx: max_concurrent(
+                    d.select(
+                        "event_type",
+                        F.col("ts").cast("long").alias("s"),
+                        (
+                            F.col("ts").cast("long")
+                            + 300
+                            + F.col("event_id") % 900
+                        ).alias("e"),
+                    ),
+                    "event_type",
+                    "s",
+                    "e",
+                ),
+            ),
+            (
+                "profile_columns",
+                lambda d=fx: profile_columns(
+                    d, ["event_id", "user_id", "event_type", "v"]
+                ),
+            ),
+            (
+                "skyline2d",
+                lambda d=fx: skyline2d(
+                    d.select(
+                        "event_id",
+                        (F.col("event_id") * 7919 % 999983).alias("x"),
+                        (F.col("event_id") * 104729 % 999979).alias("y"),
+                    ),
+                    "x",
+                    "y",
+                    "event_id",
+                ),
+            ),
+        ):
+            best = min(time_noop(build()) for _ in range(2))
+            emit(name, n, best, "us_per_row", best / n * 1e6)
+        fx.unpersist()
+
+    # text: generated docs with a per-source banner (boilerplate target)
+    for n_docs in (100_000, 400_000):
+        docs = spark.range(n_docs, numPartitions=48).select(
+            i.alias("doc_id"),
+            F.concat(F.lit("s"), (i % 200).cast("string")).alias("source"),
+            F.concat(
+                F.lit("s"),
+                (i % 200).cast("string"),
+                F.lit(" banner cookie notice accept all "),
+                doc_text_expr(i, 80),
+            ).alias("text"),
+        ).cache()
+        docs.count()
+        best = min(time_noop(tfidf_top_terms(docs, k=3)) for _ in range(2))
+        emit("tfidf_top_terms", n_docs, best, "us_per_doc", best / n_docs * 1e6)
+        best = min(
+            time_noop(remove_boilerplate_lines(docs)) for _ in range(2)
+        )
+        emit(
+            "boilerplate_lines", n_docs, best, "us_per_doc",
+            best / n_docs * 1e6,
+        )
+        docs.unpersist()
+
+    # fuzzy join: 12-char pseudo-random letter keys (17.5k gram space);
+    # report per-candidate cost — candidates ~ n^2/V on a fixed alphabet
+    for n_names in (50_000, 200_000):
+        chars = [
+            F.char(
+                F.pmod(F.xxhash64(i, F.lit(p)), F.lit(26)) + F.lit(97)
+            )
+            for p in range(12)
+        ]
+        names = spark.range(n_names, numPartitions=48).select(
+            i.alias("nid"), F.concat(*chars).alias("name")
+        ).cache()
+        names.count()
+        jd = blocked_fuzzy_join(
+            names,
+            names.select(
+                F.col("nid").alias("nid_b"), "name"
+            ),
+            "nid",
+            "nid_b",
+            "name",
+            max_dist=1,
+        )
+        # candidate volume for the per-candidate unit: prefix pairs
+        from geoharvest_spark.linkage import _gram_occurrences
+
+        occ = _gram_occurrences(
+            names.select(F.col("nid").alias("_id"), F.col("name").alias("_t")),
+            "_id",
+            "_t",
+            3,
+        )
+        freq = occ.groupBy("g", "occ").agg(F.count(F.lit(1)).alias("_df"))
+        from pyspark.sql import Window as W
+
+        pref = (
+            occ.join(freq, ["g", "occ"])
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy("_id").orderBy("_df", "g", "occ")
+                ),
+            )
+            .where(F.col("_rn") <= 4)
+            .select("_id", "g", "occ")
+        )
+        n_cand = (
+            pref.groupBy("g", "occ")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.col("c") * F.col("c")).alias("s"))
+            .collect()[0]["s"]
+        )
+        best = min(time_noop(jd) for _ in range(2))
+        print(
+            json.dumps(
+                {
+                    "workload": "fuzzy_prefix_join",
+                    "rows": n_names,
+                    "candidates": int(n_cand),
+                    "sec": round(best, 3),
+                    "ns_per_candidate": round(best / n_cand * 1e9, 1),
+                }
+            ),
+            flush=True,
+        )
+        names.unpersist()
