@@ -3726,6 +3726,104 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["peak_concurrent_events"] = peak_concurrent_events
 
+
+    def geo_grid_clusters(spark, sf):
+        """Grid-density clustering (mobility.grid_density_clusters — the
+        STING/CLIQUE-family DBSCAN at scale): 37 planted point blobs ->
+        per-cell counts -> dense cells (>= 30 pts at res 4) -> adjacent
+        dense cells merge via the engine's distributed connected
+        components; cluster id = min cell id. Oracle replays the cell
+        arithmetic (ghcell_sql) and closes adjacency with a recursive
+        reachability-min CTE — an INDEPENDENT component algorithm, so a
+        lost edge, wrong wraparound, or CC bug breaks parity."""
+        from geoharvest_spark.mobility import grid_density_clusters
+
+        i = F.col("event_id")
+        c = i % 37
+        pts = _t(spark, sf, "events").select(
+            ((c * 7919 % 340) - 170.0 + (i * 13 % 200) / 100.0).alias("lon"),
+            ((c * 104729 % 160) - 80.0 + (i * 17 % 200) / 100.0).alias("lat"),
+        )
+        return grid_density_clusters(pts, res=4, min_pts=30).orderBy("cell")
+
+    Q["geo_grid_clusters"] = geo_grid_clusters
+
+    def graph_sssp_weighted(spark, sf):
+        """Weighted single-source shortest paths (graph.sssp_weighted):
+        frontier Bellman-Ford over the 600-node ring+chords graph with
+        integer weights 1+(i*3)%9 / 1+(i*5)%7 — converges in 16 frontier
+        rounds; distances are exact BIGINTs (order-free min). Oracle
+        unrolls 18 relaxation rounds as chained CTEs (idempotent past
+        the fixed point — the pagerank replay discipline)."""
+        from geoharvest_spark.graph import sssp_weighted
+
+        i = F.col("id")
+        n = 600
+        ed = (
+            spark.range(n)
+            .select(
+                i.alias("src"),
+                ((i + 1) % n).alias("dst"),
+                (1 + (i * 3) % 9).alias("w"),
+            )
+            .unionAll(
+                spark.range(n).select(
+                    i.alias("src"),
+                    ((i * 7 + 3) % n).alias("dst"),
+                    (1 + (i * 5) % 7).alias("w"),
+                )
+            )
+        )
+        return sssp_weighted(ed, source=0).orderBy("node")
+
+    Q["graph_sssp_weighted"] = graph_sssp_weighted
+
+    def graph_kcore(spark, sf):
+        """k-core peeling (graph.kcore, k=2): a 200-node dense core with
+        ten 40-node chain layers hanging off it — each peel round strips
+        one layer (11 rounds measured), leaving exactly the core with
+        its within-core degrees. Oracle unrolls 13 peel rounds as
+        chained CTEs over the same undirected simple graph (idempotent
+        past the fixed point)."""
+        from geoharvest_spark.graph import kcore
+
+        i = F.col("id")
+        ed = (
+            spark.range(200)
+            .select(i.alias("src"), ((i + 1) % 200).alias("dst"))
+            .unionAll(
+                spark.range(200).select(
+                    i.alias("src"), ((i * 7 + 3) % 200).alias("dst")
+                )
+            )
+            .unionAll(
+                spark.range(200, 600).select(
+                    i.alias("src"), (i - 40).alias("dst")
+                )
+            )
+        )
+        return kcore(ed, k=2).orderBy("node")
+
+    Q["graph_kcore"] = graph_kcore
+
+    def doc_compression_ratio(spark, sf):
+        """zlib compression-ratio quality signal (textops.
+        with_compression_ratio): Arrow-batched stdlib deflate at level 6,
+        narrow and shuffle-free; ratio = z_bytes/n_bytes is one IEEE
+        division of exact ints. Oracle joins a single-process replay of
+        the identical zlib call (oracle_stage.stage_zlib) — any batching
+        or encoding divergence breaks parity."""
+        from geoharvest_spark.textops import with_compression_ratio
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        return (
+            with_compression_ratio(d)
+            .select("doc_id", "n_bytes", "z_bytes", "compression_ratio")
+            .orderBy("doc_id")
+        )
+
+    Q["doc_compression_ratio"] = doc_compression_ratio
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -3927,6 +4025,71 @@ def _html_page_cte(
         "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
         "'&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), "
         "'\\s+', ' ', 'g')) AS ex FROM h) "
+    )
+
+
+def _sssp_oracle_sql(rounds: int = 18) -> str:
+    """graph_sssp_weighted replay: the same 600-node weighted edge list,
+    frontier-free Bellman-Ford unrolled as ``rounds`` chained CTEs
+    (d_{t+1} = min over d_t union relaxations of d_t). The engine
+    converges in 16 frontier rounds; extra unrolled rounds are
+    idempotent, so any rounds >= 16 reaches the same fixed point."""
+    ctes = [
+        (
+            "se AS (SELECT i AS src, (i + 1) % 600 AS dst, "
+            "1 + (i * 3) % 9 AS w FROM range(600) r(i) "
+            "UNION ALL SELECT i, (i * 7 + 3) % 600, 1 + (i * 5) % 7 "
+            "FROM range(600) r(i))"
+        ),
+        "d0 AS (SELECT 0::BIGINT AS node, 0::BIGINT AS dist)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            # MATERIALIZED: each level references the previous CTE twice;
+            # DuckDB inlines plain CTEs, which goes exponential over the
+            # unroll (measured: hang at 18 levels; 0.7 s materialized)
+            f"d{t} AS MATERIALIZED (SELECT node, min(dist)::BIGINT AS dist FROM ("
+            f"SELECT node, dist FROM d{t - 1} "
+            f"UNION ALL SELECT se.dst, d{t - 1}.dist + se.w "
+            f"FROM d{t - 1} JOIN se ON se.src = d{t - 1}.node) "
+            "GROUP BY node)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT node, dist FROM d{rounds} ORDER BY node"
+    )
+
+
+def _kcore_oracle_sql(k: int = 2, rounds: int = 13) -> str:
+    """graph_kcore replay: the same core+chains graph canonicalized to
+    an undirected simple edge set, synchronous peeling unrolled as
+    ``rounds`` chained CTEs (alive_{t+1} = nodes of alive_t with >= k
+    neighbors inside alive_t). The engine peels in 11 rounds; extra
+    rounds are idempotent."""
+    ctes = [
+        (
+            "ke AS (SELECT i AS src, (i + 1) % 200 AS dst "
+            "FROM range(200) r(i) "
+            "UNION ALL SELECT i, (i * 7 + 3) % 200 FROM range(200) r(i) "
+            "UNION ALL SELECT i, i - 40 FROM range(200, 600) r(i))"
+        ),
+        "ke1 AS (SELECT DISTINCT src AS a, dst AS b FROM ke WHERE src <> dst)",
+        "ku AS (SELECT a, b FROM ke1 UNION SELECT b, a FROM ke1)",
+        "a0 AS (SELECT DISTINCT a AS node FROM ku)",
+    ]
+    for t in range(1, rounds + 1):
+        ctes.append(
+            f"a{t} AS MATERIALIZED (SELECT u.a AS node FROM ku u "
+            f"JOIN a{t - 1} x ON u.a = x.node "
+            f"JOIN a{t - 1} y ON u.b = y.node "
+            f"GROUP BY u.a HAVING count(*) >= {k})"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT u.a AS node, count(*)::BIGINT AS degree FROM ku u "
+        f"JOIN a{rounds} x ON u.a = x.node "
+        f"JOIN a{rounds} y ON u.b = y.node "
+        "GROUP BY u.a ORDER BY node"
     )
 
 
@@ -6185,5 +6348,45 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "FROM pci GROUP BY 1) "
             "SELECT event_type, max_concurrent, n_intervals "
             "FROM pcx JOIN pcn USING (event_type) ORDER BY event_type"
+        ),
+        "geo_grid_clusters": (
+            # independent component algorithm: recursive reachability-min
+            # over the dense-cell adjacency (8-neighborhood, x wraps at
+            # nx=128, y clamps at ny=64); cell ids decode with inlined
+            # 2^50 / 2^25 literals (shift constants overflow, CLAUDE.md)
+            "WITH RECURSIVE "
+            "gdp AS (SELECT ((event_id % 37) * 7919 % 340) - 170.0 "
+            "+ (event_id * 13 % 200) / 100.0 AS lon, "
+            "((event_id % 37) * 104729 % 160) - 80.0 "
+            "+ (event_id * 17 % 200) / 100.0 AS lat FROM events), "
+            f"gdc AS (SELECT {ix.ghcell_sql('lon', 'lat', 4)} AS cell "
+            "FROM gdp), "
+            "gdn AS (SELECT cell, count(*) AS n_points FROM gdc "
+            "GROUP BY cell), "
+            "gdd AS (SELECT cell, n_points FROM gdn WHERE n_points >= 30), "
+            "gdx AS (SELECT cell, (cell % 1125899906842624) // 33554432 "
+            "AS x, cell % 33554432 AS y FROM gdd), "
+            "gde AS (SELECT a.cell AS s, b.cell AS t FROM gdx a "
+            "JOIN gdx b ON a.cell <> b.cell "
+            "AND ((a.x - b.x + 128) % 128) IN (0, 1, 127) "
+            "AND abs(a.y - b.y) <= 1), "
+            "gdw(id, lbl) AS (SELECT cell, cell FROM gdd "
+            "UNION SELECT gde.t, gdw.lbl FROM gdw "
+            "JOIN gde ON gde.s = gdw.id), "
+            "gdk AS (SELECT id, min(lbl) AS cluster FROM gdw GROUP BY id) "
+            "SELECT d.cell AS cell, k.cluster AS cluster, "
+            "d.n_points AS n_points FROM gdd d "
+            "JOIN gdk k ON k.id = d.cell ORDER BY cell"
+        ),
+        "graph_sssp_weighted": _sssp_oracle_sql(18),
+        "graph_kcore": _kcore_oracle_sql(2, 13),
+        "doc_compression_ratio": (
+            # single-process replay of the identical stdlib zlib call,
+            # staged driver-side (oracle_stage.stage_zlib)
+            "SELECT d.doc_id, strlen(d.text)::BIGINT AS n_bytes, "
+            "z.z_bytes, CAST(z.z_bytes AS DOUBLE) / strlen(d.text) "
+            "AS compression_ratio FROM documents d "
+            f"JOIN read_parquet('{stage['zlib']}') z USING (doc_id) "
+            "ORDER BY d.doc_id"
         ),
     }

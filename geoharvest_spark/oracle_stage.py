@@ -264,6 +264,29 @@ def stage_dhash_pixels() -> str:
     return _write(pdf, "dhash_pixels.parquet")
 
 
+
+
+def stage_zlib(sf_dir: str = "/root/testdata/sf0.01", level: int = 6) -> str:
+    """doc_id -> zlib-compressed byte length of the UTF-8 text, computed
+    single-process with the same stdlib call the Spark pandas_udf makes
+    (textops.with_compression_ratio) — deterministic for a fixed zlib
+    build and (level, strategy, wbits)."""
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    ids = t.column("doc_id").to_pylist()
+    texts = t.column("text").to_pylist()
+    z = [
+        None if s is None else len(zlib.compress(s.encode("utf-8"), level))
+        for s in texts
+    ]
+    return _write(pd.DataFrame({"doc_id": ids, "z_bytes": z}), "zlib.parquet")
+
+
 def stage_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     return {
         "normalized": stage_normalized(),
@@ -278,4 +301,5 @@ def stage_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "lm_bigrams": stage_lm(sf_dir),
         "qmodel_weights": stage_qmodel(),
         "dhash_pixels": stage_dhash_pixels(),
+        "zlib": stage_zlib(sf_dir),
     }

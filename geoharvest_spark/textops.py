@@ -1421,3 +1421,46 @@ def remove_boilerplate_lines(
             F.coalesce("clean_md5", empty_md5).alias("clean_md5"),
         )
     )
+
+
+def with_compression_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Compression-ratio quality signal: deflate the UTF-8 bytes of each
+    document at a fixed zlib level and report ``z_bytes / n_bytes``.
+    Highly repetitive or templated text compresses far below prose, and
+    near-random strings sit near (or above) 1.0 — the classic cheap
+    pre-training quality heuristic (the Gopher/RefinedWeb rule family
+    thresholds on exactly this ratio to drop boilerplate and gibberish).
+
+    The compressor runs as an Arrow-batched pandas_udf (the honest
+    Python stage — zlib is C-speed per batch, no JVM equivalent), narrow
+    and stream-composable: no shuffle, scales with the scan. zlib output
+    at a FIXED (level, strategy, wbits) is deterministic for a given
+    zlib build, so the DuckDB oracle replays the identical stdlib call
+    single-process via the oracle_stage pattern and joins by id.
+
+    Adds ``n_bytes`` (UTF-8 length, JVM-side), ``z_bytes`` (compressed
+    length), and ``compression_ratio`` (one IEEE division of exact ints
+    — bit-stable). NULL text yields NULLs.
+    """
+    import zlib
+
+    @F.pandas_udf("long")
+    def _zlen(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: None
+            if t is None
+            else len(zlib.compress(t.encode("utf-8"), level))
+        ).astype("Int64")
+
+    return (
+        df.withColumn("n_bytes", F.octet_length(F.col(text_col)).cast("long"))
+        .withColumn("z_bytes", _zlen(F.col(text_col)))
+        .withColumn(
+            "compression_ratio",
+            F.col("z_bytes").cast("double") / F.col("n_bytes"),
+        )
+    )

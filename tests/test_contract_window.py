@@ -39,11 +39,21 @@ def test_queries_beyond_window_have_historical_driver_rows():
     qs = list(E.queries().keys())
     green = _historically_green()
     missing = [q for q in qs[50:] if q not in green]
-    assert not missing, (
-        f"queries beyond the 50-query driver window with no historical "
-        f"CORRECTNESS row: {missing} — move them into the window via "
-        f"_DRIVER_ORDER"
-    )
+    # SATURATION allowance: when >50 queries have never been
+    # driver-checked (more debuts in one round than window slots), it is
+    # mathematically impossible for every never-green query to sit
+    # inside the window. The invariant then weakens to: the window is
+    # ENTIRELY never-green (no slot wasted on an already-green query)
+    # and the overflow debuts are the newest-registered — they debut
+    # next round with top priority (last-green = -1 sorts first).
+    if missing:
+        window_all_debuts = all(q not in green for q in qs[:50])
+        assert window_all_debuts, (
+            f"never-checked queries outside the window while the window "
+            f"holds already-green queries: {missing}"
+        )
+    else:
+        assert not missing
 
 
 def test_every_query_has_oracle_or_is_known_rows_only():
@@ -89,6 +99,14 @@ def test_rotation_emits_stalest_queries_first():
         "queries() not emitted stalest-first: "
         + str([(q, r) for q, r in zip(qs, rounds)])
     )
-    # every never-green query (debut) must sit inside the check window
+    # every never-green query (debut) must sit inside the check window —
+    # unless debuts outnumber the 50 slots (saturation), in which case
+    # the window must be ENTIRELY debuts and the overflow waits for the
+    # next round (it sorts most-urgent then)
     debuts = [q for q in qs if q not in last]
-    assert all(qs.index(q) < 50 for q in debuts), debuts
+    if len(debuts) <= 50:
+        assert all(qs.index(q) < 50 for q in debuts), debuts
+    else:
+        assert all(q in debuts for q in qs[:50]), (
+            "saturated window contains an already-green query"
+        )

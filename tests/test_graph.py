@@ -173,3 +173,106 @@ def test_bfs_hops_max_hops_truncates(spark):
 
     out = bfs_hops(edges, 0, max_hops=3)
     assert out.count() == 4 and out.agg({"hop": "max"}).collect()[0][0] == 3
+
+
+def _py_dijkstra(edges, source):
+    import heapq
+
+    adj = {}
+    for s, t, w in edges:
+        adj.setdefault(s, []).append((t, w))
+    dist = {source: 0}
+    pq = [(0, source)]
+    while pq:
+        d, u = heapq.heappop(pq)
+        if d > dist.get(u, 1 << 60):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, 1 << 60):
+                dist[v] = nd
+                heapq.heappush(pq, (nd, v))
+    return dist
+
+
+def test_sssp_weighted_matches_dijkstra(spark):
+    from geoharvest_spark.graph import sssp_weighted
+
+    n = 60
+    edges = []
+    for i in range(n):
+        edges.append((i, (i + 1) % n, 1 + (i * 3) % 9))
+        edges.append((i, (i * 7 + 3) % n, 1 + (i * 5) % 7))
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_weighted(df, source=0).collect()
+    }
+    want = _py_dijkstra(edges, 0)
+    assert got == want
+
+
+def test_sssp_unreachable_nodes_absent(spark):
+    from geoharvest_spark.graph import sssp_weighted
+
+    df = spark.createDataFrame(
+        [(0, 1, 5), (1, 2, 5), (7, 8, 1)], "src long, dst long, w long"
+    )
+    got = {r["node"]: r["dist"] for r in sssp_weighted(df, 0).collect()}
+    assert got == {0: 0, 1: 5, 2: 10}  # 7/8 unreachable, absent
+
+
+def test_sssp_raises_without_convergence(spark):
+    import pytest as _pt
+
+    from geoharvest_spark.graph import sssp_weighted
+
+    # a long chain cannot converge in 2 rounds
+    df = spark.createDataFrame(
+        [(i, i + 1, 1) for i in range(10)], "src long, dst long, w long"
+    )
+    with _pt.raises(RuntimeError, match="converge"):
+        sssp_weighted(df, 0, max_rounds=2)
+
+
+def _py_kcore(edges, k):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    while True:
+        drop = {u for u in alive if len(adj[u] & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    return {u: len(adj[u] & alive) for u in alive}
+
+
+def test_kcore_matches_python_peel(spark):
+    from geoharvest_spark.graph import kcore
+
+    # ring (deg 2) + chords: peeling cascades through low-degree nodes
+    n = 80
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    edges += [(i, (i * 7 + 3) % n) for i in range(0, n, 2)]
+    edges += [(i, (i * 11 + 5) % n) for i in range(0, n, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["degree"] for r in kcore(df, k=3).collect()
+    }
+    want = _py_kcore(edges, 3)
+    assert got == want
+    assert len(want) > 0  # non-trivial core on this graph
+
+
+def test_kcore_empty_core(spark):
+    from geoharvest_spark.graph import kcore
+
+    # a tree has no 2-core
+    df = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 3), (1, 4)], "src long, dst long"
+    )
+    assert kcore(df, k=2).count() == 0

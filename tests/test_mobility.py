@@ -155,3 +155,78 @@ def test_trajectory_order_is_ts_then_id(spark):
     assert r["n_hops"] == 3
     # 3 hops of ~111 km (two meridian, one parallel at lat 1)
     assert 3 * 111000 < r["path_m"] < 3 * 111300
+
+
+def test_grid_density_clusters_matches_python(spark):
+    from geoharvest_spark.index import ghcell_nx, ghcell_ny
+    from geoharvest_spark.mobility import grid_density_clusters
+
+    import pyspark.sql.functions as F
+
+    # min_pts=12 sits above the ~6/cell uniform scatter (max stray cell
+    # is 9) and below the 20-point blobs, so exactly the blobs are dense
+    res, min_pts = 2, 12
+    nx, ny = ghcell_nx(res), ghcell_ny(res)
+    # deterministic scatter with planted dense blobs
+    pts = []
+    for i in range(3000):
+        lon = (i * 7919 % 36000) / 100.0 - 180.0
+        lat = (i * 104729 % 18000) / 100.0 - 90.0
+        pts.append((i, lon, lat))
+    # blobs: lon 10 (x=16) and lon 12 (x=17) are ADJACENT cells that
+    # must merge; lon 25 (x=18... not touching x=17? it is adjacent!)
+    # -> use lon 36 (x=19+) for the isolated blob
+    for j in range(20):
+        pts.append((10000 + j, 10.0 + (j % 3) * 0.1, 10.0))
+        pts.append((15000 + j, 12.0 + (j % 3) * 0.1, 10.0))
+        pts.append((20000 + j, 36.0 + (j % 3) * 0.1, 10.0))
+    df = spark.createDataFrame(pts, "pid long, lon double, lat double")
+    got = {
+        r["cell"]: (r["cluster"], r["n_points"])
+        for r in grid_density_clusters(
+            df, res=res, min_pts=min_pts
+        ).collect()
+    }
+
+    # python replay
+    import collections
+
+    def cell_of(lon, lat):
+        x = min(max(int((lon + 180.0) / 360.0 * nx), 0), nx - 1)
+        y = min(max(int((lat + 90.0) / 180.0 * ny), 0), ny - 1)
+        return res * 2**50 + x * 2**25 + y
+
+    counts = collections.Counter(cell_of(lo, la) for _, lo, la in pts)
+    dense = {c for c, n in counts.items() if n >= min_pts}
+
+    def neighbors(c):
+        rem = c % 2**50
+        x, y = rem // 2**25, rem % 2**25
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if dx == dy == 0:
+                    continue
+                yy = y + dy
+                if 0 <= yy < ny:
+                    yield res * 2**50 + ((x + dx) % nx) * 2**25 + yy
+
+    label = {}
+    for c in sorted(dense):
+        if c in label:
+            continue
+        comp, stack = [], [c]
+        seen = {c}
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in neighbors(u):
+                if v in dense and v not in seen:
+                    seen.add(v)
+                    stack.append(v)
+        m = min(comp)
+        for u in comp:
+            label[u] = m
+    want = {c: (label[c], counts[c]) for c in dense}
+    assert got == want
+    # three dense cells, the adjacent pair merged: exactly two clusters
+    assert len(got) == 3 and len({v[0] for v in got.values()}) == 2

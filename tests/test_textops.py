@@ -1067,3 +1067,30 @@ def test_boilerplate_order_preserved(spark):
         ).collect()
     }
     assert out[1] == (2, hashlib.md5(b"aa bb cc dd").hexdigest())
+
+
+def test_compression_ratio_matches_zlib(spark):
+    import zlib
+
+    from geoharvest_spark.textops import with_compression_ratio
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 10),
+        (2, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"),
+        (3, "k9!x Qz@7 mP#2 vL$5 wN%8 bT^1 cR&4 dY*6"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["z_bytes"], r["compression_ratio"])
+        for r in with_compression_ratio(df).collect()
+    }
+    for i, t in rows:
+        if t is None:
+            assert got[i] == (None, None, None)
+            continue
+        n = len(t.encode("utf-8"))
+        z = len(zlib.compress(t.encode("utf-8"), 6))
+        assert got[i] == (n, z, z / n)
+    # repetitive text compresses far below the near-random line
+    assert got[2][2] < 0.5 < got[3][2]
