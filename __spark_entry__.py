@@ -3824,6 +3824,129 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["doc_compression_ratio"] = doc_compression_ratio
 
+
+    def ml_target_encode(spark, sf):
+        """Smoothed target encoding (mlprep.target_encode, m=10): per-
+        category mean of an integer target shrunk toward the global mean
+        — two hash aggregates (per-category + 1-row global broadcast),
+        no window. The encode is two IEEE divisions and one multiply-add
+        of exact-int operands, mirrored verbatim in SQL."""
+        from geoharvest_spark.mlprep import target_encode
+
+        o = _t(spark, sf, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            (F.col("o_orderkey") % 97).alias("y"),
+        )
+        return (
+            target_encode(o, "o_orderpriority", "y", m=10.0)
+            .select("o_orderkey", "o_orderpriority", "cat_n", "target_enc")
+            .orderBy("o_orderkey")
+        )
+
+    Q["ml_target_encode"] = ml_target_encode
+
+    def ml_feature_hash(spark, sf):
+        """Hashing-trick sparse features (mlprep.feature_hash, d=256),
+        emitted exploded as (doc_id, idx, w) rows: bucket and sign come
+        from md5 (the cross-engine hash idiom), weights are signed token
+        counts — exact ints. The oracle rebuilds bucket/sign/weight from
+        the raw tokens with DuckDB's md5."""
+        from geoharvest_spark.mlprep import feature_hash
+
+        d = _t(spark, sf, "documents").select("doc_id", "text")
+        out = feature_hash(d, d=256)
+        return (
+            out.select(
+                "doc_id", F.explode("features").alias("f")
+            )
+            .select("doc_id", F.col("f.idx").alias("idx"), F.col("f.w").alias("w"))
+            .orderBy("doc_id", "idx")
+        )
+
+    Q["ml_feature_hash"] = ml_feature_hash
+
+    def cdc_apply_changes(spark, sf):
+        """MERGE-INTO / CDC apply (snapshots.apply_changes): a synthetic
+        changeset over the customer snapshot — superseded + winning
+        updates (unique seq per key), deletes, inserts of new keys, and
+        a delete of an unknown key. One max-struct hash aggregate + one
+        full-outer join; the oracle replays with max(seq) + CASE."""
+        from geoharvest_spark.snapshots import apply_changes
+
+        c = _t(spark, sf, "customer")
+        snap = c.select(
+            F.col("c_custkey").alias("k"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        k = F.col("c_custkey")
+        upd1 = c.where(k % 7 == 0).select(
+            k.alias("k"), F.lit("U").alias("op"), F.lit(1).cast("long").alias("seq"),
+            F.concat(F.col("c_name"), F.lit("_stale")).alias("name"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        upd2 = c.where(k % 7 == 0).select(
+            k.alias("k"), F.lit("U").alias("op"), F.lit(2).cast("long").alias("seq"),
+            F.concat(F.col("c_name"), F.lit("_v2")).alias("name"),
+            F.lit("UPDATED").alias("seg"),
+        )
+        dels = c.where(k % 11 == 0).select(
+            k.alias("k"), F.lit("D").alias("op"), F.lit(3).cast("long").alias("seq"),
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("string").alias("seg"),
+        )
+        ins = c.where(k % 13 == 0).select(
+            (k + 1000000).alias("k"), F.lit("I").alias("op"),
+            F.lit(1).cast("long").alias("seq"),
+            F.concat(F.lit("new_"), F.col("c_name")).alias("name"),
+            F.lit("FRESH").alias("seg"),
+        )
+        ghost = c.where(k % 499 == 0).select(
+            (k + 2000000).alias("k"), F.lit("D").alias("op"),
+            F.lit(1).cast("long").alias("seq"),
+            F.lit(None).cast("string").alias("name"),
+            F.lit(None).cast("string").alias("seg"),
+        )
+        changes = upd1.unionByName(upd2).unionByName(dels).unionByName(
+            ins
+        ).unionByName(ghost)
+        return apply_changes(snap, changes, "k").orderBy("k")
+
+    Q["cdc_apply_changes"] = cdc_apply_changes
+
+    def data_constraint_suite(spark, sf):
+        """deequ-style constraint gate (profile.check_constraints) over
+        an orders projection with PLANTED violations (forced key dups,
+        nulled names, out-of-range values, orphan foreign keys): one
+        conditional-aggregate scan + one distinct-count + one anti-join
+        count, unioned to a tiny (check, passed, n_violations) frame.
+        The oracle recomputes every check independently."""
+        from geoharvest_spark.profile import check_constraints
+
+        o = _t(spark, sf, "orders")
+        checked = o.select(
+            (F.col("o_orderkey") % 5000).alias("k"),
+            F.nullif(
+                F.col("o_orderpriority"), F.lit("1-URGENT")
+            ).alias("name"),
+            (F.col("o_orderkey") % 150).alias("v"),
+            (
+                F.col("o_custkey")
+                + F.when(F.col("o_orderkey") % 100 == 0, 1000000).otherwise(0)
+            ).alias("fk"),
+        )
+        dim = _t(spark, sf, "customer").select("c_custkey")
+        return check_constraints(
+            checked,
+            not_null=["name", "k"],
+            unique=[["k"]],
+            ranges=[("v", 0, 100)],
+            ref=("fk", dim, "c_custkey"),
+        ).orderBy("check")
+
+    Q["data_constraint_suite"] = data_constraint_suite
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -6379,6 +6502,93 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "JOIN gdk k ON k.id = d.cell ORDER BY cell"
         ),
         "graph_sssp_weighted": _sssp_oracle_sql(18),
+        "ml_target_encode": (
+            # same multiply-add/division order as the engine: g as ONE
+            # division, enc = (s + 10.0*g) / (n + 10.0)
+            "WITH teb AS (SELECT o_orderkey, o_orderpriority, "
+            "o_orderkey % 97 AS y FROM orders), "
+            "tep AS (SELECT o_orderpriority, CAST(sum(y) AS BIGINT) AS s, "
+            "count(y) AS n FROM teb GROUP BY 1), "
+            "teg AS (SELECT CAST(sum(y) AS BIGINT) AS gs, count(y) AS gn "
+            "FROM teb) "
+            "SELECT b.o_orderkey, b.o_orderpriority, p.n AS cat_n, "
+            "(p.s + 10.0 * (CAST(teg.gs AS DOUBLE) / teg.gn)) "
+            "/ (p.n + 10.0) AS target_enc "
+            "FROM teb b JOIN tep p USING (o_orderpriority) CROSS JOIN teg "
+            "ORDER BY b.o_orderkey"
+        ),
+        "ml_feature_hash": (
+            # md5-derived bucket + sign rebuilt from raw tokens (the
+            # '0x'||substr(md5) UBIGINT idiom); weights = signed counts
+            "WITH fht AS (SELECT doc_id, unnest(string_split_regex("
+            "text, '\\s+')) AS tok FROM documents), "
+            "fhe AS (SELECT doc_id, tok FROM fht WHERE tok <> ''), "
+            "fhh AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 15))"
+            "::UBIGINT % 256 AS INTEGER) AS idx, "
+            "CASE WHEN substr(md5(tok), 16, 1) IN "
+            "('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS sg "
+            "FROM fhe), "
+            "fhw AS (SELECT doc_id, idx, CAST(sum(sg) AS BIGINT) AS w "
+            "FROM fhh GROUP BY 1, 2) "
+            "SELECT doc_id, idx, w FROM fhw WHERE w <> 0 "
+            "ORDER BY doc_id, idx"
+        ),
+        "cdc_apply_changes": (
+            # independent replay: max(seq) picks the winning change
+            # (seqs are unique per key by construction), FULL JOIN +
+            # CASE resolves I/U/D vs pass-through
+            "WITH cdch AS ("
+            "SELECT c_custkey AS k, 'U' AS op, 1::BIGINT AS seq, "
+            "c_name || '_stale' AS name, c_mktsegment AS seg "
+            "FROM customer WHERE c_custkey % 7 = 0 "
+            "UNION ALL SELECT c_custkey, 'U', 2::BIGINT, "
+            "c_name || '_v2', 'UPDATED' FROM customer "
+            "WHERE c_custkey % 7 = 0 "
+            "UNION ALL SELECT c_custkey, 'D', 3::BIGINT, NULL, NULL "
+            "FROM customer WHERE c_custkey % 11 = 0 "
+            "UNION ALL SELECT c_custkey + 1000000, 'I', 1::BIGINT, "
+            "'new_' || c_name, 'FRESH' FROM customer "
+            "WHERE c_custkey % 13 = 0 "
+            "UNION ALL SELECT c_custkey + 2000000, 'D', 1::BIGINT, "
+            "NULL, NULL FROM customer WHERE c_custkey % 499 = 0), "
+            "cdcl AS (SELECT h.* FROM cdch h JOIN (SELECT k, max(seq) "
+            "AS ms FROM cdch GROUP BY k) m ON h.k = m.k AND h.seq = m.ms), "
+            "cdcs AS (SELECT c_custkey AS k, c_name AS name, "
+            "c_mktsegment AS seg FROM customer), "
+            "cdcm AS (SELECT COALESCE(s.k, c.k) AS k, c.op, "
+            "CASE WHEN c.op IN ('I','U') THEN c.name ELSE s.name END "
+            "AS name, "
+            "CASE WHEN c.op IN ('I','U') THEN c.seg ELSE s.seg END AS seg "
+            "FROM cdcs s FULL JOIN cdcl c ON s.k = c.k) "
+            "SELECT k, name, seg FROM cdcm WHERE op IS NULL OR op <> 'D' "
+            "ORDER BY k"
+        ),
+        "data_constraint_suite": (
+            # every check recomputed independently; NULL fk exempt from
+            # the FK check (SQL FK semantics)
+            "WITH dcb AS (SELECT o_orderkey % 5000 AS k, "
+            "nullif(o_orderpriority, '1-URGENT') AS name, "
+            "o_orderkey % 150 AS v, o_custkey + CASE WHEN "
+            "o_orderkey % 100 = 0 THEN 1000000 ELSE 0 END AS fk "
+            "FROM orders) "
+            "SELECT * FROM ("
+            "SELECT 'not_null(name)' AS \"check\", "
+            "count(*) - count(name) = 0 AS passed, "
+            "(count(*) - count(name))::BIGINT AS n_violations FROM dcb "
+            "UNION ALL SELECT 'not_null(k)', count(*) - count(k) = 0, "
+            "(count(*) - count(k))::BIGINT FROM dcb "
+            "UNION ALL SELECT 'unique(k)', sum(n - 1) = 0, "
+            "CAST(sum(n - 1) AS BIGINT) FROM "
+            "(SELECT count(*) AS n FROM dcb GROUP BY k) "
+            "UNION ALL SELECT 'range(v,0,100)', "
+            "sum(CASE WHEN v NOT BETWEEN 0 AND 100 THEN 1 ELSE 0 END) = 0, "
+            "CAST(sum(CASE WHEN v NOT BETWEEN 0 AND 100 THEN 1 ELSE 0 END) "
+            "AS BIGINT) FROM dcb "
+            "UNION ALL SELECT 'ref(fk->c_custkey)', count(*) = 0, "
+            "count(*)::BIGINT FROM dcb WHERE fk IS NOT NULL AND fk NOT IN "
+            "(SELECT c_custkey FROM customer)"
+            ") ORDER BY \"check\""
+        ),
         "graph_kcore": _kcore_oracle_sql(2, 13),
         "doc_compression_ratio": (
             # single-process replay of the identical stdlib zlib call,

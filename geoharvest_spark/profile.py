@@ -175,3 +175,99 @@ def skyline2d(
         .groupBy("_p")
         .applyInPandas(lambda _, pdf: _sky(pdf), schema)
     )
+
+
+def check_constraints(
+    df: DataFrame,
+    not_null: list[str] | None = None,
+    unique: list[list[str]] | None = None,
+    ranges: list[tuple[str, float, float]] | None = None,
+    ref: tuple[str, DataFrame, str] | None = None,
+) -> DataFrame:
+    """deequ/great-expectations-style constraint suite: evaluate each
+    declared check and return (check, passed, n_violations) — the data
+    contract gate a pipeline runs on every new table drop before
+    training or publishing.
+
+    Checks: NOT NULL per column; UNIQUE over column sets (violations =
+    rows beyond the first per duplicate key); value RANGE [lo, hi]
+    inclusive; referential integrity (left column ⊆ right column of a
+    dimension frame — violations = orphan rows, NULLs exempt per SQL FK
+    semantics).
+
+    Plan: not-null + range checks fold into ONE conditional aggregate
+    over a single scan; each unique check is one distinct-count
+    aggregate; the FK check is one anti-join count against the
+    (broadcastable) dimension. Results union to a tiny frame — at
+    100 TB the cost is the scans, every check is a hash aggregate, and
+    nothing collects.
+    """
+    not_null = not_null or []
+    unique = unique or []
+    ranges = ranges or []
+    spark = df.sparkSession
+    parts: list[DataFrame] = []
+
+    scan_aggs = []
+    names = []
+    for c in not_null:
+        scan_aggs.append(
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}")
+        )
+        names.append((f"not_null({c})", f"nn_{c}"))
+    for c, lo, hi in ranges:
+        bad = ~F.col(c).between(F.lit(lo), F.lit(hi))
+        scan_aggs.append(
+            F.sum(F.coalesce(bad.cast("long"), F.lit(0))).alias(f"rg_{c}")
+        )
+        names.append((f"range({c},{lo},{hi})", f"rg_{c}"))
+    if scan_aggs:
+        one = df.agg(*scan_aggs)
+        rows = F.array(
+            *[
+                F.struct(
+                    F.lit(label).alias("check"),
+                    F.coalesce(F.col(alias), F.lit(0))
+                    .cast("long")
+                    .alias("n_violations"),
+                )
+                for label, alias in names
+            ]
+        )
+        parts.append(
+            one.select(F.explode(rows).alias("r")).select("r.*")
+        )
+    for cols in unique:
+        label = f"unique({','.join(cols)})"
+        parts.append(
+            df.groupBy(*[F.col(c) for c in cols])
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(
+                F.lit(label).alias("check"),
+                F.sum(F.col("_n") - 1).cast("long").alias("n_violations"),
+            )
+        )
+    if ref is not None:
+        lcol, rdf, rcol = ref
+        label = f"ref({lcol}->{rcol})"
+        orphans = (
+            df.where(F.col(lcol).isNotNull())
+            .join(
+                rdf.select(F.col(rcol).alias(lcol)).distinct(),
+                lcol,
+                "left_anti",
+            )
+            .agg(
+                F.lit(label).alias("check"),
+                F.count(F.lit(1)).cast("long").alias("n_violations"),
+            )
+        )
+        parts.append(orphans)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "check",
+        (F.col("n_violations") == 0).alias("passed"),
+        "n_violations",
+    )

@@ -129,3 +129,62 @@ def synth_snapshot_rows(n: int = 60) -> pd.DataFrame:
 
 def synth_snapshot_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(synth_snapshot_rows(), SNAPSHOT_COLS)
+
+
+def apply_changes(
+    snapshot: DataFrame,
+    changes: DataFrame,
+    key_col: str,
+    op_col: str = "op",
+    seq_col: str = "seq",
+) -> DataFrame:
+    """MERGE-INTO / CDC-apply semantics: fold a changeset of
+    (key, op in {I, U, D}, seq, payload...) rows into a snapshot —
+    the maintenance primitive every warehouse table with upstream CDC
+    needs (Debezium/DMS streams, Iceberg/Delta MERGE).
+
+    Semantics: per key, only the LATEST change (max ``seq``, ties
+    resolved by preferring the greatest (seq, op) pair so replays are
+    deterministic) applies. D drops the key; I/U upserts the change's
+    payload columns; keys untouched by the changeset pass through.
+
+    Plan: one per-key max-struct aggregate over the changeset (hash
+    agg — no window, the max_by idiom), then ONE full-outer equi-join
+    against the snapshot with codegen CASE resolution. The changeset is
+    typically increments-sized, so AQE broadcasts it; the snapshot is
+    never shuffled in that regime. At 100 TB both inputs bucket on the
+    key and the join is exchange-free.
+
+    Payload columns are every non-(key, op, seq) column of ``changes``;
+    they must exist in ``snapshot`` with the same types.
+    """
+    payload = [
+        c for c in changes.columns if c not in (key_col, op_col, seq_col)
+    ]
+    latest = (
+        changes.groupBy(key_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(seq_col).alias("seq"),
+                    F.col(op_col).alias("op"),
+                    *[F.col(c).alias(c) for c in payload],
+                )
+            ).alias("_ch")
+        )
+        .select(key_col, "_ch.*")
+    )
+    joined = snapshot.alias("s").join(
+        latest.alias("c"), on=key_col, how="full_outer"
+    )
+    keep = F.col("op").isNull() | (F.col("op") != "D")
+    take_change = F.col("op").isin("I", "U")
+    return joined.where(keep).select(
+        F.col(key_col),
+        *[
+            F.when(take_change, F.col(f"c.{c}"))
+            .otherwise(F.col(f"s.{c}"))
+            .alias(c)
+            for c in payload
+        ],
+    )

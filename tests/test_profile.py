@@ -90,3 +90,47 @@ def test_profile_nulls_counted(spark):
     assert prof["s"]["n_null"] == 2
     assert prof["s"]["n_distinct"] == 1
     assert prof["k"]["n_distinct"] == 3
+
+
+def test_check_constraints_counts_violations(spark):
+    from geoharvest_spark.profile import check_constraints
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 5, 100),
+            (2, "b", 50, 200),
+            (2, "c", -1, None),     # dup key, below range, null ref ok
+            (3, None, 7, 999),      # null name, orphan ref
+            (3, "d", 200, 100),     # dup key, above range
+        ],
+        "k long, name string, v long, fk long",
+    )
+    dim = spark.createDataFrame([(100,), (200,)], "dk long")
+    got = {
+        r["check"]: (r["passed"], r["n_violations"])
+        for r in check_constraints(
+            df,
+            not_null=["name", "k"],
+            unique=[["k"]],
+            ranges=[("v", 0, 100)],
+            ref=("fk", dim, "dk"),
+        ).collect()
+    }
+    assert got == {
+        "not_null(name)": (False, 1),
+        "not_null(k)": (True, 0),
+        "unique(k)": (False, 2),       # two keys carry one extra row each
+        "range(v,0,100)": (False, 2),  # -1 and 200
+        "ref(fk->dk)": (False, 1),     # 999; NULL fk exempt
+    }
+
+
+def test_check_constraints_all_pass(spark):
+    from geoharvest_spark.profile import check_constraints
+
+    df = spark.createDataFrame([(1, 5), (2, 6)], "k long, v long")
+    rows = check_constraints(
+        df, not_null=["k", "v"], unique=[["k"]], ranges=[("v", 0, 10)]
+    ).collect()
+    assert all(r["passed"] and r["n_violations"] == 0 for r in rows)
+    assert len(rows) == 4

@@ -86,3 +86,34 @@ def test_synth_snapshot_df_matches_rows(spark):
     b = synth_snapshot_rows()
     assert len(a) == len(b)
     assert set(SNAPSHOT_COLS.replace(" int", "").replace(" string", "").split(", ")) == set(a.columns)
+
+
+def test_apply_changes_merge_semantics(spark):
+    from geoharvest_spark.snapshots import apply_changes
+
+    snap = spark.createDataFrame(
+        [(1, "alpha", 10), (2, "beta", 20), (3, "gamma", 30)],
+        "k long, name string, v long",
+    )
+    # unique seq per key (CDC log offsets); latest change wins
+    changes = spark.createDataFrame(
+        [
+            (2, "U", 1, "beta2", 21),   # superseded
+            (2, "U", 2, "beta3", 22),   # wins
+            (3, "D", 1, None, None),    # delete
+            (4, "I", 1, "delta", 40),   # insert new key
+            (5, "I", 1, "eps", 50),     # insert then delete -> absent
+            (5, "D", 2, None, None),
+            (6, "D", 1, None, None),    # delete of unknown key -> no-op
+        ],
+        "k long, op string, seq long, name string, v long",
+    )
+    got = {
+        r["k"]: (r["name"], r["v"])
+        for r in apply_changes(snap, changes, "k").collect()
+    }
+    assert got == {
+        1: ("alpha", 10),   # untouched passes through
+        2: ("beta3", 22),   # latest update
+        4: ("delta", 40),   # insert
+    }
