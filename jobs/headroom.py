@@ -697,6 +697,7 @@ def main() -> None:
     run_round6c_legs(spark)
     run_round6d_legs(spark)
     run_round6e_legs(spark)
+    run_round6f_legs(spark)
     run_textops_legs(spark)
     spark.stop()
 
@@ -1209,3 +1210,140 @@ def run_round6e_legs(spark) -> None:
             flush=True,
         )
         names.unpersist()
+
+
+def run_round6f_legs(spark) -> None:
+    """Session-3 batch 2 at 4x scale: grid-density clustering, weighted
+    SSSP, k-core peeling, compression ratio, target encoding, feature
+    hashing, CDC apply, and the constraint suite. Per-unit cost must be
+    flat or falling; the loop operators (sssp/kcore) additionally report
+    round counts — the scalable claim is rounds ~ O(log n) / O(depth),
+    not rounds ~ O(n)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.graph import kcore, sssp_weighted
+    from geoharvest_spark.mlprep import feature_hash, target_encode
+    from geoharvest_spark.mobility import grid_density_clusters
+    from geoharvest_spark.profile import check_constraints
+    from geoharvest_spark.snapshots import apply_changes
+    from geoharvest_spark.textops import with_compression_ratio
+
+    i = F.col("id")
+
+    def emit(workload, n, sec, unit, per, **kw):
+        row = {"workload": workload, "rows": n, "sec": round(sec, 3),
+               unit: round(per, 4)}
+        row.update(kw)
+        print(json.dumps(row), flush=True)
+
+    def timed_call(fn):
+        best = None
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            fn().write.format("noop").mode("overwrite").save()
+            el = _time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        return best
+
+    # grid clusters: 2k planted blob centers, jittered points
+    for n_pts in (2_000_000, 8_000_000):
+        c = i % 2000
+        pts = spark.range(n_pts, numPartitions=48).select(
+            ((c * 7919 % 340) - 170.0 + (i * 13 % 200) / 100.0).alias("lon"),
+            ((c * 104729 % 160) - 80.0 + (i * 17 % 200) / 100.0).alias("lat"),
+        )
+        best = timed_call(
+            lambda p=pts, n=n_pts: grid_density_clusters(
+                p, res=6, min_pts=max(30, n // 20000)
+            )
+        )
+        emit("grid_density_clusters", n_pts, best, "us_per_point",
+             best / n_pts * 1e6)
+
+    # sssp + kcore on scaled graphs; chords keep sssp round count ~log n,
+    # the kcore chain depth is FIXED (10 layers) so peel rounds stay ~11
+    for n_nodes in (250_000, 1_000_000):
+        ed = (
+            spark.range(n_nodes, numPartitions=48)
+            .select(i.alias("src"), ((i + 1) % n_nodes).alias("dst"),
+                    (1 + (i * 3) % 9).alias("w"))
+            .unionAll(
+                spark.range(n_nodes, numPartitions=48).select(
+                    i.alias("src"), ((i * 7 + 3) % n_nodes).alias("dst"),
+                    (1 + (i * 5) % 7).alias("w"))
+            )
+        )
+        t0 = _time.perf_counter()
+        out = sssp_weighted(ed, source=0, max_rounds=80)
+        n_reach = out.count()
+        el = _time.perf_counter() - t0
+        emit("sssp_weighted", n_nodes * 2, el, "us_per_edge",
+             el / (n_nodes * 2) * 1e6, reached=n_reach)
+
+        core_n = (n_nodes * 2) // 3
+        ked = (
+            spark.range(core_n, numPartitions=48)
+            .select(i.alias("src"), ((i + 1) % core_n).alias("dst"))
+            .unionAll(
+                spark.range(core_n, numPartitions=48).select(
+                    i.alias("src"), ((i * 7 + 3) % core_n).alias("dst"))
+            )
+            .unionAll(
+                spark.range(core_n, n_nodes, numPartitions=48).select(
+                    i.alias("src"), (i - (n_nodes - core_n) // 10).alias("dst"))
+            )
+        )
+        t0 = _time.perf_counter()
+        nc = kcore(ked, k=2).count()
+        el = _time.perf_counter() - t0
+        emit("kcore", int(n_nodes * 2.33), el, "us_per_edge",
+             el / (n_nodes * 2.33) * 1e6, core=nc)
+
+    # text/docs legs
+    for n_docs in (100_000, 400_000):
+        docs = spark.range(n_docs, numPartitions=48).select(
+            i.alias("doc_id"), doc_text_expr(i, 80).alias("text")
+        ).cache()
+        docs.count()
+        best = timed_call(lambda d=docs: with_compression_ratio(d))
+        emit("compression_ratio", n_docs, best, "us_per_doc",
+             best / n_docs * 1e6)
+        best = timed_call(lambda d=docs: feature_hash(d, d=1024))
+        emit("feature_hash", n_docs, best, "us_per_doc",
+             best / n_docs * 1e6)
+        docs.unpersist()
+
+    # tabular legs
+    for n in (2_000_000, 8_000_000):
+        tab = spark.range(n, numPartitions=48).select(
+            i.alias("k"),
+            F.concat(F.lit("cat"), (i % 100_000).cast("string")).alias("cat"),
+            (i % 97).alias("y"),
+            (i % 150).alias("v"),
+            (i % 1_000_000).alias("fk"),
+        ).cache()
+        tab.count()
+        best = timed_call(lambda d=tab: target_encode(d, "cat", "y"))
+        emit("target_encode", n, best, "us_per_row", best / n * 1e6)
+        dim = spark.range(1_000_000, numPartitions=16).select(i.alias("dk"))
+        best = timed_call(
+            lambda d=tab, dm=dim: check_constraints(
+                d, not_null=["cat"], unique=[["k"]],
+                ranges=[("v", 0, 100)], ref=("fk", dm, "dk"),
+            )
+        )
+        emit("check_constraints", n, best, "us_per_row", best / n * 1e6)
+        ch = spark.range(n // 10, numPartitions=48).select(
+            (i * 10 % n).alias("k"),
+            F.when(i % 5 == 0, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+            i.alias("seq"),
+            F.concat(F.lit("c"), i.cast("string")).alias("cat"),
+            (i % 97).alias("y"),
+            (i % 150).alias("v"),
+            (i % 1_000_000).alias("fk"),
+        )
+        best = timed_call(lambda s=tab, c=ch: apply_changes(s, c, "k"))
+        emit("cdc_apply", n, best, "us_per_row", best / n * 1e6)
+        tab.unpersist()

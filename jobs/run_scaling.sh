@@ -62,7 +62,7 @@ for r in runs:
 cores_sorted = sorted(by_cores)
 n, n4 = cores_sorted[0], cores_sorted[-1]
 keys = ["normalize", "pip_join", "tiles", "knn", "chunk_dedup"]
-extra_keys = [k for k in ["tiles_4x", "pagerank"] if k in runs[0]["seconds"]]
+extra_keys = [k for k in ["tiles_4x", "pagerank", "grid_clusters"] if k in runs[0]["seconds"]]
 
 def best(cores, k):
     return min(r["seconds"][k] for r in by_cores[cores])
@@ -76,6 +76,7 @@ klass = {
     "knn": "mem",         # candidate-join + window shuffles
     "chunk_dedup": "mem", # explode + hash-agg + join shuffles
     "pagerank": "mem",    # per-iteration shuffle joins + aggregates
+    "grid_clusters": "mem",  # cell-count reduce + dense-cell CC (r6s3 extra leg)
     "total": "mem",
 }
 lines = [
@@ -117,7 +118,8 @@ for k in keys + extra_keys:
         tot1 += t1; tot4 += t4  # cross-round-comparable total
     rows = rows_meta.get(
         {"normalize": "pages", "chunk_dedup": "docs",
-         "tiles_4x": "points4", "pagerank": "pr_nodes"}.get(k, "points"), ""
+         "tiles_4x": "points4", "pagerank": "pr_nodes",
+         "grid_clusters": "points"}.get(k, "points"), ""
     )
     sp = t1 / t4
     eff = sp / (n4 / n)
@@ -138,7 +140,7 @@ lines += [
     "bounded res-9 rollup-tail constant (<= 8.4M-cell grid, DRAM-bound on",
     "one box) as a fixed fraction,",
     "which vanishes as points grow — see the preserved round-5 profile below.",
-    "tiles_4x and pagerank (new r6 operator family) are reported alongside and",
+    "tiles_4x, pagerank, and grid_clusters (r6 operator families) are reported alongside and",
     "excluded from the total so totals stay comparable across rounds.",
     "",
     "Raw JSON (per-cycle calibrations, then each cycle):",

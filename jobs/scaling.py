@@ -217,6 +217,24 @@ def main() -> None:
 
     seconds["pagerank"] = _timed_min(w6)
 
+    # W7 grid-density clusters (r6 session-3, excluded extra leg like
+    # pagerank): clustered points -> ONE cell-count reduce (the linear,
+    # input-sized stage) -> dense-cell CC on the ~20k-cell blob graph.
+    # Fresh eager localCheckpoints per invocation, so reps recompute
+    # honestly (pagerank precedent).
+    from geoharvest_spark.mobility import grid_density_clusters
+
+    s = F.col("point_id")
+    cpts = pts.select(
+        (((s % 20000) * 7919 % 340) - 170.0
+         + (s * 13 % 200) / 100.0).alias("lon"),
+        (((s % 20000) * 104729 % 160) - 80.0
+         + (s * 17 % 200) / 100.0).alias("lat"),
+    )
+    seconds["grid_clusters"] = _timed_min(
+        lambda: _noop(grid_density_clusters(cpts, res=6, min_pts=50))
+    )
+
     seconds["total"] = round(sum(seconds.values()), 2)
     print(json.dumps({"cores": cores, "seconds": seconds, "rows": rows}))
     spark.stop()

@@ -407,3 +407,41 @@ def test_fuzzy_join_refine_shape(spark):
         # i.e. never more than these two refine-stage sites
         assert p.count("levenshtein") == 2, p.count("levenshtein")
         assert "EvalPython" not in p
+
+
+def test_mlprep_cdc_constraint_plans(spark):
+    # target encode: two hash aggregates + joins, NO window; feature
+    # hash: one staged split, all-JVM; CDC apply: max-struct agg (no
+    # window) + one join; compression ratio: exactly one Arrow python
+    # stage and zero exchanges (narrow)
+    from geoharvest_spark.mlprep import feature_hash, target_encode
+    from geoharvest_spark.profile import check_constraints
+    from geoharvest_spark.snapshots import apply_changes
+    from geoharvest_spark.textops import with_compression_ratio
+
+    o = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority", (F.col("o_orderkey") % 97).alias("y")
+    )
+    p = _plan(target_encode(o, "o_orderpriority", "y"))
+    assert p.count("Window") == 0 and "EvalPython" not in p
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    p = _plan(feature_hash(d, d=256))
+    assert p.count("split(") == 1 and "EvalPython" not in p
+    assert p.count("Window") == 0
+    snap = d.select(F.col("doc_id").alias("k"), F.col("text").alias("v"))
+    ch = d.select(
+        F.col("doc_id").alias("k"),
+        F.lit("U").alias("op"),
+        F.lit(1).cast("long").alias("seq"),
+        F.col("text").alias("v"),
+    )
+    p = _plan(apply_changes(snap, ch, "k"))
+    assert p.count("Window") == 0 and "EvalPython" not in p
+    p = _plan(
+        check_constraints(
+            snap, not_null=["v"], unique=[["k"]], ranges=[("k", 0, 10)]
+        )
+    )
+    assert "EvalPython" not in p
+    p = _plan(with_compression_ratio(d))
+    assert p.count("ArrowEvalPython") == 1 and p.count("Exchange") == 0
