@@ -3947,6 +3947,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["data_constraint_suite"] = data_constraint_suite
 
+
+    def geo_within_radius(spark, sf):
+        """Distance-band geofence join (joins.within_radius_join): the
+        25 nation-derived sites broadcast as exploded 3x3 cell k-rings;
+        event points candidate via ONE cell equi-join (map-only at
+        scale, zero shuffles) and refine with the codegen haversine,
+        floored to whole meters. The oracle is the brute-force cross
+        join — k-ring completeness is what's on trial. Boundary safety
+        on the fixed data is verified at test time (no pair within 1 m
+        of the 200 km cut)."""
+        from geoharvest_spark.joins import within_radius_join
+
+        n = _t(spark, sf, "nation")
+        k = F.col("n_nationkey")
+        sites = n.select(
+            k.alias("site_id"),
+            ((k * 137 % 340) - 170.0).alias("lon"),
+            ((k * 73 % 160) - 80.0).alias("lat"),
+        )
+        i = F.col("event_id")
+        pts = _t(spark, sf, "events").select(
+            i.alias("point_id"),
+            ((i * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+            ((i * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+        )
+        return within_radius_join(pts, sites, 200_000, res=4).orderBy(
+            "point_id", "site_id"
+        )
+
+    Q["geo_within_radius"] = geo_within_radius
+
+    def event_value_outliers(spark, sf):
+        """Per-type robust outliers (profile.robust_outliers, Hampel
+        k=3): |x - median| > 3 * MAD with exact rank-interpolated
+        medians — Spark percentile and DuckDB quantile_cont share the
+        h=(n-1)q definition, and integer inputs make every interpolated
+        value an exact binary half. Planted spikes (every 97th event)
+        must flag; emits only the flagged rows plus per-type stats."""
+        from geoharvest_spark.profile import robust_outliers
+
+        i = F.col("event_id")
+        ev = _t(spark, sf, "events").select(
+            "event_id",
+            "event_type",
+            ((i * 37) % 50 + F.when(i % 97 == 0, 5000).otherwise(0)).alias(
+                "v"
+            ),
+        )
+        out = robust_outliers(ev, "event_type", "v", k=3.0)
+        return out.where("is_outlier").select(
+            "event_id", "event_type", "v", "med", "mad"
+        ).orderBy("event_id")
+
+    Q["event_value_outliers"] = event_value_outliers
+
+
+    def geo_bbox_overlap(spark, sf):
+        """Extent-vs-extent spatial join (joins.bbox_overlap_join):
+        grid-partitioned candidates with the REFERENCE-POINT method —
+        each overlapping pair reports only in the cell holding the
+        intersection's lower-left corner, so the plan needs NO distinct
+        aggregate (plan-pinned; the naive grid join emits one duplicate
+        per shared cell). Oracle is the brute-force cross join on the
+        closed-overlap predicate — exactly-once emission is what's on
+        trial (a duplicate OR a lost pair breaks parity)."""
+        from geoharvest_spark.joins import bbox_overlap_join
+
+        i = F.col("event_id")
+        cx = (i * 7919 % 6000) / 100.0 - 30.0
+        cy = (i * 104729 % 4000) / 100.0 - 20.0
+        hw = (i % 5) / 2.0 + 0.5
+        hh = (i % 3) / 2.0 + 0.5
+        ev = _t(spark, sf, "events")
+        la = ev.where(i % 2 == 0).select(
+            i.alias("lid"),
+            (cx - hw).alias("w"), (cx + hw).alias("e"),
+            (cy - hh).alias("s"), (cy + hh).alias("n"),
+        )
+        rb = ev.where(i % 2 == 1).select(
+            i.alias("rid"),
+            (cx - hw * 1.3).alias("w"), (cx + hw * 1.3).alias("e"),
+            (cy - hh).alias("s"), (cy + hh).alias("n"),
+        )
+        return bbox_overlap_join(la, rb, res=4).orderBy("lid", "rid")
+
+    Q["geo_bbox_overlap"] = geo_bbox_overlap
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -6502,6 +6589,58 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "JOIN gdk k ON k.id = d.cell ORDER BY cell"
         ),
         "graph_sssp_weighted": _sssp_oracle_sql(18),
+        "geo_bbox_overlap": (
+            # brute-force cross join on the closed-overlap predicate;
+            # exactly-once reference-point emission is on trial
+            "WITH bbx AS (SELECT event_id AS i, "
+            "(event_id * 7919 % 6000) / 100.0 - 30.0 AS cx, "
+            "(event_id * 104729 % 4000) / 100.0 - 20.0 AS cy, "
+            "(event_id % 5) / 2.0 + 0.5 AS hw, "
+            "(event_id % 3) / 2.0 + 0.5 AS hh FROM events), "
+            "bba AS (SELECT i AS lid, cx - hw AS w, cx + hw AS e, "
+            "cy - hh AS s, cy + hh AS n FROM bbx WHERE i % 2 = 0), "
+            "bbb AS (SELECT i AS rid, cx - hw * 1.3 AS w, "
+            "cx + hw * 1.3 AS e, cy - hh AS s, cy + hh AS n "
+            "FROM bbx WHERE i % 2 = 1) "
+            "SELECT a.lid, b.rid FROM bba a, bbb b "
+            "WHERE a.w <= b.e AND b.w <= a.e AND a.s <= b.n "
+            "AND b.s <= a.n ORDER BY a.lid, b.rid"
+        ),
+        "geo_within_radius": (
+            # brute-force cross join: k-ring candidate completeness is
+            # what's on trial; same haversine expression + floor
+            "WITH wrs AS (SELECT n_nationkey AS site_id, "
+            "(n_nationkey * 137 % 340) - 170.0 AS slon, "
+            "(n_nationkey * 73 % 160) - 80.0 AS slat FROM nation), "
+            "wrp AS (SELECT event_id AS point_id, "
+            "(event_id * 7919 % 36000) / 100.0 - 180.0 AS plon, "
+            "(event_id * 104729 % 18000) / 100.0 - 90.0 AS plat "
+            "FROM events), "
+            "wrd AS (SELECT point_id, site_id, CAST(floor("
+            "2.0 * 6371008.8 * asin(sqrt("
+            "sin(radians(plat - slat) / 2.0) * sin(radians(plat - slat) "
+            "/ 2.0) + cos(radians(slat)) * cos(radians(plat)) "
+            "* sin(radians(plon - slon) / 2.0) * sin(radians(plon - slon) "
+            "/ 2.0)))) AS BIGINT) AS dist_m FROM wrp CROSS JOIN wrs) "
+            "SELECT point_id, site_id, dist_m FROM wrd "
+            "WHERE dist_m <= 200000 ORDER BY point_id, site_id"
+        ),
+        "event_value_outliers": (
+            # quantile_cont shares Spark percentile's h=(n-1)q linear
+            # interpolation; integer inputs -> exact binary halves
+            "WITH evv AS (SELECT event_id, event_type, "
+            "(event_id * 37) % 50 + CASE WHEN event_id % 97 = 0 "
+            "THEN 5000 ELSE 0 END AS v FROM events), "
+            "evm AS (SELECT event_type, quantile_cont(v, 0.5) AS med "
+            "FROM evv GROUP BY 1), "
+            "evd AS (SELECT evv.*, evm.med, abs(evv.v - evm.med) AS ad "
+            "FROM evv JOIN evm USING (event_type)), "
+            "eva AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad "
+            "FROM evd GROUP BY 1) "
+            "SELECT event_id, event_type, v, med, mad "
+            "FROM evd JOIN eva USING (event_type) "
+            "WHERE ad > 3.0 * mad ORDER BY event_id"
+        ),
         "ml_target_encode": (
             # same multiply-add/division order as the engine: g as ONE
             # division, enc = (s + 10.0*g) / (n + 10.0)

@@ -450,3 +450,193 @@ def knn_brute_force(
         .where(F.col("rank") <= F.col("_k"))
         .select("qid", "point_id", "rank", "dist_m")
     )
+
+
+def within_radius_join(
+    points: DataFrame,
+    sites: DataFrame,
+    radius_m: float,
+    res: int = 4,
+    point_key: str = "point_id",
+    site_key: str = "site_id",
+) -> DataFrame:
+    """Distance-band (geofence) join: every (point, site) pair within
+    ``radius_m`` great-circle meters — "which events happened near any
+    of our locations", the workhorse proximity query.
+
+    Plan (the J3/J4 cell discipline): sites expand to their 3x3 cell
+    k-ring at ``res`` (pure Column arithmetic — x wraps, y clamps), the
+    point side computes ONE cell id, and candidates come from the
+    broadcast equi-join on the cell — never a cross join. A codegen
+    haversine refines exactly. ``res`` must be coarse enough that one
+    ring covers the radius: cell height is 180/(4*2^res) degrees
+    (~111 km * that), so res=4 (~2.8 deg ≈ 313 km) covers any
+    radius <= ~310 km at the equator; callers with small radii raise
+    ``res`` to keep candidates tight. Sites are the SMALL side by
+    contract (stores, sensors, POIs) — Spark broadcasts the exploded
+    k-ring; at 100 TB the points side streams map-only, zero shuffles.
+
+    Returns (point_key, site_key, dist_m floored to whole meters —
+    order-free and SQL-replayable away from boundary ties).
+    """
+    from .index import (
+        GHCELL_RES_BITS,
+        GHCELL_X_BITS,
+        ghcell,
+        ghcell_nx,
+        ghcell_ny,
+    )
+    from .geo import haversine_m
+
+    nx, ny = ghcell_nx(res), ghcell_ny(res)
+    s = sites.select(
+        F.col(site_key),
+        F.col("lon").alias("s_lon"),
+        F.col("lat").alias("s_lat"),
+        ghcell(F.col("lon"), F.col("lat"), res).alias("_c"),
+    )
+    rem = F.col("_c") % F.lit(GHCELL_RES_BITS)
+    x = (rem / F.lit(GHCELL_X_BITS)).cast("long")
+    y = (rem % F.lit(GHCELL_X_BITS)).cast("long")
+    ring = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.pmod(x + F.lit(dx), F.lit(nx)).alias("rx"),
+                    (y + F.lit(dy)).alias("ry"),
+                )
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+        )
+    )
+    s_ring = (
+        s.select(site_key, "s_lon", "s_lat", ring.alias("r"))
+        .where((F.col("r.ry") >= 0) & (F.col("r.ry") < ny))
+        .select(
+            site_key,
+            "s_lon",
+            "s_lat",
+            (
+                F.lit(res).cast("long") * F.lit(GHCELL_RES_BITS)
+                + F.col("r.rx") * F.lit(GHCELL_X_BITS)
+                + F.col("r.ry")
+            ).alias("cell"),
+        )
+    )
+    p = points.select(
+        F.col(point_key),
+        F.col("lon").alias("p_lon"),
+        F.col("lat").alias("p_lat"),
+        ghcell(F.col("lon"), F.col("lat"), res).alias("cell"),
+    )
+    d = F.floor(
+        haversine_m(
+            F.col("s_lon"), F.col("s_lat"), F.col("p_lon"), F.col("p_lat")
+        )
+    ).cast("long")
+    return (
+        p.join(F.broadcast(s_ring), "cell")
+        .withColumn("dist_m", d)
+        .where(F.col("dist_m") <= F.lit(int(radius_m)))
+        .select(point_key, site_key, "dist_m")
+    )
+
+
+def bbox_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    res: int = 4,
+    left_key: str = "lid",
+    right_key: str = "rid",
+) -> DataFrame:
+    """All (left, right) pairs of axis-aligned bounding boxes that
+    OVERLAP (closed intersection: a.w <= b.e AND b.w <= a.e AND
+    a.s <= b.n AND b.s <= a.n) — the extent-vs-extent spatial join
+    (viewport queries, footprint conflation, R-tree workloads).
+
+    Inputs carry (key, w, e, s, n) with w <= e (no antimeridian
+    crossing) and s <= n.
+
+    Plan — grid partitioning WITHOUT the dedup shuffle: each box
+    explodes to every grid cell its extent covers at ``res`` (two
+    sequence() explodes, pure Column arithmetic), candidates come from
+    the cell equi-join, and each surviving pair is emitted EXACTLY ONCE
+    by the reference-point method (SpatialHadoop / Zhang et al.): a
+    pair reports only in the cell containing the intersection's
+    lower-left corner (max(a.w,b.w), max(a.s,b.s)) — every overlapping
+    pair has exactly one such cell, so the O(pairs x cells) duplicate
+    stream never exists and the plan needs NO distinct aggregate
+    (plan-pinned). Shuffles key on the cell; skew from hot cells takes
+    the same salting/AQE treatment as J3.
+    """
+    from .index import (
+        GHCELL_RES_BITS,
+        GHCELL_X_BITS,
+        ghcell_nx,
+        ghcell_ny,
+    )
+
+    nx, ny = ghcell_nx(res), ghcell_ny(res)
+
+    def xcell(lon):
+        return F.least(
+            F.greatest(
+                F.floor((lon + F.lit(180.0)) / F.lit(360.0) * F.lit(float(nx))),
+                F.lit(0),
+            ),
+            F.lit(nx - 1),
+        ).cast("long")
+
+    def ycell(lat):
+        return F.least(
+            F.greatest(
+                F.floor((lat + F.lit(90.0)) / F.lit(180.0) * F.lit(float(ny))),
+                F.lit(0),
+            ),
+            F.lit(ny - 1),
+        ).cast("long")
+
+    def cover(df, key, tag):
+        return df.select(
+            F.col(key),
+            F.col("w").alias(f"{tag}w"),
+            F.col("e").alias(f"{tag}e"),
+            F.col("s").alias(f"{tag}s"),
+            F.col("n").alias(f"{tag}n"),
+            F.explode(
+                F.sequence(xcell(F.col("w")), xcell(F.col("e")))
+            ).alias("_cx"),
+        ).select(
+            "*",
+            F.explode(
+                F.sequence(ycell(F.col(f"{tag}s")), ycell(F.col(f"{tag}n")))
+            ).alias("_cy"),
+        ).select(
+            F.col(key),
+            *[F.col(f"{tag}{c}") for c in "wesn"],
+            (
+                F.lit(res).cast("long") * F.lit(GHCELL_RES_BITS)
+                + F.col("_cx") * F.lit(GHCELL_X_BITS)
+                + F.col("_cy")
+            ).alias("cell"),
+        )
+
+    lc = cover(left, left_key, "a")
+    rc = cover(right, right_key, "b")
+    overlap = (
+        (F.col("aw") <= F.col("be"))
+        & (F.col("bw") <= F.col("ae"))
+        & (F.col("as") <= F.col("bn"))
+        & (F.col("bs") <= F.col("an"))
+    )
+    ref_cell = (
+        F.lit(res).cast("long") * F.lit(GHCELL_RES_BITS)
+        + xcell(F.greatest(F.col("aw"), F.col("bw"))) * F.lit(GHCELL_X_BITS)
+        + ycell(F.greatest(F.col("as"), F.col("bs")))
+    )
+    return (
+        lc.join(rc, "cell")
+        .where(overlap & (ref_cell == F.col("cell")))
+        .select(left_key, right_key)
+    )

@@ -205,7 +205,8 @@ def check_constraints(
     not_null = not_null or []
     unique = unique or []
     ranges = ranges or []
-    spark = df.sparkSession
+    if not (not_null or unique or ranges or ref):
+        raise ValueError("check_constraints: no checks declared")
     parts: list[DataFrame] = []
 
     scan_aggs = []
@@ -270,4 +271,46 @@ def check_constraints(
         "check",
         (F.col("n_violations") == 0).alias("passed"),
         "n_violations",
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    key_col: str,
+    value_col: str,
+    k: float = 3.0,
+) -> DataFrame:
+    """Per-key robust outlier detection: flag rows where
+    ``|x - median| > k * MAD`` (median absolute deviation) — the
+    classic heavy-tail-safe anomaly rule (Hampel filter family) a
+    pipeline runs per segment/sensor/domain, immune to the outliers
+    it hunts (unlike mean/stddev z-scores).
+
+    Exact medians via two aggregate passes (median of values, then
+    median of absolute deviations), both rank-interpolated percentiles
+    — Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    h = (n-1)*q linear-interpolation definition, and integer inputs
+    make every interpolated value an exact binary half, so the oracle
+    replays bit-for-bit. Two key-hashed aggregates + two equi-joins
+    (the per-key stat tables are categories-sized — broadcast at
+    scale); no window, no Python. At 100 TB swap ``percentile`` for
+    ``approx_percentile`` and keep the same shape.
+
+    Returns the input plus (med, mad, is_outlier).
+    """
+    med = df.groupBy(key_col).agg(
+        F.percentile(value_col, 0.5).alias("med")
+    )
+    dev = df.join(med, key_col).withColumn(
+        "_absdev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = dev.groupBy(key_col).agg(
+        F.percentile("_absdev", 0.5).alias("mad")
+    )
+    return (
+        dev.join(mad, key_col)
+        .withColumn(
+            "is_outlier", F.col("_absdev") > F.lit(float(k)) * F.col("mad")
+        )
+        .drop("_absdev")
     )

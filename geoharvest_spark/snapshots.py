@@ -158,6 +158,12 @@ def apply_changes(
     Payload columns are every non-(key, op, seq) column of ``changes``;
     they must exist in ``snapshot`` with the same types.
     """
+    clash = {op_col, seq_col} & set(snapshot.columns)
+    if clash:
+        raise ValueError(
+            f"snapshot columns {sorted(clash)} collide with the op/seq "
+            "columns — rename them before apply_changes"
+        )
     payload = [
         c for c in changes.columns if c not in (key_col, op_col, seq_col)
     ]

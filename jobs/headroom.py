@@ -698,6 +698,7 @@ def main() -> None:
     run_round6d_legs(spark)
     run_round6e_legs(spark)
     run_round6f_legs(spark)
+    run_round6g_legs(spark)
     run_textops_legs(spark)
     spark.stop()
 
@@ -1347,3 +1348,76 @@ def run_round6f_legs(spark) -> None:
         best = timed_call(lambda s=tab, c=ch: apply_changes(s, c, "k"))
         emit("cdc_apply", n, best, "us_per_row", best / n * 1e6)
         tab.unpersist()
+
+
+def run_round6g_legs(spark) -> None:
+    """Session-3 batch 3 at 4x scale: bbox overlap join (reference-point
+    dedup-free), within-radius geofence join, and robust MAD outliers."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.joins import bbox_overlap_join, within_radius_join
+    from geoharvest_spark.profile import robust_outliers
+
+    i = F.col("id")
+
+    def emit(workload, n, sec, unit, per, **kw):
+        row = {"workload": workload, "rows": n, "sec": round(sec, 3),
+               unit: round(per, 4)}
+        row.update(kw)
+        print(json.dumps(row), flush=True)
+
+    for n_rect in (250_000, 1_000_000):
+        cx = (i * 7919 % 6000) / 100.0 - 30.0
+        cy = (i * 104729 % 4000) / 100.0 - 20.0
+        hw = (i % 5) / 200.0 + 0.005
+        hh = (i % 3) / 200.0 + 0.005
+        la = spark.range(0, n_rect * 2, 2, 48).select(
+            i.alias("lid"), (cx - hw).alias("w"), (cx + hw).alias("e"),
+            (cy - hh).alias("s"), (cy + hh).alias("n"))
+        rb = spark.range(1, n_rect * 2, 2, 48).select(
+            i.alias("rid"), (cx - hw * 1.3).alias("w"),
+            (cx + hw * 1.3).alias("e"),
+            (cy - hh).alias("s"), (cy + hh).alias("n"))
+        jd = bbox_overlap_join(la, rb, res=8)
+        t0 = _time.perf_counter()
+        n_pairs = jd.count()
+        el = _time.perf_counter() - t0
+        emit("bbox_overlap_join", n_rect * 2, el, "us_per_box",
+             el / (n_rect * 2) * 1e6, pairs=n_pairs)
+
+    sites = spark.range(1000, numPartitions=4).select(
+        i.alias("site_id"),
+        ((i * 137 % 34000) / 100.0 - 170.0).alias("lon"),
+        ((i * 73 % 16000) / 100.0 - 80.0).alias("lat"),
+    )
+    for n_pts in (2_000_000, 8_000_000):
+        pts = spark.range(n_pts, numPartitions=48).select(
+            i.alias("point_id"),
+            ((i * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+            ((i * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+        )
+        jd = within_radius_join(pts, sites, 100_000, res=5)
+        t0 = _time.perf_counter()
+        n_pairs = jd.count()
+        el = _time.perf_counter() - t0
+        emit("within_radius_join", n_pts, el, "us_per_point",
+             el / n_pts * 1e6, pairs=n_pairs)
+
+    for n in (2_000_000, 8_000_000):
+        ev = spark.range(n, numPartitions=48).select(
+            i.alias("event_id"),
+            F.concat(F.lit("t"), (i % 40).cast("string")).alias("event_type"),
+            ((i * 37) % 50 + F.when(i % 97 == 0, 5000).otherwise(0)).alias("v"),
+        ).cache()
+        ev.count()
+        best = None
+        for _ in range(2):
+            t0 = _time.perf_counter()
+            robust_outliers(ev, "event_type", "v").write.format(
+                "noop").mode("overwrite").save()
+            el = _time.perf_counter() - t0
+            best = el if best is None else min(best, el)
+        emit("robust_outliers", n, best, "us_per_row", best / n * 1e6)
+        ev.unpersist()

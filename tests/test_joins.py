@@ -148,3 +148,95 @@ def test_knn_rank_and_distance_monotone(spark, points_df):
         grp = grp.sort_values("rank")
         assert list(grp["rank"]) == list(range(1, len(grp) + 1))
         assert grp.dist_m.is_monotonic_increasing
+
+
+def test_within_radius_join_matches_brute_force(spark):
+    from geoharvest_spark.geo import haversine_scalar
+    from geoharvest_spark.joins import within_radius_join
+
+    import math
+
+    sites = [(s, -20.0 + s * 7.3, -30.0 + s * 5.1) for s in range(8)]
+    pts = []
+    for i in range(400):
+        lon = ((i * 7919) % 7200) / 100.0 - 36.0
+        lat = ((i * 104729) % 3600) / 100.0 - 18.0
+        pts.append((i, lon, lat))
+    sdf = spark.createDataFrame(sites, "site_id long, lon double, lat double")
+    pdf = spark.createDataFrame(pts, "point_id long, lon double, lat double")
+    r = 250_000
+    got = {
+        (row["point_id"], row["site_id"]): row["dist_m"]
+        for row in within_radius_join(pdf, sdf, r, res=4).collect()
+    }
+    want = {}
+    for pid, plon, plat in pts:
+        for sid, slon, slat in sites:
+            d = math.floor(haversine_scalar(slon, slat, plon, plat))
+            if d <= r:
+                want[(pid, sid)] = d
+    assert got == want and len(want) > 20
+
+
+def test_within_radius_res_covers_radius(spark):
+    # a radius larger than one ring at res=4 must still be found when
+    # the caller follows the res contract (here: res 3, ~5.6 deg cells)
+    from geoharvest_spark.joins import within_radius_join
+
+    sdf = spark.createDataFrame(
+        [(1, 0.0, 0.0)], "site_id long, lon double, lat double"
+    )
+    pdf = spark.createDataFrame(
+        [(1, 4.9, 0.0)], "point_id long, lon double, lat double"
+    )
+    out = within_radius_join(pdf, sdf, 600_000, res=3).collect()
+    assert len(out) == 1 and out[0]["dist_m"] <= 600_000
+
+
+def test_bbox_overlap_join_matches_brute_force(spark):
+    from geoharvest_spark.joins import bbox_overlap_join
+
+    def rect(i, scale):
+        cx = ((i * 7919) % 6000) / 100.0 - 30.0
+        cy = ((i * 104729) % 4000) / 100.0 - 20.0
+        hw = (i % 5) / 2.0 + 0.5
+        hh = (i % 3) / 2.0 + 0.5
+        return (i, cx - hw * scale, cx + hw * scale, cy - hh, cy + hh)
+
+    a = [rect(i, 1.0) for i in range(0, 300, 2)]
+    b = [rect(i, 1.3) for i in range(1, 300, 2)]
+    la = spark.createDataFrame(
+        a, "lid long, w double, e double, s double, n double"
+    )
+    rb = spark.createDataFrame(
+        b, "rid long, w double, e double, s double, n double"
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in bbox_overlap_join(la, rb, res=4).collect()
+    }
+    want = {
+        (i, j)
+        for i, aw, ae, asx, an in a
+        for j, bw, be, bs, bn in b
+        if aw <= be and bw <= ae and asx <= bn and bs <= an
+    }
+    assert got == want and len(want) > 50
+    # exactly-once: collect() (not a set) must have no duplicates
+    rows = bbox_overlap_join(la, rb, res=4).collect()
+    assert len(rows) == len(got)
+
+
+def test_bbox_overlap_join_plan_has_no_distinct(spark):
+    # the reference-point method makes the dedup aggregate unnecessary:
+    # the plan is cover-explodes + ONE equi-join + filter, no aggregate
+    from geoharvest_spark.joins import bbox_overlap_join
+
+    la = spark.createDataFrame(
+        [(1, 0.0, 1.0, 0.0, 1.0)], "lid long, w double, e double, s double, n double"
+    )
+    rb = spark.createDataFrame(
+        [(2, 0.5, 1.5, 0.5, 1.5)], "rid long, w double, e double, s double, n double"
+    )
+    plan = bbox_overlap_join(la, rb)._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" not in plan and "CartesianProduct" not in plan

@@ -134,3 +134,44 @@ def test_check_constraints_all_pass(spark):
     ).collect()
     assert all(r["passed"] and r["n_violations"] == 0 for r in rows)
     assert len(rows) == 4
+
+
+def test_check_constraints_requires_checks(spark):
+    import pytest as _pt
+
+    from geoharvest_spark.profile import check_constraints
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pt.raises(ValueError, match="no checks"):
+        check_constraints(df)
+
+
+def test_robust_outliers_matches_numpy(spark):
+    import numpy as np
+
+    from geoharvest_spark.profile import robust_outliers
+
+    rows = []
+    for i in range(200):
+        key = f"k{i % 3}"
+        v = (i * 37) % 50 + (5000 if i % 97 == 0 else 0)
+        rows.append((i, key, v))
+    df = spark.createDataFrame(rows, "rid long, key string, v long")
+    got = {
+        r["rid"]: (r["med"], r["mad"], r["is_outlier"])
+        for r in robust_outliers(df, "key", "v", k=3.0).collect()
+    }
+    by_key = {}
+    for _, key, v in rows:
+        by_key.setdefault(key, []).append(v)
+    med = {k: float(np.percentile(v, 50)) for k, v in by_key.items()}
+    mad = {
+        k: float(np.percentile([abs(x - med[k]) for x in v], 50))
+        for k, v in by_key.items()
+    }
+    n_out = 0
+    for rid, key, v in rows:
+        out = abs(v - med[key]) > 3.0 * mad[key]
+        assert got[rid] == (med[key], mad[key], out), rid
+        n_out += out
+    assert n_out >= 2  # the planted spikes flag

@@ -117,3 +117,16 @@ def test_apply_changes_merge_semantics(spark):
         2: ("beta3", 22),   # latest update
         4: ("delta", 40),   # insert
     }
+
+
+def test_apply_changes_rejects_op_seq_collision(spark):
+    import pytest as _pt
+
+    from geoharvest_spark.snapshots import apply_changes
+
+    snap = spark.createDataFrame([(1, "x")], "k long, op string")
+    ch = spark.createDataFrame(
+        [(1, "U", 1, "y")], "k long, op string, seq long, v string"
+    )
+    with _pt.raises(ValueError, match="collide"):
+        apply_changes(snap, ch, "k")
