@@ -464,20 +464,22 @@ def within_radius_join(
     ``radius_m`` great-circle meters — "which events happened near any
     of our locations", the workhorse proximity query.
 
-    Plan (the J3/J4 cell discipline): sites expand to their 3x3 cell
-    k-ring at ``res`` (pure Column arithmetic — x wraps, y clamps), the
-    point side computes ONE cell id, and candidates come from the
-    broadcast equi-join on the cell — never a cross join. A codegen
-    haversine refines exactly. ``res`` must be coarse enough that one
-    ring covers the radius: cell height is 180/(4*2^res) degrees
-    (~111 km * that), so res=4 (~2.8 deg ≈ 313 km) covers any
-    radius <= ~310 km at the equator; callers with small radii raise
-    ``res`` to keep candidates tight. Sites are the SMALL side by
-    contract (stores, sensors, POIs) — Spark broadcasts the exploded
-    k-ring; at 100 TB the points side streams map-only, zero shuffles.
+    Plan (the J3/J4 cell discipline): each site expands to the cell
+    k-ring COVERING its radius at ``res`` — the y-span is fixed by the
+    radius in meridional degrees, and the x-span is LATITUDE-AWARE
+    (zonal degrees per meter grow as 1/cos(lat), so a fixed 3x3 ring
+    silently loses pairs beyond ~55 deg; the span uses the cosine at
+    the ring's widest edge with a 1.01 safety factor and caps at a full
+    wrap near the poles). The cosine only sizes the PRUNING ring —
+    candidate completeness needs a conservative bound, never an exact
+    transcendental, so oracle determinism is untouched; the exact test
+    is the codegen haversine refine. The point side computes ONE cell
+    id; candidates come from the broadcast cell equi-join (sites are
+    the SMALL side by contract) — at 100 TB the points side streams
+    map-only, zero shuffles.
 
-    Returns (point_key, site_key, dist_m floored to whole meters —
-    order-free and SQL-replayable away from boundary ties).
+    Returns (point_key, site_key, dist_m) with dist_m floored to whole
+    meters (order-free, SQL-replayable away from boundary ties).
     """
     from .index import (
         GHCELL_RES_BITS,
@@ -489,7 +491,11 @@ def within_radius_join(
     from .geo import haversine_m
 
     nx, ny = ghcell_nx(res), ghcell_ny(res)
-    s = sites.select(
+    cell_h_deg = 180.0 / ny
+    cell_w_deg = 360.0 / nx
+    # meridional: meters per degree latitude is ~constant (min 110574)
+    dy_span = int(radius_m / (cell_h_deg * 110574.0) * 1.01) + 1
+    s0 = sites.select(
         F.col(site_key),
         F.col("lon").alias("s_lon"),
         F.col("lat").alias("s_lat"),
@@ -498,32 +504,51 @@ def within_radius_join(
     rem = F.col("_c") % F.lit(GHCELL_RES_BITS)
     x = (rem / F.lit(GHCELL_X_BITS)).cast("long")
     y = (rem % F.lit(GHCELL_X_BITS)).cast("long")
-    ring = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.pmod(x + F.lit(dx), F.lit(nx)).alias("rx"),
-                    (y + F.lit(dy)).alias("ry"),
-                )
-                for dx in (-1, 0, 1)
-                for dy in (-1, 0, 1)
-            ]
-        )
+    # zonal span at the ring's widest (pole-most) latitude edge; capped
+    # at a full wrap so polar sites stay correct (their zone is tiny)
+    edge_lat = F.least(
+        F.abs(F.col("s_lat")) + F.lit(dy_span * cell_h_deg), F.lit(90.0)
     )
-    s_ring = (
-        s.select(site_key, "s_lon", "s_lat", ring.alias("r"))
-        .where((F.col("r.ry") >= 0) & (F.col("r.ry") < ny))
-        .select(
-            site_key,
-            "s_lon",
-            "s_lat",
-            (
-                F.lit(res).cast("long") * F.lit(GHCELL_RES_BITS)
-                + F.col("r.rx") * F.lit(GHCELL_X_BITS)
-                + F.col("r.ry")
-            ).alias("cell"),
-        )
+    coslat = F.greatest(F.cos(F.radians(edge_lat)), F.lit(1e-9))
+    dx_span = F.least(
+        (
+            F.lit(radius_m) / (F.lit(cell_w_deg * 111320.0) * coslat)
+            * F.lit(1.01)
+        ).cast("long")
+        + F.lit(1),
+        F.lit(nx // 2),
     )
+    ring = s0.select(
+        site_key,
+        "s_lon",
+        "s_lat",
+        x.alias("_x"),
+        y.alias("_y"),
+        F.explode(F.sequence(-dx_span, dx_span)).alias("_dx"),
+    ).select(
+        site_key,
+        "s_lon",
+        "s_lat",
+        "_x",
+        "_dx",
+        "_y",
+        F.explode(
+            F.sequence(F.lit(-dy_span), F.lit(dy_span))
+        ).alias("_dy"),
+    ).withColumn("_ry", F.col("_y") + F.col("_dy"))
+    s_ring = ring.where(
+        (F.col("_ry") >= 0) & (F.col("_ry") < ny)
+    ).select(
+        site_key,
+        "s_lon",
+        "s_lat",
+        (
+            F.lit(res).cast("long") * F.lit(GHCELL_RES_BITS)
+            + F.pmod(F.col("_x") + F.col("_dx"), F.lit(nx))
+            * F.lit(GHCELL_X_BITS)
+            + F.col("_ry")
+        ).alias("cell"),
+    ).distinct()  # full-wrap spans revisit cells; dedup the tiny site ring
     p = points.select(
         F.col(point_key),
         F.col("lon").alias("p_lon"),
@@ -541,7 +566,6 @@ def within_radius_join(
         .where(F.col("dist_m") <= F.lit(int(radius_m)))
         .select(point_key, site_key, "dist_m")
     )
-
 
 def bbox_overlap_join(
     left: DataFrame,

@@ -156,15 +156,17 @@ def test_within_radius_join_matches_brute_force(spark):
 
     import math
 
-    sites = [(s, -20.0 + s * 7.3, -30.0 + s * 5.1) for s in range(8)]
+    # sites up to |lat| 79 deg: the zonal span there is ~5x the cell
+    # width, so the latitude-aware ring (not a fixed 3x3) is on trial
+    sites = [(s, -170.0 + s * 37.3, -79.0 + s * 15.8) for s in range(10)]
     pts = []
-    for i in range(400):
-        lon = ((i * 7919) % 7200) / 100.0 - 36.0
-        lat = ((i * 104729) % 3600) / 100.0 - 18.0
+    for i in range(1500):
+        lon = ((i * 7919) % 36000) / 100.0 - 180.0
+        lat = ((i * 104729) % 18000) / 100.0 - 90.0
         pts.append((i, lon, lat))
     sdf = spark.createDataFrame(sites, "site_id long, lon double, lat double")
     pdf = spark.createDataFrame(pts, "point_id long, lon double, lat double")
-    r = 250_000
+    r = 900_000
     got = {
         (row["point_id"], row["site_id"]): row["dist_m"]
         for row in within_radius_join(pdf, sdf, r, res=4).collect()
@@ -175,7 +177,33 @@ def test_within_radius_join_matches_brute_force(spark):
             d = math.floor(haversine_scalar(slon, slat, plon, plat))
             if d <= r:
                 want[(pid, sid)] = d
-    assert got == want and len(want) > 20
+    assert got == want and len(want) > 30
+
+
+def test_within_radius_polar_site_complete(spark):
+    # a site at 89.5 deg: zonal degrees are ~100x meters-degrees; the
+    # x-span caps at a full wrap and the join must still be exact
+    from geoharvest_spark.geo import haversine_scalar
+    from geoharvest_spark.joins import within_radius_join
+
+    import math
+
+    sdf = spark.createDataFrame(
+        [(1, 10.0, 89.5)], "site_id long, lon double, lat double"
+    )
+    pts = [(i, -180.0 + i * 7.3, 88.0 + (i % 20) * 0.1) for i in range(50)]
+    pdf = spark.createDataFrame(pts, "point_id long, lon double, lat double")
+    r = 150_000
+    got = {
+        (row["point_id"], row["site_id"]): row["dist_m"]
+        for row in within_radius_join(pdf, sdf, r, res=4).collect()
+    }
+    want = {
+        (pid, 1): math.floor(haversine_scalar(10.0, 89.5, plon, plat))
+        for pid, plon, plat in pts
+        if haversine_scalar(10.0, 89.5, plon, plat) <= r
+    }
+    assert got == want and len(want) >= 2
 
 
 def test_within_radius_res_covers_radius(spark):
