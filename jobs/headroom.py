@@ -1371,8 +1371,8 @@ def run_round6g_legs(spark) -> None:
     for n_rect in (250_000, 1_000_000):
         cx = (i * 7919 % 6000) / 100.0 - 30.0
         cy = (i * 104729 % 4000) / 100.0 - 20.0
-        hw = (i % 5) / 200.0 + 0.005
-        hh = (i % 3) / 200.0 + 0.005
+        hw = (i % 5) / 20.0 + 0.05
+        hh = (i % 3) / 20.0 + 0.05
         la = spark.range(0, n_rect * 2, 2, 48).select(
             i.alias("lid"), (cx - hw).alias("w"), (cx + hw).alias("e"),
             (cy - hh).alias("s"), (cy + hh).alias("n"))
