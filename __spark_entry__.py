@@ -4034,6 +4034,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["geo_bbox_overlap"] = geo_bbox_overlap
 
+
+    def stream_cdc_apply(spark, sf):
+        """Streaming CDC table maintenance: the cdc_apply_changes
+        changeset arrives as THREE seq-ordered micro-batches (stale
+        updates + inserts + ghost delete, then winning updates, then
+        deletes) and foreachBatch folds each into a parquet-versioned
+        snapshot with the SAME apply_changes operator — so incremental
+        streaming maintenance must equal the one-shot MERGE, and the
+        oracle IS cdc_apply_changes' oracle verbatim. State versions by
+        batch id (write-new-then-advance: restart-safe, no in-place
+        mutation); foreachBatch uses the batch's own cloned session for
+        parquet IO (the global-temp-view trap does not bite paths)."""
+        import os as _os
+        import shutil as _sh
+
+        from geoharvest_spark.snapshots import apply_changes
+
+        c = _t(spark, sf, "customer")
+        k = F.col("c_custkey")
+        snap = c.select(
+            k.alias("k"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+        nul = F.lit(None).cast("string")
+
+        def ch(op, seq, kk, name, seg):
+            return c.select(
+                kk.alias("k"), F.lit(op).alias("op"),
+                F.lit(seq).cast("long").alias("seq"),
+                name.alias("name"), seg.alias("seg"),
+            )
+
+        batches = [
+            ch("U", 1, k, F.concat(F.col("c_name"), F.lit("_stale")),
+               F.col("c_mktsegment")).where(k % 7 == 0)
+            .unionByName(
+                ch("I", 1, k + 1000000,
+                   F.concat(F.lit("new_"), F.col("c_name")),
+                   F.lit("FRESH")).where(k % 13 == 0)
+            )
+            .unionByName(
+                ch("D", 1, k + 2000000, nul, nul).where(k % 499 == 0)
+            ),
+            ch("U", 2, k, F.concat(F.col("c_name"), F.lit("_v2")),
+               F.lit("UPDATED")).where(k % 7 == 0),
+            ch("D", 3, k, nul, nul).where(k % 11 == 0),
+        ]
+        base = f"/tmp/ghs_stream_cdc_{_os.getpid()}"
+        _sh.rmtree(base, ignore_errors=True)
+        in_dir = f"{base}/in"
+        _os.makedirs(in_dir, exist_ok=True)
+        for i, b in enumerate(batches):
+            b.coalesce(1).write.mode("append").parquet(in_dir)
+            for f in _os.listdir(in_dir):
+                if f.endswith(".parquet"):
+                    p = f"{in_dir}/{f}"
+                    if _os.path.getmtime(p) > 1_000_000_000 + (i + 1) * 1000:
+                        _os.utime(p, (1_000_000_000 + i * 1000,) * 2)
+        snap.write.mode("overwrite").parquet(f"{base}/state_init")
+        cur = {"path": f"{base}/state_init"}
+
+        def fold(bdf, bid):
+            # restart-safe: the input state path derives from batch_id
+            # (a closure would reset on restart and re-fold from init
+            # while the checkpoint skips committed batches); re-folding
+            # a crashed batch overwrites state_b{bid} from its fixed
+            # predecessor, so replay is idempotent
+            ss = bdf.sparkSession
+            prev = (
+                f"{base}/state_init" if bid == 0 else f"{base}/state_b{bid - 1}"
+            )
+            state = ss.read.parquet(prev)
+            nxt = f"{base}/state_b{bid}"
+            apply_changes(state, bdf, "k").write.mode(
+                "overwrite"
+            ).parquet(nxt)
+            cur["path"] = nxt
+
+        stream = (
+            spark.readStream.schema(
+                "k long, op string, seq long, name string, seg string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(in_dir)
+        )
+        q = (
+            stream.writeStream.foreachBatch(fold)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return spark.read.parquet(cur["path"]).orderBy("k")
+
+    Q["stream_cdc_apply"] = stream_cdc_apply
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -4868,7 +4965,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     )
     toks = "list_sort(list_distinct(string_split(text, ' ')))"
 
-    return {
+    d = {
         "f1_date_range_filter": (
             "SELECT l_returnflag, count(*) AS n_rows, "
             f"cast(sum({dec.format(c='l_quantity')}) as double) AS sum_qty "
@@ -6739,3 +6836,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "ORDER BY d.doc_id"
         ),
     }
+    # streaming CDC maintenance must equal the one-shot MERGE: the
+    # incremental fold shares the batch operator AND the batch oracle
+    d["stream_cdc_apply"] = d["cdc_apply_changes"]
+    return d

@@ -314,3 +314,97 @@ def test_stream_curate_restart_from_checkpoint(spark, tmp_path):
     assert got.equals(want) and len(want) == 8  # one winner per content
     assert set(want["doc_id"]) == set(range(8))  # first arrivals
     assert (want["n_email"] == 1).all()  # PII ran inside the stream
+
+
+def test_stream_cdc_restart_from_checkpoint(spark, tmp_path):
+    """Kill/restart for streaming CDC maintenance: foreachBatch folds
+    seq-ordered changesets into a batch-id-versioned parquet snapshot.
+    Crash after batch 1, restart with batches 2-3 — the recovered
+    state must equal an uninterrupted twin AND the one-shot batch
+    MERGE over the full changeset (the bid-derived predecessor path is
+    what makes replay idempotent; a closure-held path would re-fold
+    from init after restart)."""
+    import pandas as pd
+
+    from geoharvest_spark.snapshots import apply_changes
+
+    snap_rows = [(i, f"name{i}", i * 10) for i in range(20)]
+    batches = [
+        [(5, "U", 1, "five_stale", 51), (100, "I", 1, "hundred", 1000),
+         (999, "D", 1, None, None)],
+        [(5, "U", 2, "five_v2", 52), (7, "U", 2, "seven_v2", 72)],
+        [(3, "D", 3, None, None), (100, "D", 3, None, None)],
+    ]
+    sch = "k long, op string, seq long, name string, v long"
+
+    def _write(in_dir, rows):
+        spark.createDataFrame(rows, sch).coalesce(1).write.mode(
+            "append"
+        ).parquet(in_dir)
+
+    def _run(tag, pre_rows, post_rows):
+        import os as _os
+
+        in_d = str(tmp_path / f"in_{tag}")
+        _os.makedirs(in_d, exist_ok=True)  # twin "b" starts empty
+        ck = str(tmp_path / f"ck_{tag}")
+        st = str(tmp_path / f"st_{tag}")
+        snap = spark.createDataFrame(snap_rows, "k long, name string, v long")
+        snap.write.mode("overwrite").parquet(f"{st}/init")
+        last = {"bid": -1}
+
+        def fold(bdf, bid):
+            ss = bdf.sparkSession
+            prev = f"{st}/init" if bid == 0 else f"{st}/b{bid - 1}"
+            apply_changes(ss.read.parquet(prev), bdf, "k").write.mode(
+                "overwrite"
+            ).parquet(f"{st}/b{bid}")
+            last["bid"] = max(last["bid"], bid)
+
+        def _start():
+            stream = (
+                spark.readStream.schema(sch)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_d)
+            )
+            return (
+                stream.writeStream.foreachBatch(fold)
+                .option("checkpointLocation", ck)
+                .start()
+            )
+
+        for rows in pre_rows:
+            _write(in_d, rows)
+        q = _start()
+        q.processAllAvailable()
+        q.stop()  # crash point
+        for rows in post_rows:
+            _write(in_d, rows)
+        q = _start()
+        q.processAllAvailable()
+        q.stop()
+        return (
+            spark.read.parquet(f"{st}/b{last['bid']}")
+            .toPandas()
+            .sort_values("k")
+            .reset_index(drop=True)
+        )
+
+    got = _run("a", [batches[0]], batches[1:])
+    want = _run("b", [], batches)  # uninterrupted twin
+    assert got.equals(want)
+    # and both equal the one-shot MERGE over the full changeset
+    snap = spark.createDataFrame(snap_rows, "k long, name string, v long")
+    all_ch = spark.createDataFrame(
+        [r for b in batches for r in b], sch
+    )
+    merged = (
+        apply_changes(snap, all_ch, "k")
+        .toPandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert got.equals(merged)
+    ks = set(got["k"])
+    assert 3 not in ks and 100 not in ks and 999 not in ks
+    assert got[got.k == 5]["name"].iloc[0] == "five_v2"
