@@ -4131,6 +4131,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["stream_cdc_apply"] = stream_cdc_apply
 
+
+    def link_click_distance(spark, sf):
+        """Click distance from the seed page over the REAL extracted
+        link graph: the link_pagerank page template runs through
+        webops.extract_links (RE2 extraction + the resolution spec),
+        then graph.bfs_hops measures minimum clicks from page 0 — the
+        crawl-depth planning composition (extraction -> graph ->
+        frontier BFS). Oracle re-extracts the edges in SQL (the
+        pagerank oracle's CTE chain) and closes reachability with a
+        recursive walk-enumeration — an independent algorithm at BOTH
+        stages."""
+        from geoharvest_spark import webops as wb
+        from geoharvest_spark.graph import bfs_hops
+
+        d = _t(spark, sf, "documents")
+        i = F.col("doc_id")
+
+        def tgt(m, k):
+            return ((i * m + k) % 500).cast("string")
+
+        html = F.concat(
+            F.lit('<html><body><a href="http://pr.site/p/'),
+            tgt(7, 1),
+            F.lit('">a</a><a href="/p/'),
+            tgt(11, 3),
+            F.lit('">b</a><a href="'),
+            tgt(13, 5),
+            F.lit('">c</a><a href="//pr.site/p/'),
+            tgt(17, 9),
+            F.lit(
+                '">d</a><a href="mailto:x@y.z">e</a>'
+                '<a href="#top">f</a>'
+                '<a href="javascript:void(0)">g</a></body></html>'
+            ),
+        )
+        pages = d.select(
+            i.alias("src"),
+            F.concat(F.lit("http://pr.site/p/"), i.cast("string")).alias(
+                "url"
+            ),
+            html.alias("html"),
+        )
+        edges = (
+            wb.extract_links(pages)
+            .where(F.col("link").rlike(r"^http://pr\.site/p/[0-9]+$"))
+            .select(
+                "src",
+                F.element_at(F.split("link", "/"), -1)
+                .cast("long")
+                .alias("dst"),
+            )
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        return bfs_hops(edges, source=0, max_hops=12).orderBy("node")
+
+    Q["link_click_distance"] = link_click_distance
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -4332,6 +4390,27 @@ def _html_page_cte(
         "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
         "'&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'), "
         "'\\s+', ' ', 'g')) AS ex FROM h) "
+    )
+
+
+def _click_distance_oracle_sql(max_hops: int = 12) -> str:
+    """link_click_distance replay: the pagerank oracle's SQL href
+    extraction + resolution chain, then recursive walk enumeration with
+    UNION dedup and min(hop) — independent of the engine's frontier
+    bookkeeping at both stages."""
+    pr = _pagerank_oracle_sql(1)
+    # reuse the extraction CTE text up to (and including) "edges" —
+    # sliced from the generated pagerank oracle so the two cannot drift
+    extraction = pr[len("WITH ") : pr.index(", outdeg AS")]
+    return (
+        "WITH RECURSIVE "
+        + extraction
+        + ", lcw(node, hop) AS ("
+        "SELECT CAST(0 AS BIGINT), 0 "
+        "UNION SELECT edges.dst, lcw.hop + 1 FROM lcw "
+        f"JOIN edges ON edges.src = lcw.node WHERE lcw.hop < {max_hops}) "
+        "SELECT node, min(hop)::INTEGER AS hop FROM lcw "
+        "GROUP BY node ORDER BY node"
     )
 
 
@@ -6686,6 +6765,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "JOIN gdk k ON k.id = d.cell ORDER BY cell"
         ),
         "graph_sssp_weighted": _sssp_oracle_sql(18),
+        "link_click_distance": _click_distance_oracle_sql(12),
         "geo_bbox_overlap": (
             # brute-force cross join on the closed-overlap predicate;
             # exactly-once reference-point emission is on trial
