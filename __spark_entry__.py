@@ -1042,6 +1042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 encode_png,
             )
             from geoharvest_spark.raster import encode_tiff
+            from geoharvest_spark.webp import encode_webp_lossless
 
             for pdf in batches:
                 rows = []
@@ -1057,7 +1058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         ],
                         axis=2,
                     ).astype(np.uint8)
-                    fmt = ["png", "bmp", "gif", "ppm", "tiff"][mid % 5]
+                    fmt = [
+                        "png", "bmp", "gif", "ppm", "tiff", "webp"
+                    ][mid % 6]
                     if fmt == "png":
                         payload = encode_png(img)
                     elif fmt == "bmp":
@@ -1068,11 +1071,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         payload = encode_tiff(
                             img, compression=5, predictor=2
                         )
+                    elif fmt == "webp":
+                        payload = encode_webp_lossless(
+                            img, subtract_green=mid % 4 == 1
+                        )
                     else:
                         payload = (
                             f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
                         )
                     dec = decode_image(payload)
+                    if dec.shape[-1] == 4:  # VP8L decodes RGBA
+                        dec = dec[:, :, :3]
                     txt = " ".join(
                         f"{r} {g} {b}"
                         for r, g, b in dec.reshape(-1, 3).tolist()
@@ -5477,9 +5486,9 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "cast((x * 3) % 8 * 32 AS INT) AS g, "
             "cast((x + y) % 8 * 32 AS INT) AS b FROM px) "
             "SELECT media_id, "
-            "(CASE media_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' "
-            "WHEN 2 THEN 'gif' WHEN 3 THEN 'ppm' ELSE 'tiff' END) "
-            "AS fmt, "
+            "(CASE media_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' "
+            "WHEN 2 THEN 'gif' WHEN 3 THEN 'ppm' WHEN 4 THEN 'tiff' "
+            "ELSE 'webp' END) AS fmt, "
             "cast(h AS INT) AS h, cast(w AS INT) AS w, "
             "md5(string_agg(r || ' ' || g || ' ' || b, ' ' "
             "ORDER BY y, x)) AS digest "

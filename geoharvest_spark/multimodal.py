@@ -1758,6 +1758,10 @@ def _sniff_decode_image(payload: bytes) -> np.ndarray | None:
         from .raster import decode_tiff
 
         return decode_tiff(payload)[0]
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from .webp import decode_webp
+
+        return decode_webp(payload)
     return None
 
 
