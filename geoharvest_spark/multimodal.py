@@ -110,6 +110,12 @@ def wav_features(payload: bytes, dim: int = FEATURE_DIM) -> list[float]:
     """Real audio features: 60 windowed RMS energies + duration, rate,
     peak, zero-crossing rate. Fixed `dim`, deterministic."""
     x, rate = decode_wav(payload)
+    return _audio_features(x, rate, dim=dim)
+
+
+def _audio_features(x, rate, dim: int = FEATURE_DIM) -> list[float]:
+    """Shared feature kernel over decoded (samples, rate) — WAV and FLAC
+    feed the same path, so features are codec-independent."""
     n_windows = dim - 4
     if len(x) == 0:
         rms = np.zeros(n_windows)
@@ -1728,6 +1734,13 @@ def decode_features(
         if kind == "audio" and payload[:4] == b"RIFF":
             try:
                 return wav_features(payload, dim)
+            except (ValueError, NotImplementedError):
+                return _fake_decode_features(payload, dim)
+        if kind == "audio" and payload[:4] == b"fLaC":
+            try:
+                from .flac import decode_flac
+
+                return _audio_features(*decode_flac(payload), dim=dim)
             except (ValueError, NotImplementedError):
                 return _fake_decode_features(payload, dim)
         if kind == "image":
