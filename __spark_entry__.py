@@ -4198,6 +4198,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["link_click_distance"] = link_click_distance
 
+
+    def media_flac_suite(spark, sf):
+        """FLAC end-to-end losslessness on the driver surface: integer
+        closed-form signals -> the REAL encode_flac (FIXED orders 0-2,
+        rice residuals, CRCs) -> the REAL decode_flac inside mapInPandas
+        -> integer sample digest. The oracle recomputes the SOURCE
+        samples from the same closed form purely in SQL — a lossless
+        codec must return them exactly, so the digests agree without
+        the oracle touching the codec (the media_decode_suite
+        discipline). Mono 16-bit; the float output un-scales exactly
+        (ints < 2^24)."""
+        import pandas as pd
+
+        ids = spark.range(12).select(F.col("id").cast("int").alias("media_id"))
+        schema = "media_id int, n int, digest string"
+
+        def _run(batches):
+            import hashlib
+
+            import numpy as np
+
+            from geoharvest_spark.flac import decode_flac, encode_flac
+
+            for pdf in batches:
+                rows = []
+                for mid in pdf["media_id"]:
+                    mid = int(mid)
+                    n = 400 + 50 * (mid % 3)
+                    t = np.arange(n, dtype=np.int64)
+                    x = (t * t * 7 + mid * 13) % 4001 - 2000
+                    payload = encode_flac(
+                        x, sample_rate=8000, blocksize=128,
+                        fixed_order=mid % 3,
+                    )
+                    dec, rate = decode_flac(payload)
+                    ints = np.rint(dec.astype(np.float64) * 32768.0).astype(
+                        np.int64
+                    )
+                    txt = " ".join(str(v) for v in ints.tolist())
+                    rows.append(
+                        (mid, int(len(ints)),
+                         hashlib.md5(txt.encode()).hexdigest())
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["media_id", "n", "digest"]
+                )
+
+        return ids.repartition(4).mapInPandas(_run, schema).orderBy("media_id")
+
+    Q["media_flac_suite"] = media_flac_suite
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -6774,6 +6825,19 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "JOIN gdk k ON k.id = d.cell ORDER BY cell"
         ),
         "graph_sssp_weighted": _sssp_oracle_sql(18),
+        "media_flac_suite": (
+            # source samples from the closed form, zero codec in SQL
+            "WITH fli AS (SELECT cast(range AS INT) AS media_id "
+            "FROM range(12)), "
+            "fln AS (SELECT media_id, 400 + 50 * (media_id % 3) AS n "
+            "FROM fli), "
+            "fls AS (SELECT f.media_id, f.n, t.range AS t, "
+            "(t.range * t.range * 7 + f.media_id * 13) % 4001 - 2000 "
+            "AS v FROM fln f, range(0, 500) t WHERE t.range < f.n) "
+            "SELECT media_id, cast(n AS INT) AS n, "
+            "md5(string_agg(v, ' ' ORDER BY t)) AS digest "
+            "FROM fls GROUP BY media_id, n ORDER BY media_id"
+        ),
         "link_click_distance": _click_distance_oracle_sql(12),
         "geo_bbox_overlap": (
             # brute-force cross join on the closed-overlap predicate;
