@@ -284,3 +284,202 @@ def test_fixed_complete_lengths_kraft():
         lens = _fixed_complete_lengths(n)
         assert len(lens) == n
         assert abs(sum(2.0 ** -l for l in lens) - 1.0) < 1e-12
+
+
+def _replay_predict(mode, L, T, TL, TR):
+    """Test-local replay of the spec's predictor formulas (written
+    independently of geoharvest_spark.webp — catches transcription
+    bugs in the module's table)."""
+    def ch(p):
+        return [(p >> s) & 0xFF for s in (24, 16, 8, 0)]
+
+    def mk(c):
+        return sum((v & 0xFF) << s for v, s in zip(c, (24, 16, 8, 0)))
+
+    def avg(p, q):
+        return mk([(a + b) >> 1 for a, b in zip(ch(p), ch(q))])
+
+    if mode == 0:
+        return 0xFF000000
+    if mode == 1:
+        return L
+    if mode == 2:
+        return T
+    if mode == 3:
+        return TR
+    if mode == 4:
+        return TL
+    if mode == 5:
+        return avg(avg(L, TR), T)
+    if mode == 6:
+        return avg(L, TL)
+    if mode == 7:
+        return avg(L, T)
+    if mode == 8:
+        return avg(TL, T)
+    if mode == 9:
+        return avg(T, TR)
+    if mode == 10:
+        return avg(avg(L, TL), avg(T, TR))
+    if mode == 11:
+        p = [a + b - c for a, b, c in zip(ch(L), ch(T), ch(TL))]
+        pl = sum(abs(x - y) for x, y in zip(p, ch(L)))
+        pt = sum(abs(x - y) for x, y in zip(p, ch(T)))
+        return L if pl <= pt else T
+    if mode == 12:
+        return mk(
+            [
+                min(255, max(0, a + b - c))
+                for a, b, c in zip(ch(L), ch(T), ch(TL))
+            ]
+        )
+    if mode == 13:
+        av = avg(L, T)
+        out = []
+        for a, c in zip(ch(av), ch(TL)):
+            d = a - c
+            q = d // 2 if d >= 0 else -((-d) // 2)
+            out.append(min(255, max(0, a + q)))
+        return mk(out)
+    raise AssertionError(mode)
+
+
+def test_all_predictor_modes_reconstruct():
+    # one 4x4 image per mode: residual pixels via complex codes, the
+    # reconstruction checked against the test-local formula replay
+    rng = np.random.RandomState(5)
+    for mode in range(14):
+        h = w = 4
+        st = _Stream(w, h)
+        bw = st.bw
+        bw.write(1, 1)
+        bw.write(0, 2)   # PREDICTOR
+        bw.write(2, 3)   # size_bits 4 -> one block
+        bw.write(0, 1)   # sub: no cache
+        _simple_code(bw, [mode])
+        _simple_code(bw, [0])
+        _simple_code(bw, [0])
+        _simple_code(bw, [255])
+        _simple_code(bw, [1])
+        bw.write(0, 1)   # end transforms
+        bw.write(0, 1)   # no cache
+        bw.write(0, 1)   # no meta
+        res = rng.randint(0, 256, (h, w, 4))
+        glens = [0] * (256 + 24)
+        for v in range(256):
+            glens[v] = _fixed_complete_lengths(256)[v]
+        clens = _fixed_complete_lengths(256)
+        _write_complex_code(bw, glens)
+        for _ in range(3):
+            _write_complex_code(bw, clens)
+        _simple_code(bw, [1])
+        gcodes = _canonical_codes(glens)
+        ccodes = _canonical_codes(clens)
+        for y in range(h):
+            for x in range(w):
+                g, r, b, a = (int(res[y, x, i]) for i in range(4))
+                for val, codes in (
+                    (g, gcodes), (r, ccodes), (b, ccodes), (a, ccodes)
+                ):
+                    ln, code = codes[val]
+                    _write_code_msb(bw, ln, code)
+        out = decode_webp(st.payload())
+        # replay: reconstruct with the independent formulas
+        px = np.zeros((h, w), np.uint32)
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0xFF000000
+                elif y == 0:
+                    pred = int(px[0, x - 1])
+                elif x == 0:
+                    pred = int(px[y - 1, 0])
+                else:
+                    pred = _replay_predict(
+                        mode,
+                        int(px[y, x - 1]),
+                        int(px[y - 1, x]),
+                        int(px[y - 1, x - 1]),
+                        int(px[y - 1, min(x + 1, w - 1)]),
+                    )
+                g, r, b, a = (int(res[y, x, i]) for i in range(4))
+                resid = (a << 24) | (r << 16) | (g << 8) | b
+                s = 0
+                for sh in (24, 16, 8, 0):
+                    s |= ((((resid >> sh) & 0xFF) + ((pred >> sh) & 0xFF)) & 0xFF) << sh
+                px[y, x] = s
+        want_r = (px >> 16) & 0xFF
+        want_g = (px >> 8) & 0xFF
+        want_b = px & 0xFF
+        want_a = (px >> 24) & 0xFF
+        assert (out[:, :, 0] == want_r).all(), mode
+        assert (out[:, :, 1] == want_g).all(), mode
+        assert (out[:, :, 2] == want_b).all(), mode
+        assert (out[:, :, 3] == want_a).all(), mode
+
+
+def test_color_transform_inverse():
+    # 2x1 with a color transform: g2r=2, g2b=3, r2b=252 (-4 signed);
+    # residual channels chosen so the replay is hand-checkable
+    st = _Stream(2, 1)
+    bw = st.bw
+    bw.write(1, 1)
+    bw.write(1, 2)   # COLOR transform
+    bw.write(2, 3)   # size_bits 4 -> one block
+    bw.write(0, 1)   # sub: no cache
+    # cte pixel: blue=g2r, green=g2b, red=r2b
+    _simple_code(bw, [3])    # green  (g2b)
+    _simple_code(bw, [252])  # red    (r2b = -4)
+    _simple_code(bw, [2])    # blue   (g2r)
+    _simple_code(bw, [255])  # alpha
+    _simple_code(bw, [1])
+    bw.write(0, 1)   # end transforms
+    bw.write(0, 1)
+    bw.write(0, 1)
+    _simple_code(bw, [64, 100])   # green
+    _simple_code(bw, [10, 20])    # red residual
+    _simple_code(bw, [30, 40])    # blue residual
+    _simple_code(bw, [255])       # alpha
+    _simple_code(bw, [1])
+    # px0: g=64(bit0), r=10(bit0), b=30(bit0); px1: g=100,r=20,b=40
+    for bit in (0, 0, 0, 1, 1, 1):
+        bw.write(bit, 1)
+    out = decode_webp(st.payload())
+
+    def i8(v):
+        return v - 256 if v >= 128 else v
+
+    for i, (g, rr, rb) in enumerate(((64, 10, 30), (100, 20, 40))):
+        r = (rr + ((i8(2) * i8(g)) >> 5)) & 0xFF
+        b = (rb + ((i8(3) * i8(g)) >> 5)) & 0xFF
+        b = (b + ((i8(252) * i8(r)) >> 5)) & 0xFF
+        assert out[0, i].tolist() == [r, g, b, 255], i
+
+
+def test_meta_prefix_groups():
+    # 4x1 image, huffman_bits=2 -> two 4-wide blocks? width 4 -> one
+    # block... use 8x1 with bits=2: blocks x>>2 in {0,1} -> entropy
+    # image 2x1 selecting group 0 / group 1 with different constants
+    st = _Stream(8, 1).no_transforms()
+    bw = st.bw
+    bw.write(0, 1)   # no cache
+    bw.write(1, 1)   # meta present
+    bw.write(0, 3)   # huffman_bits = 2
+    # entropy image 2x1: pixels (r<<8|g) = group index 0 and 1
+    bw.write(0, 1)   # entropy stream: no cache
+    _simple_code(bw, [0, 1])   # green: 0 then 1
+    _simple_code(bw, [0])      # red
+    _simple_code(bw, [0])      # blue
+    _simple_code(bw, [255])    # alpha
+    _simple_code(bw, [1])
+    bw.write(0, 1)  # entropy px0 green=0
+    bw.write(1, 1)  # entropy px1 green=1
+    # group 0: constant green 11; group 1: constant green 22
+    for gval in (11, 22):
+        _simple_code(bw, [gval])
+        _simple_code(bw, [1])
+        _simple_code(bw, [2])
+        _simple_code(bw, [255])
+        _simple_code(bw, [1])
+    out = decode_webp(st.payload())
+    assert out[0, :, 1].tolist() == [11, 11, 11, 11, 22, 22, 22, 22]
