@@ -215,8 +215,15 @@ def _driver_order(registered: list[str]) -> list[str]:
         except (OSError, ValueError):
             continue
         for name, row in rows.items():
-            if row.get("hash_match") or (
-                row.get("rows_match") and row.get("err") is None
+            # Green requires the FULL check: rows + schema + hash all match
+            # and no error.  A hash-red row (values diverged, or an oracle
+            # dtype slip like warc_cdx_index in r6) must count as never-green
+            # so the re-check is urgent — VERDICT r6 "What's wrong" #2.
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+                and row.get("err") is None
             ):
                 last_green[name] = max(last_green.get(name, -1), rnd)
     reg = {name: i for i, name in enumerate(registered)}
@@ -6413,9 +6420,13 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "FROM cx), "
             "rl AS (SELECT *, 214 + ulen + "
             "length(CAST(clen AS VARCHAR)) + clen AS rec_len FROM cl), "
-            "co AS (SELECT *, 243 + COALESCE(sum(rec_len + 4) OVER ("
+            # ::BIGINT: DuckDB's window sum promotes to HUGEINT and the
+            # 243+COALESCE lands in pandas as float64 while Spark emits
+            # int64 — the r6 hash-red root cause (VERDICT r6 #1); this is
+            # the repo's standard "DuckDB sums are HUGEINT" dtype rule.
+            "co AS (SELECT *, (243 + COALESCE(sum(rec_len + 4) OVER ("
             "PARTITION BY file_id ORDER BY doc_id "
-            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))::BIGINT "
             'AS "offset" FROM rl) '
             "SELECT 'site,warc)/' || doc_id AS surt_key, "
             "'2024-01-01T00:00:00Z' AS warc_date, "

@@ -22,13 +22,23 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _row_is_green(row: dict) -> bool:
+    # Full-check green only: rows + schema + hash all match, no error.
+    # A hash-red row (e.g. warc_cdx_index r6, oracle dtype slip) counts
+    # as never-green so its re-check stays urgent — VERDICT r6 #2.
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match")
+        and row.get("hash_match")
+        and row.get("err") is None
+    )
+
+
 def _historically_green() -> set[str]:
     green: set[str] = set()
     for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         for name, row in json.load(open(f)).items():
-            if row.get("hash_match") or (
-                row.get("rows_match") and row.get("err") is None
-            ):
+            if _row_is_green(row):
                 green.add(name)
     return green
 
@@ -77,11 +87,44 @@ def _last_green_round() -> dict[str, int]:
     for f in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
         rnd = int(re.search(r"_r(\d+)\.json$", f).group(1))
         for name, row in json.load(open(f)).items():
-            if row.get("hash_match") or (
-                row.get("rows_match") and row.get("err") is None
-            ):
+            if _row_is_green(row):
                 last[name] = max(last.get(name, -1), rnd)
     return last
+
+
+def test_hash_red_rows_count_as_never_green():
+    """A row with rows_match=true but hash_match=false (or schema_match
+    false, or err set) must NOT be treated as green by the rotation —
+    otherwise a value-diverged query gets deferred instead of urgently
+    re-checked (the warc_cdx_index r6 incident)."""
+    assert not _row_is_green(
+        {"rows_match": True, "schema_match": True, "hash_match": False,
+         "err": None}
+    )
+    assert not _row_is_green(
+        {"rows_match": True, "schema_match": False, "hash_match": True,
+         "err": None}
+    )
+    assert not _row_is_green(
+        {"rows_match": True, "schema_match": True, "hash_match": True,
+         "err": "boom"}
+    )
+    assert _row_is_green(
+        {"rows_match": True, "schema_match": True, "hash_match": True,
+         "err": None}
+    )
+    # and the module's own rotation must agree: warc_cdx_index has a
+    # red r6 row, so unless a LATER round has a full-green row for it,
+    # it must sort in the never-green (most urgent) block.
+    import __spark_entry__ as E
+
+    last = _last_green_round()
+    if "warc_cdx_index" not in last:
+        order = list(E.queries().keys())
+        never_green_prefix = [q for q in order if q not in last]
+        assert "warc_cdx_index" in never_green_prefix[: max(50, 1)], (
+            "hash-red warc_cdx_index deprioritized by the rotation"
+        )
 
 
 def test_rotation_emits_stalest_queries_first():

@@ -445,3 +445,21 @@ def test_mlprep_cdc_constraint_plans(spark):
     assert "EvalPython" not in p
     p = _plan(with_compression_ratio(d))
     assert p.count("ArrowEvalPython") == 1 and p.count("Exchange") == 0
+
+
+def test_dbscan_reads_cached_pairs_not_three_grid_joins(spark):
+    # the eps-neighbor grid self-join (the dominant shuffle) feeds deg,
+    # core_edges and border; without the pairs/core caches it re-runs 3x
+    # (VERDICT r6 #3). The final plan must read InMemoryTableScans (the
+    # cached ids-only pairs + core id set), and the grid join itself must
+    # appear at most once in the uncached remainder.
+    from geoharvest_spark.clustering import dbscan
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), float(i // 7)) for i in range(30)],
+        "id long, x double, y double",
+    )
+    out = dbscan(df, eps=1.1, min_pts=3)
+    plan = _plan(out)
+    assert plan.count("InMemoryTableScan") >= 3, plan[:2000]
+    spark.catalog.clearCache()
