@@ -43,6 +43,28 @@ _CLORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 _HASH_MULT = 0x1E35A7BD
 
 
+def _plane_code_table() -> list:
+    """The 120 near-window LZ77 distance offsets (RFC 9649 §4.2.2).
+
+    Distance codes 1..120 map to 2-D offsets in the 8x16 causal
+    neighborhood: x in [-7, 8], y in [0, 7], excluding the non-causal
+    half-row (y == 0, x <= 0); ordered by squared euclidean distance,
+    larger y first on ties, then larger x first. The generated list is
+    pinned against the first/last spec entries in tests/test_webp.py.
+    """
+    offs = [
+        (x, y)
+        for y in range(8)
+        for x in range(-7, 9)
+        if not (y == 0 and x <= 0)
+    ]
+    offs.sort(key=lambda o: (o[0] * o[0] + o[1] * o[1], -o[1], -o[0]))
+    return offs
+
+
+_PLANE_OFFSETS = _plane_code_table()
+
+
 class _BitReader:
     """LSB-first bit reader (VP8L convention)."""
 
@@ -271,12 +293,15 @@ def _decode_image_stream(
             dprefix = gd.read(br)
             dcode = _prefix_value(br, dprefix)
             if dcode <= 120:
-                raise NotImplementedError(
-                    "VP8L: near-window distance plane codes (<=120) — "
-                    "unverifiable neighborhood table; encoders may emit "
-                    "the far form (distance + 120)"
-                )
-            dist = dcode - 120
+                # near-window plane code: a 2-D neighborhood offset
+                # (RFC 9649 distance mapping; libwebp emits these
+                # routinely). dist = y*width + x, clamped to >= 1.
+                xoff, yoff = _PLANE_OFFSETS[dcode - 1]
+                dist = yoff * w + xoff
+                if dist < 1:
+                    dist = 1
+            else:
+                dist = dcode - 120
             if dist < 1 or dist > pos:
                 raise ValueError("VP8L: backref out of window")
             for _ in range(length):
@@ -373,9 +398,10 @@ def _inverse_transforms(
                         L = int(out[y * w + x - 1])
                         T = int(out[(y - 1) * w + x])
                         TL = int(out[(y - 1) * w + x - 1])
-                        # last-column top-right clamps to the row edge
-                        # (cross-impl caveat, module docstring)
-                        TR = int(out[(y - 1) * w + min(x + 1, w - 1)])
+                        # last-column top-right: the spec/libwebp read the
+                        # contiguous buffer's top[x+1], which at x==w-1 is
+                        # the CURRENT row's column 0 (already decoded)
+                        TR = int(out[(y - 1) * w + x + 1])
                         pred = _predict(mode, L, T, TL, TR)
                     res = int(out[y * w + x])
                     out[y * w + x] = _addpx(res, pred)
@@ -444,7 +470,9 @@ def _predict(mode: int, L: int, T: int, TL: int, TR: int) -> int:
         pb = lb + tb - cb
         p_l = abs(pa - la) + abs(pr - lr) + abs(pg - lg) + abs(pb - lb)
         p_t = abs(pa - ta) + abs(pr - tr) + abs(pg - tg) + abs(pb - tb)
-        return L if p_l <= p_t else T
+        # ties return T: the spec/libwebp pick L only when strictly
+        # closer (pL < pT) — `<=` silently corrupts conformant streams
+        return L if p_l < p_t else T
     if mode == 12:  # ClampAddSubtractFull
         la, lr, lg, lb = _chans(L)
         ta, tr, tg, tb = _chans(T)

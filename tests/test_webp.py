@@ -247,26 +247,91 @@ def test_handbuilt_predictor_modes():
     assert out[1, 1, :3].tolist() == [25, 25, 25]
 
 
-def test_gate_near_window_distance():
-    st = _Stream(4, 1).no_transforms()
+def _plane_code_stream(dist_prefix):
+    """4x2 hand-built stream: row 0 = literal greens 5,9,5,9; then one
+    length-4 backref whose distance code is ``dist_prefix + 1``."""
+    st = _Stream(4, 2).no_transforms()
+    bw = st.bw
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    glens = [0] * (256 + 24)
+    glens[5] = 2
+    glens[9] = 2
+    glens[256 + 3] = 1  # length prefix 3 -> length 4, no extra bits
+    _write_complex_code(bw, glens)
+    _simple_code(bw, [1])    # red
+    _simple_code(bw, [2])    # blue
+    _simple_code(bw, [255])  # alpha
+    _simple_code(bw, [dist_prefix])
+    gcodes = _canonical_codes(glens)
+    for g in (5, 9, 5, 9):
+        ln, code = gcodes[g]
+        _write_code_msb(bw, ln, code)
+    ln, code = gcodes[256 + 3]
+    _write_code_msb(bw, ln, code)  # length 4; distance code is 0-bit
+    return st
+
+
+def test_plane_code_above():
+    # dist_code 1 -> plane offset (0, 1) -> dist = width: copy the row
+    # above verbatim. A decoder that misread the plane code as a linear
+    # distance 1 would emit 9,5,9,5 instead.
+    out = decode_webp(_plane_code_stream(0).payload())
+    assert out[:, :, 1].tolist() == [[5, 9, 5, 9], [5, 9, 5, 9]]
+
+
+def test_plane_code_left():
+    # dist_code 2 -> plane offset (1, 0) -> dist = 1: run of the last
+    # row-0 pixel (9) across row 1.
+    out = decode_webp(_plane_code_stream(1).payload())
+    assert out[:, :, 1].tolist() == [[5, 9, 5, 9], [9, 9, 9, 9]]
+
+
+def test_plane_code_above_right_and_clamp():
+    # dist_code 4 -> plane offset (-1, 1) -> dist = width - 1 = 3 on a
+    # 4-wide image: row 1 starts from row 0's second pixel and then
+    # chases its own tail (out[pos-3]).
+    out = decode_webp(_plane_code_stream(3).payload())
+    assert out[:, :, 1].tolist() == [[5, 9, 5, 9], [9, 5, 9, 9]]
+    # clamp: on a 1-wide image the same offset gives dist 0 -> clamped
+    # to 1 (spec: "if dist < 1, dist = 1") -> repeat the previous pixel
+    st = _Stream(1, 4).no_transforms()
     bw = st.bw
     bw.write(0, 1)
     bw.write(0, 1)
     glens = [0] * (256 + 24)
-    glens[5] = 1
-    glens[256 + 2] = 1
+    glens[7] = 1
+    glens[256 + 2] = 1  # length 3
     _write_complex_code(bw, glens)
     _simple_code(bw, [1])
     _simple_code(bw, [2])
     _simple_code(bw, [255])
-    _simple_code(bw, [0])  # distance prefix 0 -> dist_code 1 (<=120)
+    _simple_code(bw, [3])  # dist_code 4 -> (-1, 1) -> dist 0 -> 1
     gcodes = _canonical_codes(glens)
-    ln, code = gcodes[5]
+    ln, code = gcodes[7]
     _write_code_msb(bw, ln, code)
     ln, code = gcodes[256 + 2]
     _write_code_msb(bw, ln, code)
-    with pytest.raises(NotImplementedError, match="near-window"):
-        decode_webp(st.payload())
+    out = decode_webp(st.payload())
+    assert out[:, :, 1].tolist() == [[7], [7], [7], [7]]
+
+
+def test_plane_code_table_pinned():
+    # the generated neighborhood table must equal the spec's list;
+    # pin the boundary entries and the full invariants
+    from geoharvest_spark.webp import _PLANE_OFFSETS as P
+
+    assert len(P) == 120 and len(set(P)) == 120
+    assert P[0] == (0, 1) and P[1] == (1, 0)    # codes 1, 2
+    assert P[2] == (1, 1) and P[3] == (-1, 1)   # codes 3, 4
+    assert P[4] == (0, 2) and P[5] == (2, 0)    # codes 5, 6
+    assert P[96] == (8, 0)                      # code 97 (d=64)
+    assert P[119] == (8, 7)                     # code 120 (farthest)
+    for x, y in P:
+        assert -7 <= x <= 8 and 0 <= y <= 7
+        assert not (y == 0 and x <= 0)          # causal only
+    d = [x * x + y * y for x, y in P]
+    assert d == sorted(d)                       # distance-ordered
 
 
 def test_gate_vp8_lossy_and_bad_container():
@@ -325,7 +390,8 @@ def _replay_predict(mode, L, T, TL, TR):
         p = [a + b - c for a, b, c in zip(ch(L), ch(T), ch(TL))]
         pl = sum(abs(x - y) for x, y in zip(p, ch(L)))
         pt = sum(abs(x - y) for x, y in zip(p, ch(T)))
-        return L if pl <= pt else T
+        # spec: L only when STRICTLY closer; ties return T
+        return L if pl < pt else T
     if mode == 12:
         return mk(
             [
@@ -400,7 +466,9 @@ def test_all_predictor_modes_reconstruct():
                         int(px[y, x - 1]),
                         int(px[y - 1, x]),
                         int(px[y - 1, x - 1]),
-                        int(px[y - 1, min(x + 1, w - 1)]),
+                        # contiguous-buffer top[x+1]: at the last column
+                        # this is the CURRENT row's col 0 (spec/libwebp)
+                        int(px[y - 1, x + 1]) if x + 1 < w else int(px[y, 0]),
                     )
                 g, r, b, a = (int(res[y, x, i]) for i in range(4))
                 resid = (a << 24) | (r << 16) | (g << 8) | b
@@ -483,3 +551,17 @@ def test_meta_prefix_groups():
         _simple_code(bw, [1])
     out = decode_webp(st.payload())
     assert out[0, :, 1].tolist() == [11, 11, 11, 11, 22, 22, 22, 22]
+
+
+def test_select_predictor_tie_returns_top():
+    # spec: Select returns L only when STRICTLY closer; ties return T.
+    # p_l = sum|T-TL|, p_t = sum|L-TL| (the estimate algebra) — build a
+    # tie with L != T: TL = 0, L differs in alpha by 10, T in red by 10.
+    from geoharvest_spark.webp import _predict
+
+    TL = 0x00000000
+    L = 0x0A000000  # |L-TL| = 10
+    T = 0x000A0000  # |T-TL| = 10 -> p_l == p_t == 10, L != T
+    assert _predict(11, L, T, TL, 0) == T
+    # strict preference still picks the closer side (T == TL -> p_l = 0)
+    assert _predict(11, L, TL, TL, 0) == L
