@@ -204,8 +204,10 @@ def triangle_count(
     wedge self-join is bounded by arboricity — the difference between
     a web-scale run finishing and one hub node materializing 10^12
     wedge rows. Pipeline: canonical distinct undirected edges -> degree
-    table -> orientation by the scalar key deg*2^32 + id (total order,
-    SQL-replayable) -> wedge self-join on the common source -> hash
+    table -> orientation by the STRUCT key (deg, id) — lexicographic,
+    a total order for the FULL long id range (the scalar deg*2^32+id
+    form collides/inverts on 64-bit ids such as xxhash64 node ids)
+    -> wedge self-join on the common source -> hash
     semi-join closing each wedge against the oriented edge set -> each
     triangle found EXACTLY once (its (deg,id)-minimum vertex is the
     wedge center) -> explode the 3 corners -> per-node count.
@@ -225,9 +227,12 @@ def triangle_count(
         .groupBy("n")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    key = (F.col("d") * F.lit(1 << 32) + F.col("n")).alias("k")
-    ka = deg.select(F.col("n").alias("a"), key.alias("ka"))
-    kb = deg.select(F.col("n").alias("b"), key.alias("kb"))
+    ka = deg.select(
+        F.col("n").alias("a"), F.struct("d", "n").alias("ka")
+    )
+    kb = deg.select(
+        F.col("n").alias("b"), F.struct("d", "n").alias("kb")
+    )
     ek = e.join(ka, "a").join(kb, "b")
     oriented = ek.select(
         F.when(F.col("ka") < F.col("kb"), F.col("a"))

@@ -276,3 +276,21 @@ def test_kcore_empty_core(spark):
         [(0, 1), (0, 2), (1, 3), (1, 4)], "src long, dst long"
     )
     assert kcore(df, k=2).count() == 0
+
+
+def test_triangle_count_64bit_ids(spark):
+    # the orientation key must totally order (degree, id) for FULL-range
+    # long ids (xxhash64-style); the old scalar deg*2^32+id key overflows
+    # and mis-orients. Triangle over huge/negative ids + a hub node.
+    from geoharvest_spark.graph import triangle_count
+
+    big = (1 << 62) + 12345
+    neg = -(1 << 61) - 7
+    edges = [
+        (big, neg), (neg, 42), (42, big),          # triangle
+        (big, 7), (big, 8), (big, 9),              # hub fan (no close)
+        (7, 8),                                    # second triangle big-7-8
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+    assert out == {big: 2, neg: 1, 42: 1, 7: 1, 8: 1}
