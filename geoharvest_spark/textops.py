@@ -403,17 +403,15 @@ def chunk_dedup(
     ex = base.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
     ).withColumn("h", F.md5("chunk"))
-    keeper = ex.groupBy("h").agg(
-        F.min(F.struct(F.col(id_col), F.col("chunk_idx"))).alias("k")
+    # packed scalar keeper (see _pack_id_pos): a struct min would demote
+    # this corpus-wide aggregate to SortAggregate (full chunk-stream sort)
+    ck = _pack_id_pos(F.col(id_col), F.col("chunk_idx"))
+    keeper = ex.groupBy("h").agg(F.min(ck).alias("_keep_pk"))
+    # shuffle_hash: reuse the h-exchange from the keeper aggregate and
+    # skip the sort-merge sorts (see substring_span_dedup's dup join)
+    kept = ex.join(keeper.hint("shuffle_hash"), "h").where(
+        ck == F.col("_keep_pk")
     )
-    kept = ex.join(
-        keeper.select(
-            "h",
-            F.col(f"k.{id_col}").alias("_kid"),
-            F.col("k.chunk_idx").alias("_kidx"),
-        ),
-        "h",
-    ).where((F.col(id_col) == F.col("_kid")) & (F.col("chunk_idx") == F.col("_kidx")))
     totals = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
     rebuilt = kept.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_kept"),
@@ -1137,6 +1135,21 @@ def stratified_hash_sample(
     return df.withColumn("sampled", h < thr)
 
 
+def _pack_id_pos(id_col, pos_col):
+    """Order-preserving (id, pos) -> decimal(38,0) pack: id * 2^32 + pos.
+
+    Valid for any long id and non-negative int32 pos (the full range
+    fits 10^38 with 10 digits to spare). Exists so min-keeper
+    aggregates stay HASH aggregates — min over a struct falls back to
+    SortAggregate (immutable buffer), a full sort of the exploded
+    stream. Numeric ids only (ANSI mode raises loudly otherwise).
+    """
+    return (
+        id_col.cast("decimal(38,0)") * F.lit(4294967296).cast("decimal(38,0)")
+        + pos_col.cast("decimal(38,0)")
+    ).cast("decimal(38,0)")
+
+
 def substring_span_dedup(
     df: DataFrame,
     k: int = 8,
@@ -1162,10 +1175,13 @@ def substring_span_dedup(
       2. every position's k-gram is hashed MAP-SIDE to a 60-bit int
          (``conv(substr(md5(join(slice)), 1, 15), 16, 10)``) so the
          shuffle carries (hash, id, pos) — never gram text;
-      3. the keeper per hash is ``groupBy(hash).agg(min(struct(id,pos)),
-         count)`` — a two-stage hash aggregate, no window, no sort;
-      4. duplicated occurrences come back via an ids-only equi-join on the
-         hash (AQE-skew-safe; a boilerplate gram that appears 10^6 times
+      3. the keeper per hash is ``groupBy(hash).agg(min(pack(id,pos)),
+         count)`` with (id,pos) packed into one decimal(38,0) — a true
+         two-stage HASH aggregate (a struct buffer would demote it to
+         SortAggregate: a full gram-stream sort), no window, no sort;
+      4. duplicated occurrences come back via an ids-only shuffle-hash
+         equi-join on the hash that REUSES the keeper's exchange
+         (AQE-skew-safe; a boilerplate gram that appears 10^6 times
          is one hot KEY, not a cross product — the join output is linear
          in occurrences);
       5. span merging is per-DOC array work (sort + linear fold), never a
@@ -1209,16 +1225,32 @@ def substring_span_dedup(
     occ = base.select(
         F.col("id"), F.posexplode(grams_safe).alias("pos", "gh")
     ).cache()
+    # keeper key: (id, pos) packed order-preservingly into ONE
+    # decimal(38,0) scalar (id * 2^32 + pos; pos is a non-negative
+    # int32 so lexicographic order is preserved for the FULL long id
+    # range, |key| < 2^95 << 10^38). A struct agg buffer is immutable,
+    # which silently demotes the keeper aggregate to SortAggregate —
+    # i.e. a full sort of the gram stream, measured 7.8x super-linear
+    # at 4x volume; a decimal buffer keeps it a hash aggregate.
+    pk = _pack_id_pos(F.col("id"), F.col("pos"))
     keeper = occ.groupBy("gh").agg(
-        F.min(F.struct("id", "pos")).alias("keep"),
+        F.min(pk).alias("keep_pk"),
         F.count(F.lit(1)).alias("cnt"),
     )
+    # shuffle_hash: the probe join re-shuffles occ on gh — the SAME key
+    # the keeper aggregate just exchanged on, so the exchange is reused
+    # and the hinted (filtered, small-per-partition) side becomes the
+    # hash build. Left to AQE this picked a sort-merge join whose 93M-row
+    # sort doubled the whole op (A/B/C-measured: 79.5/95.5/38.3 s at 1M
+    # docs, alternating cycles, min per variant).
     dup = (
-        occ.join(keeper.where(F.col("cnt") > 1).select("gh", "keep"), "gh")
-        .where(
-            (F.col("id") != F.col("keep.id"))
-            | (F.col("pos") != F.col("keep.pos"))
+        occ.join(
+            keeper.where(F.col("cnt") > 1)
+            .select("gh", "keep_pk")
+            .hint("shuffle_hash"),
+            "gh",
         )
+        .where(pk != F.col("keep_pk"))
         .select("id", "pos")
     )
     # per-doc interval merge: sorted duplicate positions -> maximal spans

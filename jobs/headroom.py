@@ -1421,3 +1421,62 @@ def run_round6g_legs(spark) -> None:
             best = el if best is None else min(best, el)
         emit("robust_outliers", n, best, "us_per_row", best / n * 1e6)
         ev.unpersist()
+
+
+def run_round7_legs(spark) -> None:
+    """Round-7: per-unit headroom for the two largest webtext bench legs
+    (VERDICT r6 'What's missing' #2) — substring span dedup and spatial
+    DBSCAN at bench volume and 4x it. Flat/falling per-unit cost = the
+    plan is linear (no hidden quadratic at scale)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.clustering import dbscan
+    from geoharvest_spark.textops import substring_span_dedup
+
+    def emit(workload, n, sec, unit, per, **kw):
+        row = {"workload": workload, "rows": n, "sec": round(sec, 3),
+               unit: round(per, 4)}
+        row.update(kw)
+        print(json.dumps(row), flush=True)
+
+    # substring span dedup: parquet-backed corpus like the bench leg
+    # (vary volume, keep doc shape fixed: ~25M grams at 250k docs)
+    for n_docs in (250_000, 1_000_000):
+        d = tempfile.mkdtemp(prefix="headroom_docs_")
+        try:
+            synth_docs(spark, n_docs).write.mode("overwrite").parquet(d)
+            docs = spark.read.parquet(d)
+            t0 = _time.perf_counter()
+            substring_span_dedup(docs, k=8, emit_clean=False).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            el = _time.perf_counter() - t0
+            emit("substring_span_dedup", n_docs, el, "us_per_doc",
+                 el / n_docs * 1e6)
+        finally:
+            shutil.rmtree(d, True)
+
+    # DBSCAN: planted-cluster grid scaled at CONSTANT density (points
+    # per cluster and eps-neighborhood population fixed) so per-point
+    # cost isolates the plan, not the neighborhood size
+    for n_pts, n_clusters, side in ((200_000, 4096, 64), (800_000, 16384, 128)):
+        i = F.col("id")
+        pts = spark.range(n_pts).select(
+            i,
+            ((i % n_clusters % side) * 4
+             + ((i * 13) % 90) / F.lit(100.0) - 0.45).alias("x"),
+            (F.expr(f"(id % {n_clusters}) div {side}") * 4
+             + ((i * 17) % 90) / F.lit(100.0) - 0.45).alias("y"),
+        )
+        t0 = _time.perf_counter()
+        dbscan(pts, eps=0.5, min_pts=4).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        el = _time.perf_counter() - t0
+        spark.catalog.clearCache()  # dbscan caches pairs/core internally
+        emit("dbscan", n_pts, el, "us_per_point", el / n_pts * 1e6,
+             clusters=n_clusters)

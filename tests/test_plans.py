@@ -463,3 +463,23 @@ def test_dbscan_reads_cached_pairs_not_three_grid_joins(spark):
     plan = _plan(out)
     assert plan.count("InMemoryTableScan") >= 3, plan[:2000]
     spark.catalog.clearCache()
+
+
+def test_substring_dedup_hash_agg_no_sorts(spark):
+    # the keeper aggregate must be a HASH aggregate (struct min buffers
+    # demote to SortAggregate = full gram-stream sort, measured 7.8x
+    # super-linear at 4x volume) and the dup probe a shuffled hash join
+    # reusing the keeper's gh exchange — no sort-merge sorts anywhere.
+    from geoharvest_spark.textops import chunk_dedup, substring_span_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j k l m n o p") for i in range(20)],
+        "doc_id long, text string",
+    )
+    p = _plan(substring_span_dedup(docs, k=8, emit_clean=False))
+    assert "SortAggregate" not in p, p[:1500]
+    assert "ShuffledHashJoin" in p, p[:1500]
+    spark.catalog.clearCache()
+    p2 = _plan(chunk_dedup(docs))
+    assert "SortAggregate" not in p2, p2[:1500]
+    assert "ShuffledHashJoin" in p2, p2[:1500]
