@@ -1156,6 +1156,7 @@ def substring_span_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     emit_clean: bool = True,
+    broadcast_threshold: int | None = 4_000_000,
 ) -> DataFrame:
     """Exact-substring deduplication: remove every >= ``k``-token substring
     that occurs MORE THAN ONCE anywhere in the corpus, keeping only its
@@ -1175,20 +1176,27 @@ def substring_span_dedup(
       2. every position's k-gram is hashed MAP-SIDE to a 60-bit int
          (``conv(substr(md5(join(slice)), 1, 15), 16, 10)``) so the
          shuffle carries (hash, id, pos) — never gram text;
-      3. the keeper per hash is ``groupBy(hash).agg(min(pack(id,pos)),
-         count)`` with (id,pos) packed into one decimal(38,0) — a true
-         two-stage HASH aggregate (a struct buffer would demote it to
-         SortAggregate: a full gram-stream sort), no window, no sort;
-      4. duplicated occurrences come back via an ids-only shuffle-hash
-         equi-join on the hash that REUSES the keeper's exchange
-         (AQE-skew-safe; a boilerplate gram that appears 10^6 times
-         is one hot KEY, not a cross product — the join output is linear
-         in occurrences);
+      3. the keeper per hash is an all-PRIMITIVE hash aggregate
+         (min(id), count) — long agg buffers stay in the codegen fast
+         path; struct/decimal buffers measured 2.8-5.8x slower (struct
+         demotes to SortAggregate outright: a full gram-stream sort);
+      4. duplicated occurrences come back via census-guarded BROADCAST
+         probes when dup keys <= ``broadcast_threshold`` (flat per-row
+         map work), else a shuffle-hash equi-join that reuses the
+         keeper's exchange (AQE-skew-safe; a boilerplate gram that
+         appears 10^6 times is one hot KEY, not a cross product — the
+         join output is linear in occurrences);
       5. span merging is per-DOC array work (sort + linear fold), never a
          corpus-wide sort.
     At extreme scale (>= 10^11 grams) widen step 2 to the full 128-bit
     md5 (collision odds ~n^2/2^61); both sides of the driver oracle use
     the same hash so parity is unaffected either way.
+
+    ``broadcast_threshold``: max duplicated-gram KEYS for the broadcast
+    probe path; the census runs one eager job (which doubles as the occ
+    cache materialization). ``None`` skips the census and stays fully
+    lazy on the shuffle-hash fallback. Both paths are semantically
+    identical (pinned by test).
 
     Returns (id, n_tokens, n_spans, tokens_removed, tokens_kept[,
     clean_md5]) — clean_md5 is md5 of the surviving tokens space-joined
@@ -1225,34 +1233,64 @@ def substring_span_dedup(
     occ = base.select(
         F.col("id"), F.posexplode(grams_safe).alias("pos", "gh")
     ).cache()
-    # keeper key: (id, pos) packed order-preservingly into ONE
-    # decimal(38,0) scalar (id * 2^32 + pos; pos is a non-negative
-    # int32 so lexicographic order is preserved for the FULL long id
-    # range, |key| < 2^95 << 10^38). A struct agg buffer is immutable,
-    # which silently demotes the keeper aggregate to SortAggregate —
-    # i.e. a full sort of the gram stream, measured 7.8x super-linear
-    # at 4x volume; a decimal buffer keeps it a hash aggregate.
-    pk = _pack_id_pos(F.col("id"), F.col("pos"))
-    keeper = occ.groupBy("gh").agg(
-        F.min(pk).alias("keep_pk"),
-        F.count(F.lit(1)).alias("cnt"),
+    # keeper, census-guarded (the cap_per_key discipline):
+    # COMMON PATH — duplicated-gram KEYS are few (clean-ish corpora):
+    #   one all-primitive hash aggregate (min(id), count — long buffers
+    #   stay in the fast codegen path; a struct or decimal(38) buffer
+    #   measured 2.8-5.8x slower and super-linear under memory
+    #   pressure), then TWO broadcast probes over the cached occ: one
+    #   to find the keeper position inside the min doc, one to mark
+    #   every non-keeper occurrence. Broadcast probes are flat per-row
+    #   map work (measured 0.4 s/93M grams vs 13.4 s for a re-shuffle).
+    # FALLBACK — census above ``broadcast_threshold`` dup keys (heavily
+    #   duplicated corpora) or ``broadcast_threshold=None`` (fully lazy):
+    #   decimal(38,0)-packed (id,pos) keeper (order-preserving for the
+    #   full long id range) + shuffle_hash probe that reuses the
+    #   keeper's gh exchange — never a sort-merge sort, never a
+    #   driver-sized broadcast.
+    # The census count doubles as the occ cache materialization (work
+    # the op needs anyway), so the eager job is not wasted.
+    dg = (
+        occ.groupBy("gh")
+        .agg(F.min("id").alias("kid"), F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("gh", "kid")
     )
-    # shuffle_hash: the probe join re-shuffles occ on gh — the SAME key
-    # the keeper aggregate just exchanged on, so the exchange is reused
-    # and the hinted (filtered, small-per-partition) side becomes the
-    # hash build. Left to AQE this picked a sort-merge join whose 93M-row
-    # sort doubled the whole op (A/B/C-measured: 79.5/95.5/38.3 s at 1M
-    # docs, alternating cycles, min per variant).
-    dup = (
-        occ.join(
-            keeper.where(F.col("cnt") > 1)
-            .select("gh", "keep_pk")
-            .hint("shuffle_hash"),
-            "gh",
+    use_broadcast = False
+    if broadcast_threshold is not None:
+        dg = dg.cache()
+        use_broadcast = dg.count() <= broadcast_threshold
+    if use_broadcast:
+        kpos = (
+            occ.join(F.broadcast(dg), "gh")
+            .where(F.col("id") == F.col("kid"))
+            .groupBy("gh", "kid")
+            .agg(F.min("pos").alias("kpos"))
         )
-        .where(pk != F.col("keep_pk"))
-        .select("id", "pos")
-    )
+        dup = (
+            occ.join(F.broadcast(kpos), "gh")
+            .where(
+                (F.col("id") != F.col("kid"))
+                | (F.col("pos") != F.col("kpos"))
+            )
+            .select("id", "pos")
+        )
+    else:
+        pk = _pack_id_pos(F.col("id"), F.col("pos"))
+        keeper = occ.groupBy("gh").agg(
+            F.min(pk).alias("keep_pk"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        dup = (
+            occ.join(
+                keeper.where(F.col("cnt") > 1)
+                .select("gh", "keep_pk")
+                .hint("shuffle_hash"),
+                "gh",
+            )
+            .where(pk != F.col("keep_pk"))
+            .select("id", "pos")
+        )
     # per-doc interval merge: sorted duplicate positions -> maximal spans
     # [s, e] (token indices, 0-based inclusive); contiguous-or-overlapping
     # spans coalesce (p <= last.e + 1).

@@ -476,7 +476,17 @@ def test_substring_dedup_hash_agg_no_sorts(spark):
         [(i, "a b c d e f g h i j k l m n o p") for i in range(20)],
         "doc_id long, text string",
     )
+    # common path: census small -> broadcast probes, primitive agg only
     p = _plan(substring_span_dedup(docs, k=8, emit_clean=False))
+    assert "SortAggregate" not in p, p[:1500]
+    assert "BroadcastHashJoin" in p, p[:1500]
+    spark.catalog.clearCache()
+    # fallback path (lazy / big-dup corpora): shuffle-hash, still no sort
+    p = _plan(
+        substring_span_dedup(
+            docs, k=8, emit_clean=False, broadcast_threshold=None
+        )
+    )
     assert "SortAggregate" not in p, p[:1500]
     assert "ShuffledHashJoin" in p, p[:1500]
     spark.catalog.clearCache()

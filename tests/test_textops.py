@@ -891,11 +891,13 @@ def test_substring_span_dedup_plan_single_split(spark, docs):
     # exactly one split() in the optimized occurrence plan
     out = tx.substring_span_dedup(docs, k=8)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
-    # one split per scan leg (keeper-side occ, dup-side occ, clean-text
-    # base), each in its own staging projection — NOT one per gram
-    # reference (the 750x inline trap) and NOT re-evaluated by a pushed
-    # size(split(...)) filter
-    assert plan.count("split(") <= 3
+    # one split per scan leg — dup-side occ, kpos-probe occ, the cached
+    # dup-gram census (InMemoryRelation prints its cached child plan, so
+    # each cache REFERENCE re-prints the one staged split), clean-text
+    # base — NOT one per gram reference (the 750x inline trap) and NOT
+    # re-evaluated by a pushed size(split(...)) filter. Execution reads
+    # the occ cache once (pinned in test_plans).
+    assert plan.count("split(") <= 5
     assert "Filter (size(split(" not in plan
 
 
@@ -1094,3 +1096,32 @@ def test_compression_ratio_matches_zlib(spark):
         assert got[i] == (n, z, z / n)
     # repetitive text compresses far below the near-random line
     assert got[2][2] < 0.5 < got[3][2]
+
+
+def test_substring_dedup_paths_agree(spark):
+    # the census-guarded broadcast path and the shuffle-hash fallback
+    # must produce identical spans/counts (same keeper semantics)
+    from geoharvest_spark.textops import substring_span_dedup
+
+    rows = [
+        (1, "x x a b c d e f g h i j tail one"),
+        (2, "pre a b c d e f g h i j x y z w"),   # shares the 10-gram
+        (3, "a b c d e f g h i j a b c d e f g h i j"),  # internal dup
+        (4, "unique tokens only here nothing repeats at all ok"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {
+        r["doc_id"]: (r["n_spans"], r["tokens_removed"], r["clean_md5"])
+        for r in substring_span_dedup(df, k=8).collect()
+    }
+    spark.catalog.clearCache()
+    b = {
+        r["doc_id"]: (r["n_spans"], r["tokens_removed"], r["clean_md5"])
+        for r in substring_span_dedup(
+            df, k=8, broadcast_threshold=None
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert a == b
+    assert a[4] == (0, 0, a[4][2])
+    assert a[2][1] > 0 or a[1][1] > 0  # the shared substring was cut
