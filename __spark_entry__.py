@@ -4256,6 +4256,160 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["media_flac_suite"] = media_flac_suite
 
+    # ---------------- NEW IN R7 (registered AFTER the r6s3 overflow
+    # debuts — never-green ties break on registration order, so these
+    # debut behind warc_cdx + the 14 session-3 queries) ----------------
+
+    def url_redirect_resolve(spark, sf):
+        """Redirect-chain resolution by pointer doubling
+        (webops.resolve_redirect_chains): chains of length L collapse in
+        ceil(log2 L) self-joins — the parallel-union-find path-halving
+        trick, one localCheckpoint per round. Synthetic chains: doc i
+        (i%5 != 0) redirects to i-1, so url(i) resolves to
+        url(5*(i div 5)) in i%5 hops — the oracle is that CLOSED FORM
+        (warc-CDX style: independent arithmetic, not a replay)."""
+        from geoharvest_spark.webops import resolve_redirect_chains
+
+        d = _t(spark, sf, "documents").select("doc_id")
+        i = F.col("doc_id")
+        edges = d.where(i % 5 != 0).select(
+            F.concat(F.lit("http://r.site/"), i).alias("src"),
+            F.concat(F.lit("http://r.site/"), i - 1).alias("dst"),
+        )
+        return resolve_redirect_chains(edges).orderBy("src")
+
+    Q["url_redirect_resolve"] = url_redirect_resolve
+
+    def dedup_chunks_cdc(spark, sf):
+        """Content-defined chunking dedup (textops.cdc_chunk_dedup):
+        boundaries where the rolling 8-token gram hash has 4 low zero
+        bits — insertion-robust sub-document dedup (a head edit shifts
+        every fixed chunk but CDC boundaries re-align). Same 60-bit
+        map-side gram hash as dedup_substring_spans; first-wins keeper
+        is the shared hash-agg + shuffle-hash tail. The oracle mirrors
+        the boundary spec with DuckDB list ops + a row_number keeper."""
+        from geoharvest_spark.textops import cdc_chunk_dedup
+
+        d = _t(spark, sf, "documents")
+        return cdc_chunk_dedup(d, window=8, boundary_bits=4).orderBy(
+            "doc_id"
+        )
+
+    Q["dedup_chunks_cdc"] = dedup_chunks_cdc
+
+    def geo_zrange_scan(spark, sf):
+        """Z-order range-decomposition bbox scan (index.zrange_decompose):
+        the quadtree walk turns a lon/lat bbox into <= 24 aligned Morton
+        key BETWEENs — driver-side integer math that reaches a
+        zorder_layout table as parquet min/max row-group pruning. The
+        query ANDs the range predicate with the exact bbox filter; the
+        oracle replays BOTH (independent bit-by-bit morton + the same
+        ranges), so a wrong decomposition (dropping rows) hash-fails."""
+        from geoharvest_spark.index import zorder_bbox_predicate, zorder_key
+
+        i = F.col("event_id")
+        pts = _t(spark, sf, "events").select(
+            i.alias("point_id"),
+            ((i * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+            ((i * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+        )
+        bbox = (-60.0, 55.0, -25.0, 40.0)  # lon_min, lon_max, lat_min, lat_max
+        zk = zorder_key(F.col("lon"), F.col("lat"), res=8)
+        keyed = pts.select("point_id", "lon", "lat", zk.alias("zkey"))
+        zpred = zorder_bbox_predicate(
+            F.col("zkey"), bbox[0], bbox[1], bbox[2], bbox[3], res=8,
+            max_ranges=24, stored_key=False,
+        )
+        exact = (
+            (F.col("lon") >= bbox[0]) & (F.col("lon") <= bbox[1])
+            & (F.col("lat") >= bbox[2]) & (F.col("lat") <= bbox[3])
+        )
+        sel = keyed.where(zpred & exact)
+        return sel.agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("zkey").alias("zkey_sum"),
+            F.min("zkey").alias("zkey_min"),
+            F.max("zkey").alias("zkey_max"),
+        )
+
+    Q["geo_zrange_scan"] = geo_zrange_scan
+
+    def doc_lexical_diversity(spark, sf):
+        """Simpson lexical diversity (textops.lexical_diversity): a pure
+        rational of exact token-count integers — the entropy-free
+        diversity score (Shannon's ln() is not bit-replayable across
+        engines; 1 - sum c(c-1)/n(n-1) is). Computed NARROW: one
+        higher-order fold over the sorted token array per row, zero
+        shuffles (vs the oracle's explode + two-level groupBy)."""
+        from geoharvest_spark.textops import lexical_diversity
+
+        return lexical_diversity(_t(spark, sf, "documents")).orderBy(
+            "doc_id"
+        )
+
+    Q["doc_lexical_diversity"] = doc_lexical_diversity
+
+    def event_touch_attribution(spark, sf):
+        """First-/last-touch attribution (funnel.touch_attribution): per
+        user, credit the channels of the earliest and latest events
+        strictly before the FIRST purchase; no priors -> 'direct'.
+        Everything keyed on user — one exchange, min/max struct
+        aggregates (user-level, post-agg tiny), no windows."""
+        from geoharvest_spark.funnel import touch_attribution
+
+        return touch_attribution(
+            _t(spark, sf, "events"), conversion_type="purchase"
+        )
+
+    Q["event_touch_attribution"] = event_touch_attribution
+
+    def term_burst_trends(spark, sf):
+        """Trailing-window burst detection (textops.term_bursts): a term
+        bursts when its day count clears 2M ppm of its trailing 3-day
+        total — integer floor arithmetic end to end (no z-score sqrt),
+        SQL-replayable exactly. Input: a deterministic (term, day, cnt)
+        rollup with planted spikes, generated identically on both
+        sides."""
+        from geoharvest_spark.textops import term_bursts
+
+        vd = F.col("id")
+        daily = spark.range(200 * 28).select(
+            F.concat(F.lit("term"), (vd % 200)).alias("term"),
+            (vd / 200).cast("int").alias("day"),
+            (
+                10
+                + (vd % 200) % 7
+                + F.when(
+                    ((vd % 200) * 31 + (vd / 200).cast("long")) % 97 == 0,
+                    40 * ((vd % 200) % 3 + 1),
+                ).otherwise(0)
+            ).cast("long").alias("cnt"),
+        )
+        return term_bursts(daily).orderBy("term", "day")
+
+    Q["term_burst_trends"] = term_burst_trends
+
+    def geo_idw_fill(spark, sf):
+        """IDW grid gap-fill (geo.idw_fill): empty ghcell cells within a
+        2-cell circle of data get the inverse-distance-weighted mean of
+        observed neighbor cells. Oracle-exact numerics: integer d^2
+        weights scaled by lcm=4, decimal value sums, ONE final double
+        division. Two exchanges + a 12-offset explode, linear in
+        observed cells."""
+        from geoharvest_spark.geo import idw_fill
+
+        i = F.col("event_id")
+        pts = _t(spark, sf, "events").select(
+            ((i * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+            ((i * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+            # synthetic exact 2-dec value (rolling_value_1d precedent:
+            # the same double on both sides casts to the same decimal)
+            ((i % 1000) / 100.0).alias("value"),
+        )
+        return idw_fill(pts, res=5).orderBy("cell")
+
+    Q["geo_idw_fill"] = geo_idw_fill
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -5060,6 +5214,15 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     stage = stage_all(sf_dir)
     cell5 = ix.ghcell_sql("lon", "lat", 5)
     dec = "cast({c} as decimal(18,2))"
+    # r7 geo oracles: morton twin, the SAME driver-computed z-ranges the
+    # Spark query uses (res 8, <=24 ranges), ghcell decode constants
+    _morton_sql = ix.morton_sql
+    _ghcell_sql = ix.ghcell_sql
+    _GH_RES_BITS = ix.GHCELL_RES_BITS
+    _GH_X_BITS = ix.GHCELL_X_BITS
+    _ZR_PRED = ix.zrange_sql_predicate(
+        "zkey", -60.0, 55.0, -25.0, 40.0, res=8, max_ranges=24
+    )
 
     # Bloom bitset for bloom_semi_prune, built with the PURE-PYTHON twin
     # over the same dim keys (or-accumulation is order-independent); the
@@ -6998,6 +7161,164 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "AS compression_ratio FROM documents d "
             f"JOIN read_parquet('{stage['zlib']}') z USING (doc_id) "
             "ORDER BY d.doc_id"
+        ),
+        "url_redirect_resolve": (
+            # CLOSED FORM (warc-CDX style): chains are i -> i-1 down to
+            # the multiple-of-5 terminal, so target/hops are arithmetic,
+            # independent of the doubling loop under test
+            "SELECT 'http://r.site/' || doc_id AS src, "
+            "'http://r.site/' || (doc_id // 5 * 5) AS target, "
+            "(doc_id % 5)::BIGINT AS hops "
+            "FROM documents WHERE doc_id % 5 <> 0 ORDER BY src"
+        ),
+        "dedup_chunks_cdc": (
+            # boundary spec mirrored with DuckDB list ops: same 60-bit
+            # gram hash, cut after token pos+7 when hash % 16 == 0,
+            # chunks = spans between cuts (tail included), row_number
+            # first-wins keeper, ordered rebuild md5
+            "WITH d AS (SELECT doc_id, string_split(text, ' ') AS l "
+            "FROM documents), "
+            "gp AS (SELECT doc_id, l, "
+            "unnest(range(0, greatest(len(l) - 7, 0))) AS pos FROM d), "
+            "cut AS (SELECT doc_id, (pos + 7)::BIGINT AS c FROM gp WHERE "
+            "('0x' || substr(md5(array_to_string(l[pos + 1 : pos + 8], "
+            "chr(31))), 1, 15))::UBIGINT % 16 = 0), "
+            "cl AS (SELECT doc_id, list_sort(list(c)) AS cuts FROM cut "
+            "GROUP BY doc_id), "
+            "ed AS (SELECT d.doc_id, l, "
+            "[CAST(-1 AS BIGINT)] || coalesce(cuts, []) || "
+            "(CASE WHEN coalesce(cuts[-1], -1) <> len(l) - 1 "
+            "THEN [(len(l) - 1)::BIGINT] ELSE [] END) AS e "
+            "FROM d LEFT JOIN cl USING (doc_id)), "
+            "ch AS (SELECT doc_id, j - 2 AS chunk_idx, "
+            "array_to_string(l[e[j - 1] + 2 : e[j] + 1], ' ') AS chunk "
+            "FROM (SELECT doc_id, l, e, unnest(range(2, len(e) + 1)) AS j "
+            "FROM ed)), "
+            "rk AS (SELECT doc_id, chunk_idx, chunk, row_number() OVER ("
+            "PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn "
+            "FROM ch), "
+            "tot AS (SELECT doc_id, count(*) AS n_chunks FROM ch "
+            "GROUP BY doc_id), "
+            "reb AS (SELECT doc_id, count(*) AS n_kept, "
+            "md5(string_agg(chunk, ' ' ORDER BY chunk_idx)) AS dedup_md5 "
+            "FROM rk WHERE rn = 1 GROUP BY doc_id) "
+            "SELECT tot.doc_id AS doc_id, n_chunks::BIGINT AS n_chunks, "
+            "coalesce(n_kept, 0)::BIGINT AS n_kept, "
+            "coalesce(dedup_md5, md5('')) AS dedup_md5 "
+            "FROM tot LEFT JOIN reb USING (doc_id) ORDER BY 1"
+        ),
+        "geo_zrange_scan": (
+            # independent bit-by-bit morton + the SAME driver-computed
+            # ranges: a decomposition that dropped bbox cells would
+            # shrink the Spark side and hash-fail here
+            "WITH zp AS (SELECT event_id AS point_id, "
+            "(event_id * 7919 % 36000) / 100.0 - 180.0 AS lon, "
+            "(event_id * 104729 % 18000) / 100.0 - 90.0 AS lat "
+            "FROM events), "
+            "zc AS (SELECT point_id, lon, lat, "
+            "least(greatest(cast(floor((lon + 180.0) / 360.0 * 2048.0) "
+            "as bigint), 0), 2047) AS zx, "
+            "least(greatest(cast(floor((lat + 90.0) / 180.0 * 1024.0) "
+            "as bigint), 0), 1023) AS zy FROM zp), "
+            # ::BIGINT: list_sum promotes to HUGEINT and min/max would
+            # land as float64 (the warc_cdx dtype rule)
+            f"zk AS (SELECT point_id, lon, lat, ({_morton_sql('zx', 'zy')}"
+            ")::BIGINT AS zkey FROM zc), "
+            f"zs AS (SELECT * FROM zk WHERE ({_ZR_PRED}) "
+            "AND lon BETWEEN -60.0 AND 55.0 AND lat BETWEEN -25.0 AND 40.0) "
+            "SELECT count(*)::BIGINT AS n_points, "
+            "sum(zkey)::BIGINT AS zkey_sum, min(zkey) AS zkey_min, "
+            "max(zkey) AS zkey_max FROM zs"
+        ),
+        "doc_lexical_diversity": (
+            # independent algorithm: explode + two-level groupBy vs the
+            # engine's narrow sorted-array fold; the diversity double is
+            # ONE division of exact ints on both sides
+            "WITH ldt AS (SELECT doc_id, unnest(string_split(text, ' ')) "
+            "AS tok FROM documents), "
+            "ldc AS (SELECT doc_id, tok, count(*) AS c FROM ldt "
+            "GROUP BY 1, 2), "
+            "lds AS (SELECT doc_id, sum(c * (c - 1))::BIGINT AS num, "
+            "count(*)::BIGINT AS n_distinct FROM ldc GROUP BY 1), "
+            "ldn AS (SELECT doc_id, len(string_split(text, ' '))::INT "
+            "AS n_tokens FROM documents) "
+            "SELECT ldn.doc_id AS doc_id, n_tokens, n_distinct, "
+            "num AS simpson_num, "
+            "CASE WHEN n_tokens >= 2 THEN 1.0 - num / "
+            "CAST(n_tokens::BIGINT * (n_tokens - 1) AS DOUBLE) END "
+            "AS diversity "
+            "FROM ldn JOIN lds USING (doc_id) ORDER BY 1"
+        ),
+        "event_touch_attribution": (
+            # row_number formulation (DuckDB arg_min can't order by
+            # structs); ties on (ts, event_id) exactly as the engine
+            "WITH tae AS (SELECT user_id AS u, ts AS t, event_type AS et, "
+            "event_id AS eid FROM events), "
+            "tac AS (SELECT u, t AS ct, eid AS ceid FROM ("
+            "SELECT u, t, eid, row_number() OVER (PARTITION BY u "
+            "ORDER BY t, eid) AS rn FROM tae WHERE et = 'purchase') "
+            "WHERE rn = 1), "
+            "tap AS (SELECT tae.u, tae.et, row_number() OVER ("
+            "PARTITION BY tae.u ORDER BY tae.t, tae.eid) AS rf, "
+            "row_number() OVER (PARTITION BY tae.u ORDER BY tae.t DESC, "
+            "tae.eid DESC) AS rl FROM tae JOIN tac ON tae.u = tac.u "
+            "AND (tae.t < tac.ct OR (tae.t = tac.ct AND tae.eid < "
+            "tac.ceid))), "
+            "taf AS (SELECT u, et AS ft FROM tap WHERE rf = 1), "
+            "tal AS (SELECT u, et AS lt FROM tap WHERE rl = 1) "
+            "SELECT coalesce(ft, 'direct') AS first_touch, "
+            "coalesce(lt, 'direct') AS last_touch, "
+            "count(*)::BIGINT AS n_users "
+            "FROM tac LEFT JOIN taf USING (u) LEFT JOIN tal USING (u) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "term_burst_trends": (
+            # identical deterministic daily synth; integer floor div
+            "WITH tbg AS (SELECT 'term' || (i % 200) AS term, "
+            "(i // 200)::INT AS day, "
+            "(10 + (i % 200) % 7 + CASE WHEN "
+            "((i % 200) * 31 + (i // 200)) % 97 = 0 "
+            "THEN 40 * ((i % 200) % 3 + 1) ELSE 0 END)::BIGINT AS cnt "
+            "FROM range(5600) r(i)), "
+            "tbw AS (SELECT term, day, cnt, "
+            "(sum(cnt) OVER (PARTITION BY term ORDER BY day "
+            "ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING))::BIGINT "
+            "AS trailing_total FROM tbg) "
+            "SELECT term, day, cnt, trailing_total, "
+            "(cnt * 1000000 // trailing_total)::BIGINT AS burst_ppm "
+            "FROM tbw WHERE trailing_total IS NOT NULL AND cnt >= 5 "
+            "AND cnt * 1000000 // trailing_total >= 2000000 "
+            "ORDER BY term, day"
+        ),
+        "geo_idw_fill": (
+            # full mirror: ghcell at res 5, the 12 circle offsets as a
+            # VALUES relation, decimal value sums, double cast BEFORE
+            # the one division
+            "WITH iwp AS (SELECT "
+            "(event_id * 7919 % 36000) / 100.0 - 180.0 AS lon, "
+            "(event_id * 104729 % 18000) / 100.0 - 90.0 AS lat, "
+            "((event_id % 1000) / 100.0)::DECIMAL(18,2) AS v FROM events), "
+            f"iwo AS (SELECT {_ghcell_sql('lon', 'lat', 5)} AS cell, "
+            "sum(v) AS sv FROM iwp GROUP BY 1), "
+            "iwd AS (SELECT cell, sv, "
+            f"(cell % {_GH_RES_BITS}) // {_GH_X_BITS} AS x, "
+            f"(cell % {_GH_RES_BITS}) % {_GH_X_BITS} AS y FROM iwo), "
+            "iwf(dx, dy, w) AS (VALUES "
+            "(-2, 0, 1), (-1, -1, 2), (-1, 0, 4), (-1, 1, 2), "
+            "(0, -2, 1), (0, -1, 4), (0, 1, 4), (0, 2, 1), "
+            "(1, -1, 2), (1, 0, 4), (1, 1, 2), (2, 0, 1)), "
+            "iwc AS (SELECT x + dx AS tx, y + dy AS ty, w::BIGINT AS w, "
+            "sv FROM iwd, iwf WHERE x + dx >= 0 AND x + dx < 256 "
+            "AND y + dy >= 0 AND y + dy < 128), "
+            f"iwg AS (SELECT (5::BIGINT * {_GH_RES_BITS} + "
+            f"tx * {_GH_X_BITS} + ty) AS cell, "
+            "count(*)::BIGINT AS n_contributors, "
+            "sum(w)::BIGINT AS weight_sum, sum(sv * w) AS num "
+            "FROM iwc GROUP BY 1) "
+            "SELECT cell, n_contributors, weight_sum, "
+            "CAST(num AS DOUBLE) / CAST(weight_sum AS DOUBLE) "
+            "AS idw_value FROM iwg "
+            "WHERE cell NOT IN (SELECT cell FROM iwo) ORDER BY cell"
         ),
     }
     # streaming CDC maintenance must equal the one-shot MERGE: the

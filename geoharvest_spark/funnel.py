@@ -113,3 +113,67 @@ def funnel_counts(
             "n_users",
         )
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-/last-touch attribution: for every user's FIRST conversion
+    event, credit the channel (event_type) of the earliest and the
+    latest event strictly before it; users whose conversion has no
+    prior events attribute to 'direct'. Returns the rollup
+    (first_touch, last_touch, n_users), which is what marketing
+    attribution reports aggregate at any scale.
+
+    Plan: everything is keyed on user — ONE hash exchange; the three
+    per-user reductions (first conversion, earliest prior, latest
+    prior) are min/max aggregates over a packed (ts, event_id, type)
+    ordering key, not windows, so map-side partial aggregation applies.
+    Ties break on event_id (unique), keeping the result deterministic.
+    """
+    e = events.select(
+        F.col(user_col).alias("u"),
+        F.col(ts_col).cast("timestamp").alias("t"),
+        F.col(type_col).alias("et"),
+        F.col(id_col).cast("long").alias("eid"),
+    )
+    # first conversion per user: min over (t, eid) — struct min is fine
+    # here (one row per user after the aggregate, tiny vs the stream)
+    conv = (
+        e.where(F.col("et") == conversion_type)
+        .groupBy("u")
+        .agg(F.min(F.struct("t", "eid")).alias("c"))
+        .select("u", F.col("c.t").alias("ct"), F.col("c.eid").alias("ceid"))
+    )
+    prior = (
+        e.join(conv, "u")
+        .where(
+            (F.col("t") < F.col("ct"))
+            | ((F.col("t") == F.col("ct")) & (F.col("eid") < F.col("ceid")))
+        )
+        .groupBy("u")
+        .agg(
+            F.min(F.struct("t", "eid", "et")).alias("f"),
+            F.max(F.struct("t", "eid", "et")).alias("l"),
+        )
+        .select(
+            "u",
+            F.col("f.et").alias("first_touch"),
+            F.col("l.et").alias("last_touch"),
+        )
+    )
+    attributed = conv.join(prior, "u", "left").select(
+        "u",
+        F.coalesce("first_touch", F.lit("direct")).alias("first_touch"),
+        F.coalesce("last_touch", F.lit("direct")).alias("last_touch"),
+    )
+    return (
+        attributed.groupBy("first_touch", "last_touch")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("first_touch", "last_touch")
+    )

@@ -353,3 +353,110 @@ def polygon_shoelace_sql(vertices_expr: str) -> str:
         f"CAST({cxn} AS DOUBLE) / CAST(3 * ({s}) AS DOUBLE) AS cx, "
         f"CAST({cyn} AS DOUBLE) / CAST(3 * ({s}) AS DOUBLE) AS cy"
     )
+
+
+def idw_fill(
+    points: DataFrame,
+    res: int = 6,
+    radius: int = 2,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    value_col: str = "value",
+) -> DataFrame:
+    """Inverse-distance-weighted grid interpolation: aggregate point
+    values onto the ghcell grid at ``res``, then estimate every EMPTY
+    cell within ``radius`` of data as the IDW mean of its observed
+    neighbors — the standard gap-fill for sensor/observation rasters.
+
+    Numerics are oracle-exact by construction: neighbor offsets have
+    integer squared distances, the 1/d^2 weights are scaled by
+    lcm(d^2) = 4 (radius 2 -> w in {4, 2, 1}), values aggregate as
+    decimal(18,2), and the ONLY division is the final num/den — a
+    single IEEE op over exact operands, bit-identical in SQL.
+
+    Plan: one exchange to build per-cell sums, one explode of the <= 12
+    circle offsets (output linear in observed cells), one exchange to
+    regroup on the target cell, an anti-join against observed cells.
+    No windows, no Python. Returns (cell, n_contributors, weight_sum,
+    idw_value) for filled cells only.
+    """
+    if radius != 2:
+        raise ValueError("idw_fill currently supports radius=2 (w=4/d^2)")
+    from .index import GHCELL_RES_BITS, GHCELL_X_BITS, ghcell, ghcell_decode, ghcell_nx, ghcell_ny
+
+    nx, ny = ghcell_nx(res), ghcell_ny(res)
+    obs = (
+        points.select(
+            ghcell(F.col(lon_col), F.col(lat_col), res).alias("cell"),
+            F.col(value_col).cast("decimal(18,2)").alias("v"),
+        )
+        .groupBy("cell")
+        .agg(F.sum("v").alias("sv"))
+    )
+    offsets = [
+        (dx, dy, 4 // (dx * dx + dy * dy))
+        for dx in range(-radius, radius + 1)
+        for dy in range(-radius, radius + 1)
+        if 0 < dx * dx + dy * dy <= radius * radius
+    ]
+    # decode staged through its own projection: struct-field extraction
+    # from an EXPRESSION alongside a generator in one select over an
+    # aggregate loses the struct's field names (Spark quirk — analysis
+    # fails with FIELD_NOT_FOUND col1/col2/col3)
+    dec = obs.select(
+        "sv",
+        ghcell_decode(F.col("cell"))["x"].alias("x"),
+        ghcell_decode(F.col("cell"))["y"].alias("y"),
+    )
+    cand = dec.select(
+        "sv",
+        F.col("x"),
+        F.col("y"),
+        F.explode(
+            F.expr(
+                "array("
+                + ",".join(
+                    f"named_struct('dx',{dx},'dy',{dy},'w',CAST({w} AS BIGINT))"
+                    for dx, dy, w in offsets
+                )
+                + ")"
+            )
+        ).alias("o"),
+    ).select(
+        (F.col("x") + F.col("o.dx")).alias("tx"),
+        (F.col("y") + F.col("o.dy")).alias("ty"),
+        F.col("o.w").alias("w"),
+        "sv",
+    ).where(
+        (F.col("tx") >= 0) & (F.col("tx") < nx)
+        & (F.col("ty") >= 0) & (F.col("ty") < ny)
+    )
+    tcell = (
+        F.lit(res).cast("long") * F.lit(GHCELL_RES_BITS)
+        + F.col("tx").cast("long") * F.lit(GHCELL_X_BITS)
+        + F.col("ty").cast("long")
+    ).alias("cell")
+    filled = (
+        cand.select(tcell, "w", "sv")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_contributors"),
+            F.sum("w").alias("weight_sum"),
+            F.sum(F.col("sv") * F.col("w")).alias("_num"),
+        )
+        .join(obs.select("cell"), "cell", "left_anti")
+        .select(
+            "cell",
+            "n_contributors",
+            "weight_sum",
+            # cast operands to double BEFORE dividing: decimal/long
+            # division scale rules differ across engines; the numerator
+            # is an exact (order-free) decimal sum, so the double casts
+            # are exact and the single IEEE division bit-matches SQL
+            (
+                F.col("_num").cast("double")
+                / F.col("weight_sum").cast("double")
+            ).alias("idw_value"),
+        )
+    )
+    return filled

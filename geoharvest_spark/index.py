@@ -555,6 +555,135 @@ def zorder_layout(
     )
 
 
+def cell_coords(lon: float, lat: float, res: int) -> tuple[int, int]:
+    """Driver-side twin of zorder_key's lon/lat -> (x, y) cell transform
+    (same floor + clamp arithmetic, so plan-time range math and row-time
+    keys agree bit-for-bit)."""
+    nx, ny = ghcell_nx(res), ghcell_ny(res)
+    import math
+
+    x = int(math.floor((lon + 180.0) / 360.0 * float(nx)))
+    y = int(math.floor((lat + 90.0) / 180.0 * float(ny)))
+    return (min(max(x, 0), nx - 1), min(max(y, 0), ny - 1))
+
+
+def zrange_decompose(
+    x0: int, x1: int, y0: int, y1: int, max_ranges: int = 64
+) -> list:
+    """Decompose a cell-space bbox (inclusive coords, 16-bit/dim) into
+    maximal Z-order key ranges — the classic quadtree walk: a quadrant
+    fully inside the box emits one aligned [z, z + 4^level) range,
+    a disjoint quadrant is skipped, a straddling quadrant recurses.
+    Adjacent ranges are merged; if still over ``max_ranges``, the
+    smallest-GAP neighbors merge first — the result stays a SUPERSET of
+    the bbox (callers pair it with the exact predicate), it just prunes
+    a little less. This is the planner that turns a spatial bbox into
+    parquet-min/max-prunable key predicates over a zorder_layout table:
+    driver-side integer math, zero data reads.
+    """
+    if x0 > x1 or y0 > y1:
+        raise ValueError(f"empty bbox: {(x0, x1, y0, y1)}")
+    ranges: list = []
+
+    def rec(level: int, z: int, qx: int, qy: int) -> None:
+        size = 1 << level
+        if qx > x1 or qx + size - 1 < x0 or qy > y1 or qy + size - 1 < y0:
+            return
+        if qx >= x0 and qx + size - 1 <= x1 and qy >= y0 and qy + size - 1 <= y1:
+            ranges.append([z, z + (1 << (2 * level)) - 1])
+            return
+        half = size >> 1
+        quarter = 1 << (2 * (level - 1))
+        for dx, dy in ((0, 0), (1, 0), (0, 1), (1, 1)):
+            rec(
+                level - 1,
+                z + (dx + 2 * dy) * quarter,
+                qx + dx * half,
+                qy + dy * half,
+            )
+
+    rec(16, 0, 0, 0)
+    ranges.sort()
+    merged = [ranges[0]]
+    for lo, hi in ranges[1:]:
+        if lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    while len(merged) > max_ranges:
+        # coarsen: close the smallest inter-range gap (minimal extra keys)
+        gi = min(
+            range(1, len(merged)),
+            key=lambda i: merged[i][0] - merged[i - 1][1],
+        )
+        merged[gi - 1][1] = merged[gi][1]
+        del merged[gi]
+    return [(lo, hi) for lo, hi in merged]
+
+
+def zorder_bbox_predicate(
+    zkey: Column,
+    lon_min: float,
+    lon_max: float,
+    lat_min: float,
+    lat_max: float,
+    res: int = 12,
+    max_ranges: int = 64,
+    stored_key: bool = True,
+) -> Column:
+    """Z-key predicate for a lon/lat bbox from zrange_decompose — a
+    SUPERSET of the bbox, AND it with the exact lon/lat predicate.
+
+    ``stored_key=True`` (layout tables, the 100-TB path): an OR of
+    BETWEENs — on a zorder_layout table the key is a real column, the
+    BETWEENs reach the parquet scan as min/max row-group pruning.
+
+    ``stored_key=False`` (key COMPUTED in the same plan): ONE
+    exists() over a literal ranges array, referencing zkey exactly
+    twice. The BETWEEN form would push below the key's projection and
+    substitute the (large) morton expression once per range bound —
+    2*max_ranges inlined copies, a multi-MiB codegen blowup that OOMs
+    a default-heap driver (the inline-reuse trap, measured in smoke).
+    exists() does not prune parquet, but a computed key never could."""
+    x0, y0 = cell_coords(lon_min, lat_min, res)
+    x1, y1 = cell_coords(lon_max, lat_max, res)
+    rs = zrange_decompose(x0, x1, y0, y1, max_ranges=max_ranges)
+    if stored_key:
+        pred = None
+        for lo, hi in rs:
+            p = zkey.between(F.lit(lo), F.lit(hi))
+            pred = p if pred is None else (pred | p)
+        return pred
+    arr = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('lo',CAST({lo} AS BIGINT),"
+            f"'hi',CAST({hi} AS BIGINT))"
+            for lo, hi in rs
+        )
+        + ")"
+    )
+    return F.exists(arr, lambda r: (zkey >= r["lo"]) & (zkey <= r["hi"]))
+
+
+def zrange_sql_predicate(
+    zkey_expr: str,
+    lon_min: float,
+    lon_max: float,
+    lat_min: float,
+    lat_max: float,
+    res: int = 12,
+    max_ranges: int = 64,
+) -> str:
+    """SQL twin of zorder_bbox_predicate (same driver-side ranges)."""
+    x0, y0 = cell_coords(lon_min, lat_min, res)
+    x1, y1 = cell_coords(lon_max, lat_max, res)
+    rs = zrange_decompose(x0, x1, y0, y1, max_ranges=max_ranges)
+    return " OR ".join(
+        f"({zkey_expr} BETWEEN {lo} AND {hi})" for lo, hi in rs
+    )
+
+
 def ghcell_neighbors(cell: Column, res: int) -> Column:
     """Array of the 3x3 neighborhood cell ids (edge cells emit fewer;
     longitude does NOT wrap — the grid is a flat lattice here, matching

@@ -403,6 +403,15 @@ def chunk_dedup(
     ex = base.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
     ).withColumn("h", F.md5("chunk"))
+    return _dedup_exploded_chunks(ex, id_col, emit_text)
+
+
+def _dedup_exploded_chunks(
+    ex: DataFrame, id_col: str, emit_text: bool
+) -> DataFrame:
+    """Shared first-wins chunk-dedup tail over exploded (id, chunk_idx,
+    chunk, h) rows — used by both fixed-size (chunk_dedup) and
+    content-defined (cdc_chunk_dedup) chunking."""
     # packed scalar keeper (see _pack_id_pos): a struct min would demote
     # this corpus-wide aggregate to SortAggregate (full chunk-stream sort)
     ck = _pack_id_pos(F.col(id_col), F.col("chunk_idx"))
@@ -434,6 +443,106 @@ def chunk_dedup(
         F.coalesce("_dedup_text", F.lit("")).alias("dedup_text"),
     )
     return out if emit_text else out.drop("dedup_text")
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    window: int = 8,
+    boundary_bits: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    emit_text: bool = False,
+) -> DataFrame:
+    """Content-defined chunking dedup: chunk boundaries are placed where
+    the rolling ``window``-token gram hash has its low ``boundary_bits``
+    bits zero (expected chunk length ~2^boundary_bits + window tokens),
+    then globally-first-wins dedup over the variable chunks — the
+    rsync/LBFS/CDC trick that makes chunk dedup INSERTION-ROBUST: a
+    token inserted at the head of a page shifts every fixed-size chunk
+    (chunk_dedup finds nothing), but content-defined boundaries re-align
+    immediately after the edit, so all downstream chunks still dedup.
+
+    Fully JVM-side: the gram hashes reuse substring_span_dedup's 60-bit
+    map-side hash (md5 of the chr(31)-joined slice, first 15 hex
+    digits — SQL-replayable); cuts/chunks are higher-order-function
+    array work per row; the corpus-wide keeper is the shared
+    hash-aggregate + shuffle-hash tail (_dedup_exploded_chunks). The
+    shuffle carries (md5, id, idx) only — never chunk text twice.
+
+    Boundary spec (mirrored by the oracle): gram at token position i
+    (0-based, i <= n-window) cuts AFTER token i + window - 1; chunks
+    are the token spans between cuts, the tail span included.
+
+    Returns (id, n_chunks, n_kept, dedup_md5[, dedup_text]) — same
+    contract as chunk_dedup for side-by-side comparison.
+    """
+    if window < 2 or boundary_bits < 1:
+        raise ValueError(
+            f"window must be >= 2, boundary_bits >= 1: "
+            f"{window}, {boundary_bits}"
+        )
+    mask = (1 << boundary_bits) - 1
+    base = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+    sep = "\x1f"
+    gh = lambda i: F.conv(  # noqa: E731 — same hash as substring dedup
+        F.substring(
+            F.md5(F.concat_ws(sep, F.slice(toks, i + 1, window))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    # cut END positions (0-based token index); guard short docs with an
+    # empty sequence (sequence(0, n-window) would run BACKWARDS when
+    # n < window — Spark sequences auto-step -1 — yielding bogus cuts)
+    cuts = F.when(
+        n >= window,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(0), n - window),
+                lambda i: F.when(
+                    gh(i).bitwiseAND(F.lit(mask)) == 0, i + window - 1
+                ),
+            ),
+            lambda c: c.isNotNull(),
+        ),
+    ).otherwise(F.expr("cast(array() as array<int>)"))
+    # ANSI-safe tail edge: element_at only evaluates when cuts is
+    # non-empty (CaseWhen branches evaluate in order)
+    edges = F.concat(
+        F.array(F.lit(-1).cast("int")),
+        cuts,
+        F.when(F.size(cuts) == 0, F.array((n - 1).cast("int")))
+        .when(
+            F.element_at(cuts, -1) != n - 1, F.array((n - 1).cast("int"))
+        )
+        .otherwise(F.expr("cast(array() as array<int>)")),
+    )
+    # stage the token array once (inline-split trap), then the edges
+    # array once (each chunk references edges twice)
+    staged = base.select(F.col(id_col), toks.alias("_toks2"), edges.alias("_e"))
+    toks2, e2 = F.col("_toks2"), F.col("_e")
+    chunks2 = F.when(
+        F.size(toks2) > 0,
+        F.transform(
+            F.slice(e2, 2, F.size(e2) - 1),
+            lambda e, j: F.concat_ws(
+                " ",
+                F.slice(
+                    toks2,
+                    F.element_at(e2, j + 1) + 2,
+                    e - F.element_at(e2, j + 1),
+                ),
+            ),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    ex = staged.select(
+        F.col(id_col), F.posexplode(chunks2).alias("chunk_idx", "chunk")
+    ).withColumn("h", F.md5("chunk"))
+    return _dedup_exploded_chunks(ex, id_col, emit_text)
 
 
 def ngram_jaccard_pairs(
@@ -1534,3 +1643,120 @@ def with_compression_ratio(
             F.col("z_bytes").cast("double") / F.col("n_bytes"),
         )
     )
+
+
+def lexical_diversity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Simpson lexical diversity: 1 - sum(c_i*(c_i-1)) /
+    (n*(n-1)) over token counts c_i — the probability two tokens drawn
+    without replacement differ. The entropy-free diversity measure: a
+    pure RATIONAL of exact integers (one final double division), so the
+    output is bit-replayable in SQL — unlike Shannon entropy, whose ln()
+    differs across engines.
+
+    Plan: NARROW, zero shuffles — tokens are sorted per row and runs
+    folded with one higher-order aggregate (no explode, no groupBy).
+    The token array is staged once (inline-split trap); the sorted copy
+    feeds one aggregate. n < 2 emits NULL diversity.
+
+    Returns (id, n_tokens, n_distinct, simpson_num, diversity).
+    """
+    base = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    st = F.array_sort(F.col("_toks"))
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit(None).cast("string").alias("p"),
+        zero.alias("r"),
+        zero.alias("num"),
+        zero.alias("d"),
+    )
+
+    def merge(a, t):
+        same = t == a["p"]  # null (-> otherwise) on the first token
+        return F.struct(
+            t.alias("p"),
+            F.when(same, a["r"] + 1).otherwise(F.lit(1).cast("long")).alias("r"),
+            (
+                a["num"]
+                + F.when(same, zero).otherwise(a["r"] * (a["r"] - 1))
+            ).alias("num"),
+            (a["d"] + F.when(same, zero).otherwise(F.lit(1).cast("long"))).alias(
+                "d"
+            ),
+        )
+
+    agg = F.aggregate(
+        st,
+        init,
+        merge,
+        lambda a: F.struct(
+            (a["num"] + a["r"] * (a["r"] - 1)).alias("num"), a["d"].alias("d")
+        ),
+    )
+    staged = base.select(F.col(id_col), F.size("_toks").alias("n_tokens"), agg.alias("_a"))
+    n = F.col("n_tokens").cast("long")
+    return staged.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.col("_a.d").alias("n_distinct"),
+        F.col("_a.num").alias("simpson_num"),
+        F.when(
+            n >= 2,
+            F.lit(1.0) - F.col("_a.num") / (n * (n - 1)).cast("double"),
+        ).alias("diversity"),
+    )
+
+
+def term_bursts(
+    daily: DataFrame,
+    term_col: str = "term",
+    day_col: str = "day",
+    count_col: str = "cnt",
+    trailing_days: int = 3,
+    min_count: int = 5,
+    burst_ppm_threshold: int = 2_000_000,
+) -> DataFrame:
+    """Bursty-term detection over a (term, day, count) stream: a term
+    bursts on a day when its count is at least ``burst_ppm_threshold``
+    parts-per-million of its TRAILING ``trailing_days``-day total
+    (integer floor arithmetic end to end — replayable exactly in SQL,
+    no sqrt/z-score). Days with no trailing history are skipped.
+
+    One hash exchange on term; the trailing window is a per-term ROWS
+    frame over consecutive-day rows — rows (not RANGE) is correct here
+    because the input is the DENSE daily rollup (callers build it with
+    a groupBy over the raw stream; absent days mean absent rows, so a
+    gap legitimately shortens the trailing total and sharpens bursts of
+    returning terms). At 100 TB the exchange carries (term, day, cnt)
+    aggregates, never raw tokens.
+
+    Returns (term, day, cnt, trailing_total, burst_ppm) for bursting
+    rows only.
+    """
+    w = (
+        Window.partitionBy(term_col)
+        .orderBy(day_col)
+        .rowsBetween(-trailing_days, -1)
+    )
+    tt = F.sum(F.col(count_col)).over(w)
+    out = (
+        daily.select(
+            F.col(term_col),
+            F.col(day_col),
+            F.col(count_col).cast("long").alias("cnt"),
+            tt.cast("long").alias("trailing_total"),
+        )
+        .where(
+            F.col("trailing_total").isNotNull()
+            & (F.col("cnt") >= min_count)
+        )
+        .withColumn(
+            "burst_ppm",
+            F.expr("cnt * 1000000 div trailing_total").cast("long"),
+        )
+        .where(F.col("burst_ppm") >= burst_ppm_threshold)
+    )
+    return out

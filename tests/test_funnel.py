@@ -94,3 +94,28 @@ def test_steps_validation(spark):
     df = spark.read.parquet(f"{SF001}/events.parquet")
     with pytest.raises(ValueError, match="steps"):
         funnel_depths(df, ())
+
+
+def test_touch_attribution_semantics(spark):
+    from geoharvest_spark.funnel import touch_attribution
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 10, "ad"),
+        (2, "2024-01-01 01:00:00", 10, "email"),
+        (3, "2024-01-01 02:00:00", 10, "purchase"),
+        (4, "2024-01-01 03:00:00", 10, "ad"),         # after conv: ignored
+        (5, "2024-01-01 00:00:00", 20, "purchase"),   # no priors: direct
+        (6, "2024-01-02 00:00:00", 30, "search"),
+        (7, "2024-01-02 01:00:00", 30, "purchase"),
+        (8, "2024-01-02 02:00:00", 40, "ad"),         # never converts
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string"
+    )
+    out = {
+        (r["first_touch"], r["last_touch"]): r["n_users"]
+        for r in touch_attribution(df).collect()
+    }
+    assert out == {
+        ("ad", "email"): 1, ("direct", "direct"): 1, ("search", "search"): 1
+    }

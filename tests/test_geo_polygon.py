@@ -49,3 +49,32 @@ def test_triangle(spark):
     df = spark.createDataFrame([_poly(1, [(0, 0), (6, 0), (0, 6)])], VERT_DDL)
     r = polygon_stats(df).collect()[0]
     assert r["area2"] == 36 and r["cx"] == 2.0 and r["cy"] == 2.0
+
+
+def test_idw_fill_exact_weights(spark):
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.geo import idw_fill
+    from geoharvest_spark.index import ghcell_decode
+
+    # one observed cell -> 12 filled neighbors, idw == the cell's sum
+    pts = spark.createDataFrame(
+        [(0.1, 0.1, 10.0), (0.1, 0.1, 20.0)],
+        "lon double, lat double, value double",
+    )
+    rows = idw_fill(pts, res=6).collect()
+    assert len(rows) == 12
+    assert all(r["idw_value"] == 30.0 for r in rows)
+    assert sorted(r["weight_sum"] for r in rows) == sorted(
+        [4, 4, 4, 4, 2, 2, 2, 2, 1, 1, 1, 1]
+    )
+    # two observed cells two apart: the midpoint cell mixes 1:1 at w=1+1?
+    # place second point 2 cells east: midpoint gets both at d^2=1 (w=4)
+    pts2 = spark.createDataFrame(
+        [(0.1, 0.1, 10.0), (0.1 + 2 * 360.0 / 512, 0.1, 40.0)],
+        "lon double, lat double, value double",
+    )
+    out2 = idw_fill(pts2, res=6)
+    mid = [r for r in out2.collect() if r["n_contributors"] == 2
+           and r["weight_sum"] == 8]
+    assert any(abs(r["idw_value"] - 25.0) < 1e-12 for r in mid)

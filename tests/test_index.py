@@ -277,3 +277,68 @@ def test_smooth_cell_counts_known_grid(spark):
     assert got[cid(9, 9)] == 5 and got[cid(12, 12)] == 7
     # total mass = sum over sources of count * neighborhood size
     assert sum(got.values()) == 5 * 9 + 7 * 9
+
+
+def test_zrange_decompose_exact_and_superset():
+    import random
+
+    import numpy as np
+
+    from geoharvest_spark.index import morton_np, zrange_decompose
+
+    rng = random.Random(11)
+    for _ in range(60):
+        x0 = rng.randint(0, 300); x1 = x0 + rng.randint(0, 50)
+        y0 = rng.randint(0, 300); y1 = y0 + rng.randint(0, 50)
+        rs = zrange_decompose(x0, x1, y0, y1, max_ranges=10**9)
+        xs, ys = np.meshgrid(np.arange(x0, x1 + 1), np.arange(y0, y1 + 1))
+        zs = morton_np(xs.ravel(), ys.ravel())
+        covered = np.zeros(len(zs), bool)
+        total = 0
+        for lo, hi in rs:
+            covered |= (zs >= lo) & (zs <= hi)
+            total += hi - lo + 1
+        assert covered.all()
+        # maximal decomposition is EXACT: key count == bbox area
+        assert total == (x1 - x0 + 1) * (y1 - y0 + 1)
+        # coarsened to any cap stays a superset
+        rs4 = zrange_decompose(x0, x1, y0, y1, max_ranges=4)
+        assert len(rs4) <= 4
+        cov4 = np.zeros(len(zs), bool)
+        for lo, hi in rs4:
+            cov4 |= (zs >= lo) & (zs <= hi)
+        assert cov4.all()
+
+
+def test_zorder_bbox_predicate_equals_exact_filter(spark):
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.index import zorder_bbox_predicate, zorder_key
+
+    i = F.col("id")
+    pts = spark.range(20000).select(
+        ((i * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((i * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+    keyed = pts.withColumn("zkey", zorder_key(F.col("lon"), F.col("lat"), 8))
+    exact = (
+        (F.col("lon") >= -60.0) & (F.col("lon") <= 55.0)
+        & (F.col("lat") >= -25.0) & (F.col("lat") <= 40.0)
+    )
+    zp = zorder_bbox_predicate(
+        F.col("zkey"), -60.0, 55.0, -25.0, 40.0, res=8, max_ranges=24,
+        stored_key=False,
+    )
+    # and the stored-key BETWEEN form must select the same rows
+    zp_stored = zorder_bbox_predicate(
+        F.col("zkey"), -60.0, 55.0, -25.0, 40.0, res=8, max_ranges=24
+    )
+    n_exact = keyed.where(exact).count()
+    n_both = keyed.where(zp & exact).count()
+    n_z = keyed.where(zp).count()
+    assert n_both == n_exact          # z-ranges never drop bbox rows
+    assert n_z >= n_exact             # superset (coarsened ranges)
+    # BETWEEN (stored-key) and exists (computed-key) forms agree; the
+    # BETWEEN form is only safe on stored columns (inline-reuse trap)
+    small = keyed.limit(2000).localCheckpoint()
+    assert small.where(zp_stored).count() == small.where(zp).count()

@@ -493,3 +493,30 @@ def test_substring_dedup_hash_agg_no_sorts(spark):
     p2 = _plan(chunk_dedup(docs))
     assert "SortAggregate" not in p2, p2[:1500]
     assert "ShuffledHashJoin" in p2, p2[:1500]
+
+
+def test_zrange_computed_key_no_morton_blowup(spark):
+    # computed-key form: the filter must hold ONE exists() referencing
+    # the morton key twice — the BETWEEN form pushed below the key's
+    # projection inlines the giant spread expression 2*n_ranges times
+    # (multi-MiB codegen, OOMs a default-heap driver; measured in smoke)
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.index import zorder_bbox_predicate, zorder_key
+
+    i = F.col("id")
+    pts = spark.range(100).select(
+        ((i * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((i * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+    keyed = pts.withColumn("zkey", zorder_key(F.col("lon"), F.col("lat"), 8))
+    zp = zorder_bbox_predicate(
+        F.col("zkey"), -60.0, 55.0, -25.0, 40.0, res=8, max_ranges=24,
+        stored_key=False,
+    )
+    out = keyed.where(zp).agg(F.sum("zkey").alias("s"))
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    # 0x55555555 appears exactly twice per morton copy (x and y final
+    # masks): allow the filter's two references + the aggregate's staged
+    # projection = 3 copies (vs 2*24 = 48 copies in the BETWEEN form)
+    assert plan.count("1431655765") <= 6, plan[:2000]

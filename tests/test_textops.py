@@ -1125,3 +1125,69 @@ def test_substring_dedup_paths_agree(spark):
     assert a == b
     assert a[4] == (0, 0, a[4][2])
     assert a[2][1] > 0 or a[1][1] > 0  # the shared substring was cut
+
+
+def test_cdc_chunk_dedup_insertion_robust(spark):
+    # a single token inserted at the head shifts every FIXED chunk but
+    # content-defined boundaries re-align: doc2 must dedup all chunks
+    # after its first, while fixed-size chunking dedups nothing
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lam mu nu xi omicron pi rho sigma tau upsilon")
+    rows = [(1, base), (2, "INSERTED " + base), (4, "short doc"), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"])
+        for r in tx.cdc_chunk_dedup(df, window=4, boundary_bits=2).collect()
+    }
+    spark.catalog.clearCache()
+    assert out[1][0] == out[1][1]          # first doc keeps everything
+    assert out[2][1] < out[2][0]           # shifted copy dedups
+    assert out[4] == (1, 1) and out[5] == (1, 1)
+    fixed = {
+        r["doc_id"]: (r["n_chunks"], r["n_kept"])
+        for r in tx.chunk_dedup(df, chunk_tokens=6).collect()
+    }
+    spark.catalog.clearCache()
+    assert fixed[2][0] == fixed[2][1]      # fixed-size finds no dup
+
+
+def test_cdc_chunk_dedup_reassembles_text(spark):
+    # chunks partition the token stream: kept-all docs rebuild exactly
+    df = spark.createDataFrame(
+        [(i, f"u{i} " + " ".join(f"w{i}t{j}" for j in range(30)))
+         for j in range(1) for i in range(5)],
+        "doc_id long, text string",
+    )
+    out = tx.cdc_chunk_dedup(df, window=4, boundary_bits=2, emit_text=True)
+    for r in out.collect():
+        assert r["n_kept"] == r["n_chunks"]
+        src = df.where(F.col("doc_id") == r["doc_id"]).head()["text"]
+        assert r["dedup_text"] == src
+    spark.catalog.clearCache()
+
+
+def test_lexical_diversity_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "x x x x"), (3, "q")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in tx.lexical_diversity(df).collect()}
+    assert out[1]["n_distinct"] == 3 and out[1]["simpson_num"] == 4
+    assert abs(out[1]["diversity"] - 0.8) < 1e-15
+    assert out[2]["diversity"] == 0.0
+    assert out[3]["diversity"] is None
+
+
+def test_term_bursts_trailing_window(spark):
+    daily = spark.createDataFrame(
+        [("t", d, c) for d, c in [(1, 10), (2, 10), (3, 10), (4, 100),
+                                  (5, 10)]] + [("u", 4, 50)],
+        "term string, day int, cnt long",
+    )
+    out = tx.term_bursts(daily, min_count=5, burst_ppm_threshold=2_000_000)
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["term"], r["day"], r["trailing_total"], r["burst_ppm"]) == (
+        "t", 4, 30, 3333333
+    )

@@ -444,3 +444,50 @@ def test_extract_anchors_stays_jvm_side_no_window(spark):
     assert "Window" not in plan  # argmin via min-of-struct, not a window
     # one scan per (pattern, group): 2 patterns x 2 groups
     assert plan.count("regexp_extract_all(") == 4
+
+
+def test_resolve_redirect_chains_basic_and_log_rounds(spark):
+    from geoharvest_spark.webops import resolve_redirect_chains
+
+    df = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "T"), ("x", "T2")],
+        "src string, dst string",
+    )
+    out = {
+        r["src"]: (r["target"], r["hops"])
+        for r in resolve_redirect_chains(df).collect()
+    }
+    assert out == {
+        "a": ("T", 4), "b": ("T", 3), "c": ("T", 2), "d": ("T", 1),
+        "x": ("T2", 1),
+    }
+    # a 64-hop chain resolves within 8 doubling rounds (log2, not linear)
+    long = spark.createDataFrame(
+        [(f"n{i}", f"n{i+1}") for i in range(64)], "src string, dst string"
+    )
+    res = {
+        r["src"]: (r["target"], r["hops"])
+        for r in resolve_redirect_chains(long, max_rounds=8).collect()
+    }
+    assert res["n0"] == ("n64", 64) and res["n63"] == ("n64", 1)
+
+
+def test_resolve_redirect_chains_cycles_raise(spark):
+    import pytest as _pytest
+
+    from geoharvest_spark.webops import resolve_redirect_chains
+
+    for edges in (
+        [("p", "q"), ("q", "r"), ("r", "p")],        # odd cycle: no converge
+        [("p", "q"), ("q", "p")],                    # even cycle: self-target
+        [("s", "s2"), ("s2", "p"), ("p", "q"), ("q", "p")],  # tail into cycle
+    ):
+        df = spark.createDataFrame(edges, "src string, dst string")
+        with _pytest.raises(RuntimeError):
+            resolve_redirect_chains(df, max_rounds=6)
+    with _pytest.raises(ValueError):
+        resolve_redirect_chains(
+            spark.createDataFrame(
+                [("a", "b"), ("a", "c")], "src string, dst string"
+            )
+        )
