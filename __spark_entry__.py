@@ -4410,6 +4410,124 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["geo_idw_fill"] = geo_idw_fill
 
+    _PENT_OFFS = [(4501, 3), (1353, 4255), (-3599, 2603),
+                  (-3601, -2601), (1355, -4251)]
+
+    def geo_polygon_raster(spark, sf):
+        """Polygon rasterization (geo.rasterize_polygon_cells): cells at
+        res 7 whose CENTER is inside each polygon — EXACT INTEGER end
+        to end (512-scaled vertices make cell centers integers; the
+        ray cast clears its division by branch-signed cross-multiply).
+        25 nation-derived pentagons; candidates are bbox sequence
+        explodes, the test a higher-order filter. The oracle replays
+        the identical integer ray cast with DuckDB list ops."""
+        from geoharvest_spark.geo import rasterize_polygon_cells
+
+        k = F.col("n_nationkey").cast("long")
+        cx = (k * 137 % 340 - 170) * 512
+        cy = (k * 73 % 160 - 80) * 512
+        verts = F.expr(
+            "array(" + ",".join(
+                f"named_struct('x', CAST(_cx + {dx} AS BIGINT), "
+                f"'y', CAST(_cy + {dy} AS BIGINT))"
+                for dx, dy in _PENT_OFFS
+            ) + ")"
+        )
+        polys = (
+            _t(spark, sf, "nation")
+            .select(k.alias("poly_id"), cx.alias("_cx"), cy.alias("_cy"))
+            .select("poly_id", verts.alias("vertices"))
+        )
+        cells = rasterize_polygon_cells(polys, res=7)
+        return (
+            cells.groupBy("poly_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_cells"),
+                # checksum on coords, not cell ids (res-7 ids are ~8e15
+                # — a 600-cell polygon sum overflows BIGINT)
+                F.sum("cell_x").alias("x_sum"),
+                F.sum("cell_y").alias("y_sum"),
+                F.min("cell").alias("cell_min"),
+                F.max("cell").alias("cell_max"),
+            )
+            .orderBy("poly_id")
+        )
+
+    Q["geo_polygon_raster"] = geo_polygon_raster
+
+    def geo_path_cells(spark, sf):
+        """Segment->cell DDA rasterization (geo.path_cells): one sample
+        per Chebyshev cell step, linear lon/lat interpolation — the
+        flow-map primitive. Top 25 most-traversed cells (count desc,
+        cell asc). Narrow until the explode; output linear in path
+        length; same IEEE interp replayed in SQL."""
+        from geoharvest_spark.geo import path_cells
+
+        i = F.col("event_id")
+        od = _t(spark, sf, "events").where(i % 50 == 0).select(
+            i.alias("path_id"),
+            ((i * 7919 % 36000) / 100.0 - 180.0).alias("lon0"),
+            ((i * 104729 % 18000) / 100.0 - 90.0).alias("lat0"),
+            (((i * 31 + 7) * 7919 % 36000) / 100.0 - 180.0).alias("lon1"),
+            (((i * 31 + 7) * 104729 % 18000) / 100.0 - 90.0).alias("lat1"),
+        )
+        pc = path_cells(od, res=5)
+        return (
+            pc.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_samples"))
+            .orderBy(F.desc("n_samples"), "cell")
+            .limit(25)
+        )
+
+    Q["geo_path_cells"] = geo_path_cells
+
+    def doc_phrase_search(spark, sf):
+        """Positional exact-phrase search (retrieval.phrase_match_counts)
+        WITHOUT an inverted index: a higher-order filter tests all k
+        terms at every start position — narrow, zero shuffles, pure
+        codegen (the one-shot-scan fast path; postings joins only pay
+        off for repeated queries). Phrase planted once per 7th doc,
+        twice per 21st."""
+        from geoharvest_spark.retrieval import phrase_match_counts
+
+        d = _t(spark, sf, "documents")
+        i = F.col("doc_id")
+        plant = F.when(
+            i % 21 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" needle in the haystack needle in the haystack"),
+            ),
+        ).when(
+            i % 7 == 0,
+            F.concat(F.col("text"), F.lit(" needle in the haystack")),
+        ).otherwise(F.col("text"))
+        d2 = d.select("doc_id", plant.alias("text"))
+        return phrase_match_counts(d2, "needle in the haystack").orderBy(
+            "doc_id"
+        )
+
+    Q["doc_phrase_search"] = doc_phrase_search
+
+    def event_trimmed_stats(spark, sf):
+        """Per-type trimmed + winsorized means (profile.trimmed_stats):
+        tails cut at exact h=(n-1)q percentiles; winsorized sum rebuilt
+        as sum_in + n_below*p_lo + n_above*p_hi (fixed-order IEEE, no
+        data-ordered double sum). Spike-planted integer values."""
+        from geoharvest_spark.profile import trimmed_stats
+
+        i = F.col("event_id")
+        ev = _t(spark, sf, "events").select(
+            "event_type",
+            (
+                (i * 37) % 50
+                + F.when(i % 97 == 0, 5000).otherwise(0)
+            ).cast("long").alias("v"),
+        )
+        return trimmed_stats(ev, "event_type", "v").orderBy("event_type")
+
+    Q["event_trimmed_stats"] = event_trimmed_stats
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -5223,6 +5341,7 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
     _ZR_PRED = ix.zrange_sql_predicate(
         "zkey", -60.0, 55.0, -25.0, 40.0, res=8, max_ranges=24
     )
+    from geoharvest_spark.geo import ray_cast_sql as _ray_cast_sql
 
     # Bloom bitset for bloom_semi_prune, built with the PURE-PYTHON twin
     # over the same dim keys (or-accumulation is order-independent); the
@@ -7319,6 +7438,112 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "CAST(num AS DOUBLE) / CAST(weight_sum AS DOUBLE) "
             "AS idw_value FROM iwg "
             "WHERE cell NOT IN (SELECT cell FROM iwo) ORDER BY cell"
+        ),
+        "geo_polygon_raster": (
+            # identical exact-integer ray cast via DuckDB list ops
+            "WITH prn AS (SELECT CAST(n_nationkey AS BIGINT) AS poly_id, "
+            "(CAST(n_nationkey AS BIGINT) * 137 % 340 - 170) * 512 AS cx, "
+            "(CAST(n_nationkey AS BIGINT) * 73 % 160 - 80) * 512 AS cy "
+            "FROM nation), "
+            "prv AS (SELECT poly_id, ["
+            + ", ".join(
+                f"struct_pack(x := cx + ({dx}), y := cy + ({dy}))"
+                for dx, dy in
+                [(4501, 3), (1353, 4255), (-3599, 2603),
+                 (-3601, -2601), (1355, -4251)]
+            )
+            + "] AS v FROM prn), "
+            "prb AS (SELECT poly_id, v, "
+            "(list_min(list_transform(v, p -> p.x)) + 92160) // 180 AS bx0, "
+            "(list_max(list_transform(v, p -> p.x)) + 92160) // 180 AS bx1, "
+            "(list_min(list_transform(v, p -> p.y)) + 46080) // 180 AS by0, "
+            "(list_max(list_transform(v, p -> p.y)) + 46080) // 180 AS by1 "
+            "FROM prv), "
+            "prcx AS (SELECT poly_id, v, by0, by1, "
+            "unnest(range(bx0, bx1 + 1)) AS cell_x FROM prb), "
+            "prcy AS (SELECT poly_id, v, cell_x, "
+            "unnest(range(by0, by1 + 1)) AS cell_y FROM prcx), "
+            "prp AS (SELECT poly_id, cell_x, cell_y, v, "
+            "cell_x * 180 + 90 - 92160 AS rpx, "
+            "cell_y * 180 + 90 - 46080 AS rpy FROM prcy), "
+            "prf AS (SELECT poly_id, cell_x, cell_y, "
+            f"(7::BIGINT * {_GH_RES_BITS} + cell_x * {_GH_X_BITS} + cell_y) "
+            f"AS cell FROM prp WHERE {_ray_cast_sql('v', 'rpx', 'rpy')}) "
+            "SELECT poly_id, count(*)::BIGINT AS n_cells, "
+            "sum(cell_x)::BIGINT AS x_sum, sum(cell_y)::BIGINT AS y_sum, "
+            "min(cell) AS cell_min, "
+            "max(cell) AS cell_max FROM prf GROUP BY 1 ORDER BY 1"
+        ),
+        "geo_path_cells": (
+            # same DDA: chebyshev cell span, k/N IEEE interp, ghcell
+            "WITH pco AS (SELECT event_id AS path_id, "
+            "(event_id * 7919 % 36000) / 100.0 - 180.0 AS lon0, "
+            "(event_id * 104729 % 18000) / 100.0 - 90.0 AS lat0, "
+            "((event_id * 31 + 7) * 7919 % 36000) / 100.0 - 180.0 AS lon1, "
+            "((event_id * 31 + 7) * 104729 % 18000) / 100.0 - 90.0 AS lat1 "
+            "FROM events WHERE event_id % 50 = 0), "
+            "pcn AS (SELECT *, greatest(abs("
+            "cast(floor((lon1 + 180.0) / 360.0 * 256.0) as bigint) - "
+            "cast(floor((lon0 + 180.0) / 360.0 * 256.0) as bigint)), abs("
+            "cast(floor((lat1 + 90.0) / 180.0 * 128.0) as bigint) - "
+            "cast(floor((lat0 + 90.0) / 180.0 * 128.0) as bigint)), 0) "
+            "AS n FROM pco), "
+            "pcs AS (SELECT path_id, lon0, lat0, lon1, lat1, n, "
+            "unnest(range(0, n + 1)) AS step FROM pcn), "
+            "pci AS (SELECT path_id, step, "
+            "lon0 + (lon1 - lon0) * (CASE WHEN n > 0 "
+            "THEN step / CAST(n AS DOUBLE) ELSE 0.0 END) AS plon, "
+            "lat0 + (lat1 - lat0) * (CASE WHEN n > 0 "
+            "THEN step / CAST(n AS DOUBLE) ELSE 0.0 END) AS plat "
+            "FROM pcs), "
+            f"pcc AS (SELECT {_ghcell_sql('plon', 'plat', 5)} AS cell "
+            "FROM pci) "
+            "SELECT cell, count(*)::BIGINT AS n_samples FROM pcc "
+            "GROUP BY 1 ORDER BY n_samples DESC, cell LIMIT 25"
+        ),
+        "doc_phrase_search": (
+            # list-ops replay of the per-position k-term conjunction
+            "WITH php AS (SELECT doc_id, CASE "
+            "WHEN doc_id % 21 = 0 THEN text || "
+            "' needle in the haystack needle in the haystack' "
+            "WHEN doc_id % 7 = 0 THEN text || ' needle in the haystack' "
+            "ELSE text END AS text FROM documents), "
+            "phl AS (SELECT doc_id, string_split(text, ' ') AS l FROM php), "
+            "phm AS (SELECT doc_id, len(l)::INT AS n_tokens, "
+            "CASE WHEN len(l) >= 4 THEN list_filter(range(0, len(l) - 3), "
+            "i -> l[i + 1] = 'needle' AND l[i + 2] = 'in' AND "
+            "l[i + 3] = 'the' AND l[i + 4] = 'haystack') "
+            "ELSE [] END AS s FROM phl) "
+            "SELECT doc_id, n_tokens, len(s)::INT AS n_matches, "
+            "s[1]::INT AS first_pos FROM phm WHERE len(s) > 0 "
+            "ORDER BY doc_id"
+        ),
+        "event_trimmed_stats": (
+            # quantile_cont == percentile (h=(n-1)q, robust_outliers
+            # precedent); winsorized sum rebuilt in the same fixed order
+            "WITH ttv AS (SELECT event_type, ((event_id * 37) % 50 + "
+            "CASE WHEN event_id % 97 = 0 THEN 5000 ELSE 0 END)::BIGINT "
+            "AS v FROM events), "
+            "ttp AS (SELECT event_type, quantile_cont(v, 0.05) AS p_lo, "
+            "quantile_cont(v, 0.95) AS p_hi FROM ttv GROUP BY 1), "
+            "ttj AS (SELECT ttv.event_type, v, p_lo, p_hi, "
+            "CAST(v AS DOUBLE) AS vd FROM ttv JOIN ttp USING (event_type)), "
+            "tta AS (SELECT event_type, count(*) AS n, "
+            "any_value(p_lo) AS p_lo, any_value(p_hi) AS p_hi, "
+            "sum(CASE WHEN vd >= p_lo AND vd <= p_hi THEN v ELSE 0 END) "
+            "AS sum_in, "
+            "sum(CASE WHEN vd >= p_lo AND vd <= p_hi THEN 1 ELSE 0 END) "
+            "AS trimmed_n, "
+            "sum(CASE WHEN vd < p_lo THEN 1 ELSE 0 END) AS n_below, "
+            "sum(CASE WHEN vd > p_hi THEN 1 ELSE 0 END) AS n_above "
+            "FROM ttj GROUP BY 1) "
+            "SELECT event_type, n::BIGINT AS n, p_lo, p_hi, "
+            "trimmed_n::BIGINT AS trimmed_n, "
+            "CAST(sum_in AS DOUBLE) / CAST(trimmed_n AS DOUBLE) "
+            "AS trimmed_mean, "
+            "(CAST(sum_in AS DOUBLE) + CAST(n_below AS DOUBLE) * p_lo + "
+            "CAST(n_above AS DOUBLE) * p_hi) / CAST(n AS DOUBLE) "
+            "AS winsorized_mean FROM tta ORDER BY event_type"
         ),
     }
     # streaming CDC maintenance must equal the one-shot MERGE: the

@@ -460,3 +460,175 @@ def idw_fill(
         )
     )
     return filled
+
+
+def rasterize_polygon_cells(
+    polys: DataFrame,
+    res: int = 7,
+    id_col: str = "poly_id",
+    vertices_col: str = "vertices",
+) -> DataFrame:
+    """Polygon -> covered grid cells (center-in-polygon, PixelIsArea):
+    emit every ghcell at ``res`` whose CENTER lies inside the polygon —
+    the vector->raster step of tile materialization.
+
+    EXACT INTEGER end to end: vertices arrive in 512-scaled degree
+    space (array<struct<x:long, y:long>>, x = lon*512, y = lat*512);
+    cell centers in that space are the integers
+    x*180 + 90 - 92160 (lon) and y*180 + 90 - 46080 (lat) at res 7
+    (the 512-scale makes 360/nx and 180/ny both the integer 180), and
+    the ray cast clears its division by cross-multiplying with the
+    known sign of (y_j - y_i) in each crossing branch. No doubles
+    anywhere, so the SQL replay is bit-trivial. Strict inequality =
+    centers exactly on an edge count as outside (both sides agree).
+
+    Plan: candidate cells are the polygon's bbox cell range (two
+    sequence explodes — output linear in covered area), the ray cast
+    is a higher-order filter over the (small) vertex array carried
+    with each candidate row. Shuffle-free until the caller aggregates.
+    Returns (id, cell, cell_x, cell_y).
+    """
+    if res != 7:
+        raise ValueError("rasterize_polygon_cells: 512-scale is exact "
+                         "for res=7 only (nx=1024, ny=512)")
+    from .index import GHCELL_RES_BITS, GHCELL_X_BITS
+
+    v = F.col(vertices_col)
+    xs = F.transform(v, lambda p: p["x"])
+    ys = F.transform(v, lambda p: p["y"])
+    # bbox in cell coords: scaled unit -> cell is div 180 (positives
+    # after the +92160/+46080 shift)
+    def _ext(fld, init, fn, shift):
+        return F.expr(
+            f"(aggregate(transform({vertices_col}, p -> p.{fld}), "
+            f"{init}L, (a, b) -> {fn}(a, b)) + {shift}) div 180"
+        )
+
+    cx0 = _ext("x", 9223372036854775807, "least", 92160)
+    cx1 = _ext("x", -9223372036854775807, "greatest", 92160)
+    cy0 = _ext("y", 9223372036854775807, "least", 46080)
+    cy1 = _ext("y", -9223372036854775807, "greatest", 46080)
+    cand = (
+        polys.select(
+            F.col(id_col),
+            v.alias("_v"),
+            F.explode(F.sequence(cx0, cx1)).alias("cell_x"),
+            cy0.alias("_cy0"),
+            cy1.alias("_cy1"),
+        )
+        .select(
+            F.col(id_col),
+            "_v",
+            "cell_x",
+            F.explode(F.sequence(F.col("_cy0"), F.col("_cy1"))).alias(
+                "cell_y"
+            ),
+        )
+    )
+    px = F.col("cell_x") * 180 + 90 - 92160   # center lon * 512
+    py = F.col("cell_y") * 180 + 90 - 46080   # center lat * 512
+    vv = F.col("_v")
+    n = F.size(vv)
+    crossings = F.size(
+        F.filter(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: _ray_cross(
+                F.element_at(vv, i + 1),
+                F.element_at(vv, (i + 1) % n + 1),
+                px,
+                py,
+            ),
+        )
+    )
+    inside = crossings % 2 == 1
+    cell = (
+        F.lit(res).cast("long") * F.lit(GHCELL_RES_BITS)
+        + F.col("cell_x").cast("long") * F.lit(GHCELL_X_BITS)
+        + F.col("cell_y").cast("long")
+    )
+    return cand.where(inside).select(
+        F.col(id_col), cell.alias("cell"), "cell_x", "cell_y"
+    )
+
+
+def _ray_cross(p, q, px, py):
+    """Exact-integer ray-cast crossing test for edge p->q against a
+    rightward ray from (px, py): the edge straddles the scan line and
+    the intersection lies strictly right of px. The division in
+    px < (qx-px_i)(py-yi)/(yj-yi) + xi is cleared by cross-multiplying
+    with the branch-known sign of (yj - yi)."""
+    yi, yj = p["y"], q["y"]
+    xi, xj = p["x"], q["x"]
+    straddle = (yi > py) != (yj > py)
+    lhs = (px - xi) * (yj - yi)
+    rhs = (xj - xi) * (py - yi)
+    return straddle & (
+        F.when(yj > yi, lhs < rhs).otherwise(lhs > rhs)
+    )
+
+
+def ray_cast_sql(vertices_expr: str, px_expr: str, py_expr: str) -> str:
+    """DuckDB twin of the exact-integer ray cast (1-indexed lists)."""
+    v, px, py = vertices_expr, px_expr, py_expr
+
+    def fld(i, f):
+        return f"{v}[{i}].{f}"
+
+    i1, i2 = "i + 1", f"(i + 1) % len({v}) + 1"
+    yi, yj = fld(i1, "y"), fld(i2, "y")
+    xi, xj = fld(i1, "x"), fld(i2, "x")
+    return (
+        f"len(list_filter(range(0, len({v})), i -> "
+        f"(({yi} > {py}) <> ({yj} > {py})) AND "
+        f"(CASE WHEN {yj} > {yi} "
+        f"THEN ({px} - {xi}) * ({yj} - {yi}) < ({xj} - {xi}) * ({py} - {yi}) "
+        f"ELSE ({px} - {xi}) * ({yj} - {yi}) > ({xj} - {xi}) * ({py} - {yi}) "
+        f"END))) % 2 = 1"
+    )
+
+
+def path_cells(
+    od: DataFrame,
+    res: int = 6,
+    id_col: str = "path_id",
+) -> DataFrame:
+    """Origin->destination segment -> traversed grid cells, sampled once
+    per Chebyshev cell step (DDA): point k of N is the LINEAR lon/lat
+    interpolation at fraction k/N, N = the cell-coordinate span. The
+    flow-map primitive (which cells does each trip cross). Sampled-DDA
+    spec: diagonal corner cells the segment only grazes are not
+    emitted — deterministic and SQL-replayable (k/N and the interp are
+    the same IEEE ops on both sides), unlike a supercover walk.
+
+    Expects (id, lon0, lat0, lon1, lat1). NARROW until the explode;
+    output is linear in path length. Returns (id, step, cell) with one
+    row per step (consecutive equal cells dedup to the min step via
+    the caller or DISTINCT).
+    """
+    from .index import ghcell, ghcell_nx, ghcell_ny
+
+    nx, ny = ghcell_nx(res), ghcell_ny(res)
+    x0 = F.floor((F.col("lon0") + 180.0) / 360.0 * F.lit(float(nx)))
+    x1 = F.floor((F.col("lon1") + 180.0) / 360.0 * F.lit(float(nx)))
+    y0 = F.floor((F.col("lat0") + 90.0) / 180.0 * F.lit(float(ny)))
+    y1 = F.floor((F.col("lat1") + 90.0) / 180.0 * F.lit(float(ny)))
+    nsteps = F.greatest(
+        F.abs(x1 - x0), F.abs(y1 - y0), F.lit(0).cast("bigint")
+    ).cast("int")
+    st = od.select(
+        F.col(id_col),
+        "lon0",
+        "lat0",
+        "lon1",
+        "lat1",
+        nsteps.alias("_n"),
+        F.explode(F.sequence(F.lit(0), nsteps)).alias("step"),
+    )
+    frac = F.when(
+        F.col("_n") > 0, F.col("step") / F.col("_n").cast("double")
+    ).otherwise(F.lit(0.0))
+    lon = F.col("lon0") + (F.col("lon1") - F.col("lon0")) * frac
+    lat = F.col("lat0") + (F.col("lat1") - F.col("lat0")) * frac
+    return st.select(
+        F.col(id_col), "step", ghcell(lon, lat, res).alias("cell")
+    )

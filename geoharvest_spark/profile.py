@@ -314,3 +314,65 @@ def robust_outliers(
         )
         .drop("_absdev")
     )
+
+
+def trimmed_stats(
+    df: DataFrame,
+    key_col: str,
+    val_col: str,
+    lo: float = 0.05,
+    hi: float = 0.95,
+) -> DataFrame:
+    """Per-group trimmed + winsorized means over INTEGER values — the
+    outlier-robust summary pair (drop vs clamp the tails at exact
+    rank-interpolated percentiles).
+
+    Oracle-exact numerics: Spark ``percentile`` and DuckDB
+    ``quantile_cont`` share the h=(n-1)q definition (the
+    robust_outliers precedent), so p_lo/p_hi are the SAME doubles on
+    both sides; the trimmed mean is one division of exact ints; the
+    winsorized sum is rebuilt as sum_in + n_below*p_lo + n_above*p_hi
+    — a fixed-order handful of IEEE ops (never a data-ordered sum of
+    fractional doubles, which would be nondeterministic under
+    shuffle).
+
+    Plan: two key-hashed aggregates sharing one exchange shape, joined
+    back broadcast (the percentile table is |keys| rows). Returns
+    (key, n, p_lo, p_hi, trimmed_n, trimmed_mean, winsorized_mean).
+    """
+    v = F.col(val_col).cast("long")
+    pct = df.groupBy(key_col).agg(
+        F.expr(f"percentile({val_col}, {lo})").alias("p_lo"),
+        F.expr(f"percentile({val_col}, {hi})").alias("p_hi"),
+    )
+    j = df.join(F.broadcast(pct), key_col)
+    vd = v.cast("double")
+    in_rng = (vd >= F.col("p_lo")) & (vd <= F.col("p_hi"))
+    agg = j.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.first("p_lo").alias("p_lo"),
+        F.first("p_hi").alias("p_hi"),
+        F.sum(F.when(in_rng, v).otherwise(F.lit(0))).alias("_sum_in"),
+        F.sum(F.when(in_rng, 1).otherwise(0)).alias("trimmed_n"),
+        F.sum(F.when(vd < F.col("p_lo"), 1).otherwise(0)).alias("_n_below"),
+        F.sum(F.when(vd > F.col("p_hi"), 1).otherwise(0)).alias("_n_above"),
+    )
+    return agg.select(
+        F.col(key_col),
+        "n",
+        "p_lo",
+        "p_hi",
+        "trimmed_n",
+        (
+            F.col("_sum_in").cast("double")
+            / F.col("trimmed_n").cast("double")
+        ).alias("trimmed_mean"),
+        (
+            (
+                F.col("_sum_in").cast("double")
+                + F.col("_n_below").cast("double") * F.col("p_lo")
+                + F.col("_n_above").cast("double") * F.col("p_hi")
+            )
+            / F.col("n").cast("double")
+        ).alias("winsorized_mean"),
+    )

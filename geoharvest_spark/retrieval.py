@@ -257,3 +257,51 @@ def tfidf_top_terms(
         .where(F.col("rn") <= k)
         .select(id_col, "term", "tf", "df", "score")
     )
+
+
+def phrase_match_counts(
+    df: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase occurrence counts per document — positional search
+    WITHOUT an inverted index: one higher-order filter over the staged
+    token array testing all k terms at each start position. NARROW
+    (zero shuffles, pure codegen); the index-backed formulation (k-way
+    positional-postings self-join) only wins when the corpus is
+    re-queried many times — for one-shot scans this IS the fast path.
+
+    Returns (id, n_tokens, n_matches, first_pos) for docs with >= 1
+    match; first_pos is the 0-based token index of the first match.
+    """
+    terms = phrase.split()
+    if not terms:
+        raise ValueError("empty phrase")
+    k = len(terms)
+    base = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    toks = F.col("_toks")
+    n = F.size(toks)
+
+    def hit(i):
+        cond = None
+        for j, t in enumerate(terms):
+            c = F.element_at(toks, i + j + 1) == F.lit(t)
+            cond = c if cond is None else (cond & c)
+        return cond
+
+    starts = F.when(
+        n >= k,
+        F.filter(F.sequence(F.lit(0), n - k), lambda i: hit(i)),
+    ).otherwise(F.expr("cast(array() as array<int>)"))
+    staged = base.select(
+        F.col(id_col), n.alias("n_tokens"), starts.alias("_s")
+    )
+    return staged.where(F.size("_s") > 0).select(
+        F.col(id_col),
+        "n_tokens",
+        F.size("_s").alias("n_matches"),
+        F.element_at("_s", 1).alias("first_pos"),
+    )

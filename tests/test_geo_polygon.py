@@ -78,3 +78,69 @@ def test_idw_fill_exact_weights(spark):
     mid = [r for r in out2.collect() if r["n_contributors"] == 2
            and r["weight_sum"] == 8]
     assert any(abs(r["idw_value"] - 25.0) < 1e-12 for r in mid)
+
+
+def test_rasterize_polygon_exact_square(spark):
+    # unit square 2x2 cells at res 7 in 512-scale: vertices enclosing
+    # exactly the centers of cells (512,256)..(513,257)
+    from geoharvest_spark.geo import rasterize_polygon_cells
+
+    # cell (cx,cy) center scaled = (cx*180+90-92160, cy*180+90-46080)
+    # pick cx in {512,513}, cy in {256,257}: centers x in {90,270},
+    # y in {90,270} (scaled). A square from -1..361 covers all four.
+    verts = [(-1, -1), (361, -1), (361, 361), (-1, 361)]
+    df = spark.createDataFrame(
+        [(1, [{"x": x, "y": y} for x, y in verts])],
+        "poly_id long, vertices array<struct<x:long,y:long>>",
+    )
+    out = rasterize_polygon_cells(df, res=7).collect()
+    got = sorted((r["cell_x"], r["cell_y"]) for r in out)
+    assert got == [(512, 256), (512, 257), (513, 256), (513, 257)]
+
+
+def test_rasterize_matches_numpy_raycast(spark):
+    # pentagon vs the module's independent numpy points_in_ring kernel
+    import numpy as np
+
+    from geoharvest_spark.geo import points_in_ring, rasterize_polygon_cells
+
+    offs = [(4501, 3), (1353, 4255), (-3599, 2603), (-3601, -2601),
+            (1355, -4251)]
+    cx, cy = 10240, 5120
+    verts = [(cx + dx, cy + dy) for dx, dy in offs]
+    df = spark.createDataFrame(
+        [(1, [{"x": x, "y": y} for x, y in verts])],
+        "poly_id long, vertices array<struct<x:long,y:long>>",
+    )
+    got = sorted(
+        (r["cell_x"], r["cell_y"])
+        for r in rasterize_polygon_cells(df, res=7).collect()
+    )
+    ring = np.array(verts + [verts[0]], dtype=np.float64)
+    xs = np.arange((min(v[0] for v in verts) + 92160) // 180,
+                   (max(v[0] for v in verts) + 92160) // 180 + 1)
+    ys = np.arange((min(v[1] for v in verts) + 46080) // 180,
+                   (max(v[1] for v in verts) + 46080) // 180 + 1)
+    gx, gy = np.meshgrid(xs, ys)
+    px = gx.ravel() * 180 + 90 - 92160
+    py = gy.ravel() * 180 + 90 - 46080
+    inside = points_in_ring(px.astype(float), py.astype(float), ring)
+    want = sorted(zip(gx.ravel()[inside].tolist(), gy.ravel()[inside].tolist()))
+    assert got == want and len(got) > 100
+
+
+def test_path_cells_dda(spark):
+    from geoharvest_spark.geo import path_cells
+
+    # horizontal segment spanning 4 cells at res 5 (cell width 1.40625)
+    df = spark.createDataFrame(
+        [(1, 0.1, 0.1, 5.0, 0.1), (2, 0.1, 0.1, 0.1, 0.1)],
+        "path_id long, lon0 double, lat0 double, lon1 double, lat1 double",
+    )
+    out = path_cells(df, res=5).collect()
+    p1 = sorted(r["step"] for r in out if r["path_id"] == 1)
+    cells1 = {r["cell"] for r in out if r["path_id"] == 1}
+    assert p1 == [0, 1, 2, 3]          # chebyshev span = 3 -> 4 samples
+    assert len(cells1) == 4            # each sample in its own cell
+    p2 = [r for r in out if r["path_id"] == 2]
+    assert len(p2) == 1 and p2[0]["step"] == 0   # zero-length path

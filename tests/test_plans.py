@@ -520,3 +520,13 @@ def test_zrange_computed_key_no_morton_blowup(spark):
     # masks): allow the filter's two references + the aggregate's staged
     # projection = 3 copies (vs 2*24 = 48 copies in the BETWEEN form)
     assert plan.count("1431655765") <= 6, plan[:2000]
+
+
+def test_phrase_search_is_narrow(spark):
+    # the HOF phrase scan must stay shuffle-free and Python-free
+    from geoharvest_spark.retrieval import phrase_match_counts
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(phrase_match_counts(d, "needle in the haystack"))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan

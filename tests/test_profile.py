@@ -175,3 +175,21 @@ def test_robust_outliers_matches_numpy(spark):
         assert got[rid] == (med[key], mad[key], out), rid
         n_out += out
     assert n_out >= 2  # the planted spikes flag
+
+
+def test_trimmed_stats_small(spark):
+    from geoharvest_spark.profile import trimmed_stats
+
+    # 1..10 plus one huge outlier, single key
+    df = spark.createDataFrame(
+        [("a", v) for v in list(range(1, 11)) + [1000]],
+        "k string, v long",
+    )
+    out = trimmed_stats(df, "k", "v", lo=0.1, hi=0.9).collect()[0]
+    assert out["n"] == 11
+    # h = (n-1)q = 1.0 / 9.0 -> p_lo = 2.0, p_hi = 10.0 (exact ranks)
+    assert out["p_lo"] == 2.0 and out["p_hi"] == 10.0
+    # in-range: 2..10 -> trimmed_n 9, mean 6.0
+    assert out["trimmed_n"] == 9 and out["trimmed_mean"] == 6.0
+    # winsorized: 1->2, 1000->10: (54 + 1*2 + 1*10)/11
+    assert abs(out["winsorized_mean"] - 66.0 / 11.0) < 1e-12
