@@ -4528,6 +4528,92 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["event_trimmed_stats"] = event_trimmed_stats
 
+    def mobility_radius_gyration(spark, sf):
+        """Per-user radius of gyration (mobility.radius_of_gyration):
+        EXACT via the integer variance identity over grid-cell coords
+        (n*sum(x^2) - (sum x)^2), ONE final division — no mean pass, no
+        data-ordered double sums, no sqrt. Single user-keyed hash
+        aggregate with map-side partials."""
+        from geoharvest_spark.mobility import radius_of_gyration
+
+        i = F.col("event_id")
+        fixes = _t(spark, sf, "events").select(
+            F.col("user_id"),
+            ((i * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+            ((i * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+        )
+        return radius_of_gyration(fixes, res=7).orderBy("user")
+
+    Q["mobility_radius_gyration"] = mobility_radius_gyration
+
+    def event_interval_overlap(spark, sf):
+        """1-D interval overlap join (joins.interval_overlap_join): the
+        temporal extent join — bucket cover + equi-join + REFERENCE-
+        POINT exactly-once emission (no dedup aggregate; the naive
+        bucket join emits a duplicate per shared bucket). The oracle is
+        the brute-force quadratic overlap join, so a duplicate OR lost
+        pair breaks parity. Rolled up per lid residue class."""
+        from geoharvest_spark.joins import interval_overlap_join
+
+        i = F.col("event_id")
+        s_l = (i * 37) % 1_000_000
+        s_r = (i * 53 + 11) % 1_000_000
+        la = _t(spark, sf, "events").where(i % 3 == 0).select(
+            i.alias("lid"), s_l.alias("s"), (s_l + i % 200 + 1).alias("e")
+        )
+        rb = _t(spark, sf, "events").where(i % 3 == 1).select(
+            i.alias("rid"), s_r.alias("s"), (s_r + i % 300 + 1).alias("e")
+        )
+        pairs = interval_overlap_join(la, rb, bucket=256)
+        return (
+            pairs.groupBy((F.col("lid") % 16).alias("lid_bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.sum(
+                    F.col("overlap_end") - F.col("overlap_start") + 1
+                ).alias("overlap_len_sum"),
+                F.min("overlap_start").alias("min_start"),
+                F.max("overlap_end").alias("max_end"),
+            )
+            .orderBy("lid_bucket")
+        )
+
+    Q["event_interval_overlap"] = event_interval_overlap
+
+    def doc_html_tag_stats(spark, sf):
+        """HTML tag histogram (webops.html_tag_histogram): opening-tag
+        counts per page (codegen regexp_extract_all + explode), rolled
+        up per tag — the structure profile that flags template/
+        non-content pages before extraction. Pages are the html_extract
+        wrapper over documents (text is tag-free word salad, so the
+        histogram is exactly the template's)."""
+        from geoharvest_spark.webops import html_tag_histogram
+
+        d = _t(spark, sf, "documents")
+        html = F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit(
+                "</title><style>p{color:red}</style>"
+                "<script>var x=1;</script></head>"
+                "<body><nav>Home &gt; Docs</nav><p>"
+            ),
+            F.col("text"),
+            F.lit("</p><!-- footer --><div>&copy; 2026</div></body></html>"),
+        )
+        pages = d.select("doc_id", html.alias("html"))
+        th = html_tag_histogram(pages)
+        return (
+            th.groupBy("tag")
+            .agg(
+                F.sum("n").alias("n_total"),
+                F.count(F.lit(1)).alias("n_docs"),
+            )
+            .orderBy("tag")
+        )
+
+    Q["doc_html_tag_stats"] = doc_html_tag_stats
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -7544,6 +7630,50 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "(CAST(sum_in AS DOUBLE) + CAST(n_below AS DOUBLE) * p_lo + "
             "CAST(n_above AS DOUBLE) * p_hi) / CAST(n AS DOUBLE) "
             "AS winsorized_mean FROM tta ORDER BY event_type"
+        ),
+        "mobility_radius_gyration": (
+            # same integer identity; count(DISTINCT (x,y)) row syntax
+            "WITH rgf AS (SELECT user_id AS \"user\", "
+            "least(greatest(cast(floor(((event_id * 7919 % 36000) / 100.0 "
+            "- 180.0 + 180.0) / 360.0 * 1024.0) as bigint), 0), 1023) AS x, "
+            "least(greatest(cast(floor(((event_id * 104729 % 18000) / 100.0 "
+            "- 90.0 + 90.0) / 180.0 * 512.0) as bigint), 0), 511) AS y "
+            "FROM events) "
+            "SELECT \"user\", count(*)::BIGINT AS n_fixes, "
+            "count(DISTINCT (x, y))::BIGINT AS n_cells, "
+            "CAST(count(*) * sum(x * x) - sum(x) * sum(x) + "
+            "count(*) * sum(y * y) - sum(y) * sum(y) AS DOUBLE) / "
+            "CAST(count(*) * count(*) AS DOUBLE) AS rog2_cell2 "
+            "FROM rgf GROUP BY 1 ORDER BY 1"
+        ),
+        "event_interval_overlap": (
+            # BRUTE-FORCE quadratic overlap join — the bucket cover +
+            # reference-point rule is what's on trial
+            "WITH iol AS (SELECT event_id AS lid, "
+            "(event_id * 37) % 1000000 AS s, "
+            "(event_id * 37) % 1000000 + event_id % 200 + 1 AS e "
+            "FROM events WHERE event_id % 3 = 0), "
+            "ior AS (SELECT event_id AS rid, "
+            "(event_id * 53 + 11) % 1000000 AS s, "
+            "(event_id * 53 + 11) % 1000000 + event_id % 300 + 1 AS e "
+            "FROM events WHERE event_id % 3 = 1), "
+            "iop AS (SELECT lid, rid, greatest(iol.s, ior.s) AS os, "
+            "least(iol.e, ior.e) AS oe FROM iol JOIN ior "
+            "ON iol.s <= ior.e AND ior.s <= iol.e) "
+            "SELECT lid % 16 AS lid_bucket, count(*)::BIGINT AS n_pairs, "
+            "sum(oe - os + 1)::BIGINT AS overlap_len_sum, "
+            "min(os) AS min_start, max(oe) AS max_end "
+            "FROM iop GROUP BY 1 ORDER BY 1"
+        ),
+        "doc_html_tag_stats": (
+            # independent RE2 extraction over the same page template
+            f"WITH {_html_page_cte()}, "
+            "tgt AS (SELECT doc_id, unnest(regexp_extract_all("
+            "lower(html), '<([a-z][a-z0-9]*)[^>]*>', 1)) AS tag FROM h), "
+            "tgc AS (SELECT doc_id, tag, count(*) AS n FROM tgt "
+            "GROUP BY 1, 2) "
+            "SELECT tag, sum(n)::BIGINT AS n_total, "
+            "count(*)::BIGINT AS n_docs FROM tgc GROUP BY 1 ORDER BY 1"
         ),
     }
     # streaming CDC maintenance must equal the one-shot MERGE: the

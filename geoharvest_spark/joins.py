@@ -664,3 +664,71 @@ def bbox_overlap_join(
         .where(overlap & (ref_cell == F.col("cell")))
         .select(left_key, right_key)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    bucket: int,
+    left_key: str = "lid",
+    right_key: str = "rid",
+) -> DataFrame:
+    """All (left, right) pairs of CLOSED integer intervals that overlap
+    (a.s <= b.e AND b.s <= a.e) — the 1-D extent join (time-range
+    conflation, reservation conflicts, interval containment) and the
+    temporal analog of bbox_overlap_join.
+
+    Scale shape: each interval explodes onto its covering buckets of
+    width ``bucket`` (output linear in interval length / bucket), pairs
+    candidate via the bucket equi-join, and the REFERENCE-POINT rule —
+    emit only from the bucket holding max(a.s, b.s) — makes every
+    overlapping pair appear EXACTLY once with no dedup aggregate (the
+    naive bucket join emits one duplicate per shared bucket). Pick
+    ``bucket`` ~ the median interval length: shorter wastes explode
+    rows, longer inflates per-bucket candidate sets.
+
+    Inputs carry (key, s, e) with s <= e, integer units. Returns
+    (left_key, right_key, overlap_start, overlap_end).
+    """
+    if bucket < 1:
+        raise ValueError(f"bucket must be >= 1: {bucket}")
+
+    def cover(df, key, s, e):
+        b0 = F.floor(F.col(s) / F.lit(bucket)).cast("long")
+        b1 = F.floor(F.col(e) / F.lit(bucket)).cast("long")
+        return df.select(
+            F.col(key),
+            F.col(s),
+            F.col(e),
+            F.explode(F.sequence(b0, b1)).alias("_b"),
+        )
+
+    la = cover(left, left_key, "s", "e").select(
+        F.col(left_key),
+        F.col("s").alias("_ls"),
+        F.col("e").alias("_le"),
+        "_b",
+    )
+    rb = cover(right, right_key, "s", "e").select(
+        F.col(right_key),
+        F.col("s").alias("_rs"),
+        F.col("e").alias("_re"),
+        "_b",
+    )
+    ref = F.greatest(F.col("_ls"), F.col("_rs"))
+    return (
+        la.join(rb, "_b")
+        .where(
+            (F.col("_ls") <= F.col("_re"))
+            & (F.col("_rs") <= F.col("_le"))
+            # reference-point: only the bucket containing the overlap
+            # start emits the pair
+            & (F.floor(ref / F.lit(bucket)).cast("long") == F.col("_b"))
+        )
+        .select(
+            F.col(left_key),
+            F.col(right_key),
+            ref.alias("overlap_start"),
+            F.least(F.col("_le"), F.col("_re")).alias("overlap_end"),
+        )
+    )

@@ -691,3 +691,27 @@ def resolve_redirect_chains(
         f"redirect chains did not resolve in {max_rounds} doubling rounds "
         f"(cycle, or chains longer than 2^{max_rounds})"
     )
+
+
+def html_tag_histogram(
+    df: DataFrame, html_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document HTML tag histogram: counts of each opening tag name
+    (lowercased; self-closing and attribute forms included, closing
+    tags and comments excluded) — the structure-profile used to spot
+    boilerplate templates and non-content pages before text extraction.
+
+    Narrow until the explode: one regexp_extract_all per row (codegen
+    RE2, no Python), explode, then a (doc, tag) count. Returns
+    (id, tag, n) rows.
+    """
+    tags = F.expr(
+        f"regexp_extract_all(lower({html_col}), "
+        "'<([a-z][a-z0-9]*)[^>]*>', 1)"
+    )
+    staged = df.select(F.col(id_col), tags.alias("_tags"))
+    return (
+        staged.select(F.col(id_col), F.explode("_tags").alias("tag"))
+        .groupBy(id_col, "tag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

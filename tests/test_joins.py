@@ -268,3 +268,53 @@ def test_bbox_overlap_join_plan_has_no_distinct(spark):
     )
     plan = bbox_overlap_join(la, rb)._jdf.queryExecution().executedPlan().toString()
     assert "HashAggregate" not in plan and "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_exactly_once(spark):
+    from geoharvest_spark.joins import interval_overlap_join
+
+    # long intervals spanning many buckets must emit each pair ONCE
+    la = spark.createDataFrame(
+        [(1, 0, 1000), (2, 500, 600), (3, 2000, 2100)],
+        "lid long, s long, e long",
+    )
+    rb = spark.createDataFrame(
+        [(10, 900, 1500), (11, 550, 560), (12, 5000, 5001)],
+        "rid long, s long, e long",
+    )
+    out = interval_overlap_join(la, rb, bucket=64).collect()
+    pairs = sorted((r["lid"], r["rid"]) for r in out)
+    assert pairs == [(1, 10), (1, 11), (2, 11)]
+    d = {(r["lid"], r["rid"]): (r["overlap_start"], r["overlap_end"])
+         for r in out}
+    assert d[(1, 10)] == (900, 1000)
+    assert d[(1, 11)] == (550, 560)
+    assert d[(2, 11)] == (550, 560)
+    # brute-force oracle on random-ish data, two bucket widths
+    import random
+
+    rng = random.Random(3)
+    L = [(i, rng.randint(0, 5000)) for i in range(120)]
+    la2 = spark.createDataFrame(
+        [(i, s, s + rng.randint(0, 400)) for (i, s) in L],
+        "lid long, s long, e long",
+    )
+    lrows = la2.collect()
+    R = [(i, rng.randint(0, 5000)) for i in range(120)]
+    rb2 = spark.createDataFrame(
+        [(i, s, s + rng.randint(0, 300)) for (i, s) in R],
+        "rid long, s long, e long",
+    )
+    rrows = rb2.collect()
+    want = sorted(
+        (a["lid"], b["rid"])
+        for a in lrows
+        for b in rrows
+        if a["s"] <= b["e"] and b["s"] <= a["e"]
+    )
+    for bucket in (32, 1024):
+        got = sorted(
+            (r["lid"], r["rid"])
+            for r in interval_overlap_join(la2, rb2, bucket=bucket).collect()
+        )
+        assert got == want, bucket

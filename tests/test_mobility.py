@@ -230,3 +230,17 @@ def test_grid_density_clusters_matches_python(spark):
     assert got == want
     # three dense cells, the adjacent pair merged: exactly two clusters
     assert len(got) == 3 and len({v[0] for v in got.values()}) == 2
+
+
+def test_radius_of_gyration_exact(spark):
+    from geoharvest_spark.mobility import radius_of_gyration
+
+    # two fixes two cells apart in x (res 7 cell width 360/1024)
+    fixes = spark.createDataFrame(
+        [(1, 0.1, 0.1), (1, 0.1 + 2 * 360.0 / 1024, 0.1), (2, 10.0, 10.0)],
+        "user_id long, lon double, lat double",
+    )
+    out = {r["user"]: r for r in radius_of_gyration(fixes, res=7).collect()}
+    # x in {512, 514}: mean 513, sq devs 1+1 -> rog2 = 1.0 exactly
+    assert out[1]["rog2_cell2"] == 1.0 and out[1]["n_cells"] == 2
+    assert out[2]["rog2_cell2"] == 0.0 and out[2]["n_fixes"] == 1
