@@ -4614,6 +4614,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["doc_html_tag_stats"] = doc_html_tag_stats
 
+    def table_compaction_plan(spark, sf):
+        """Small-file compaction planner (snapshots.compaction_plan):
+        key-ordered exclusive-prefix-sum binning within each table
+        partition — Iceberg-style rewrite planning as pure metadata
+        math (one per-partition window + a bin rollup; the manifest is
+        file counts, never row counts)."""
+        from geoharvest_spark.snapshots import compaction_plan
+
+        i = F.col("event_id")
+        manifest = _t(spark, sf, "events").select(
+            (i % 20).alias("part"),
+            i.alias("file_id"),
+            ((i * 37) % 4096 + 64).alias("n_bytes"),
+            ((i * 7919) % 100000).alias("sort_key"),
+        )
+        return compaction_plan(manifest, target_bytes=8192).orderBy(
+            "part", "bin_id"
+        )
+
+    Q["table_compaction_plan"] = table_compaction_plan
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -7674,6 +7695,21 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "GROUP BY 1, 2) "
             "SELECT tag, sum(n)::BIGINT AS n_total, "
             "count(*)::BIGINT AS n_docs FROM tgc GROUP BY 1 ORDER BY 1"
+        ),
+        "table_compaction_plan": (
+            # same exclusive prefix sum; ::BIGINT for the HUGEINT rules
+            "WITH cpm AS (SELECT event_id % 20 AS part, "
+            "event_id AS file_id, (event_id * 37) % 4096 + 64 AS n_bytes, "
+            "(event_id * 7919) % 100000 AS sort_key FROM events), "
+            "cpb AS (SELECT part, file_id, n_bytes, sort_key, "
+            "(COALESCE(sum(n_bytes) OVER (PARTITION BY part "
+            "ORDER BY sort_key, file_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) "
+            "// 8192)::BIGINT AS bin_id FROM cpm) "
+            "SELECT part, bin_id, count(*)::BIGINT AS n_files, "
+            "sum(n_bytes)::BIGINT AS total_bytes, "
+            "min(sort_key) AS min_key, max(sort_key) AS max_key "
+            "FROM cpb GROUP BY 1, 2 ORDER BY 1, 2"
         ),
     }
     # streaming CDC maintenance must equal the one-shot MERGE: the

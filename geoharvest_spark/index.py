@@ -644,7 +644,23 @@ def zorder_bbox_predicate(
     substitute the (large) morton expression once per range bound —
     2*max_ranges inlined copies, a multi-MiB codegen blowup that OOMs
     a default-heap driver (the inline-reuse trap, measured in smoke).
-    exists() does not prune parquet, but a computed key never could."""
+    exists() does not prune parquet, but a computed key never could.
+
+    Antimeridian: ``lon_min > lon_max`` means the bbox WRAPS (a Pacific
+    query); the planner splits it into [lon_min, 180] and
+    [-180, lon_max] and ORs the two decompositions (each side gets half
+    the range budget). Callers must split their exact lon predicate the
+    same way."""
+    if lon_min > lon_max:
+        a = zorder_bbox_predicate(
+            zkey, lon_min, 180.0, lat_min, lat_max, res,
+            max(1, max_ranges // 2), stored_key,
+        )
+        b = zorder_bbox_predicate(
+            zkey, -180.0, lon_max, lat_min, lat_max, res,
+            max(1, max_ranges // 2), stored_key,
+        )
+        return a | b
     x0, y0 = cell_coords(lon_min, lat_min, res)
     x1, y1 = cell_coords(lon_max, lat_max, res)
     rs = zrange_decompose(x0, x1, y0, y1, max_ranges=max_ranges)

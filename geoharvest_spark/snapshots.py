@@ -194,3 +194,52 @@ def apply_changes(
             for c in payload
         ],
     )
+
+
+def compaction_plan(
+    manifest: DataFrame,
+    target_bytes: int,
+    partition_col: str = "part",
+    file_col: str = "file_id",
+    bytes_col: str = "n_bytes",
+    key_col: str = "sort_key",
+) -> DataFrame:
+    """Small-file compaction planner over a table manifest (Iceberg-style
+    maintenance): within each table partition, files ordered by their
+    sort key are packed into rewrite bins of ~``target_bytes`` via
+    exclusive-prefix-sum binning — bin = floor(cumsum_before / target).
+    Key-ordered packing keeps each output file's key range tight, so
+    min/max pruning stays sharp after the rewrite.
+
+    Metadata-scale plan: ONE window per partition key (a manifest is
+    file-counts, not row-counts — millions of rows at 100 TB, and the
+    cumsum partitions by table partition so no global sort), then a
+    hash rollup per bin. Deterministic (ties on key break by file id)
+    and trivially SQL-replayable. Returns per-bin
+    (part, bin_id, n_files, total_bytes, min_key, max_key).
+    """
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1: {target_bytes}")
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(key_col, file_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum(bytes_col).over(w), F.lit(0))
+    binned = manifest.select(
+        F.col(partition_col),
+        F.col(file_col),
+        F.col(bytes_col),
+        F.col(key_col),
+        F.floor(before / F.lit(target_bytes)).cast("long").alias("bin_id"),
+    )
+    return (
+        binned.groupBy(partition_col, "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum(bytes_col).alias("total_bytes"),
+            F.min(key_col).alias("min_key"),
+            F.max(key_col).alias("max_key"),
+        )
+        .orderBy(partition_col, "bin_id")
+    )

@@ -1480,3 +1480,100 @@ def run_round7_legs(spark) -> None:
         spark.catalog.clearCache()  # dbscan caches pairs/core internally
         emit("dbscan", n_pts, el, "us_per_point", el / n_pts * 1e6,
              clusters=n_clusters)
+
+
+def run_round7b_legs(spark) -> None:
+    """Round-7 batch-2 operators at 4x volume: redirect doubling,
+    CDC chunking, interval overlap join, polygon rasterization."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.geo import rasterize_polygon_cells
+    from geoharvest_spark.joins import interval_overlap_join
+    from geoharvest_spark.textops import cdc_chunk_dedup
+    from geoharvest_spark.webops import resolve_redirect_chains
+
+    def emit(workload, n, sec, unit, per, **kw):
+        row = {"workload": workload, "rows": n, "sec": round(sec, 3),
+               unit: round(per, 4)}
+        row.update(kw)
+        print(json.dumps(row), flush=True)
+
+    i = F.col("id")
+
+    # redirect chains: fixed length-16 chains (4 doubling rounds at any
+    # volume) -> per-edge cost must fall as edges grow
+    for n_edges in (1_000_000, 4_000_000):
+        ed = spark.range(n_edges, numPartitions=48).where(
+            i % 16 != 0
+        ).select(
+            F.concat(F.lit("u"), i).alias("src"),
+            F.concat(F.lit("u"), i - 1).alias("dst"),
+        )
+        t0 = _time.perf_counter()
+        resolve_redirect_chains(ed, max_rounds=8).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        el = _time.perf_counter() - t0
+        emit("redirect_chains", n_edges, el, "us_per_edge",
+             el / n_edges * 1e6, chain_len=16)
+
+    # CDC chunking: parquet-backed corpus like the bench legs
+    for n_docs in (250_000, 1_000_000):
+        d = tempfile.mkdtemp(prefix="cdc_docs_")
+        try:
+            synth_docs(spark, n_docs).write.mode("overwrite").parquet(d)
+            docs = spark.read.parquet(d)
+            t0 = _time.perf_counter()
+            cdc_chunk_dedup(docs, window=8, boundary_bits=4).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            el = _time.perf_counter() - t0
+            emit("cdc_chunk_dedup", n_docs, el, "us_per_doc",
+                 el / n_docs * 1e6)
+        finally:
+            shutil.rmtree(d, True)
+
+    # interval overlap: constant density (expected pairs linear in n)
+    for n_iv in (500_000, 2_000_000):
+        domain = n_iv * 100  # keeps pairs/interval constant across legs
+        la = spark.range(n_iv, numPartitions=48).select(
+            i.alias("lid"), ((i * 37) % domain).alias("s"),
+            ((i * 37) % domain + i % 200 + 1).alias("e"))
+        rb = spark.range(n_iv, numPartitions=48).select(
+            i.alias("rid"), ((i * 53 + 11) % domain).alias("s"),
+            ((i * 53 + 11) % domain + i % 300 + 1).alias("e"))
+        jd = interval_overlap_join(la, rb, bucket=256)
+        t0 = _time.perf_counter()
+        n_pairs = jd.count()
+        el = _time.perf_counter() - t0
+        emit("interval_overlap_join", n_iv * 2, el, "us_per_interval",
+             el / (n_iv * 2) * 1e6, pairs=n_pairs)
+
+    # polygon rasterization: fixed pentagon (~1460 cells each) -> cost
+    # linear in total covered cells
+    offs = [(4501, 3), (1353, 4255), (-3599, 2603), (-3601, -2601),
+            (1355, -4251)]
+    for n_poly in (2_000, 8_000):
+        k = F.col("id")
+        cx = ((k * 137) % 280 - 140) * 512
+        cy = ((k * 73) % 120 - 60) * 512
+        verts = F.expr(
+            "array(" + ",".join(
+                f"named_struct('x', CAST(_cx + {dx} AS BIGINT), "
+                f"'y', CAST(_cy + {dy} AS BIGINT))"
+                for dx, dy in offs
+            ) + ")"
+        )
+        polys = spark.range(n_poly, numPartitions=48).select(
+            k.alias("poly_id"), cx.alias("_cx"), cy.alias("_cy")
+        ).select("poly_id", verts.alias("vertices"))
+        cells = rasterize_polygon_cells(polys, res=7)
+        t0 = _time.perf_counter()
+        n_cells = cells.count()
+        el = _time.perf_counter() - t0
+        emit("rasterize_polygons", n_poly, el, "us_per_cell",
+             el / max(n_cells, 1) * 1e6, cells=n_cells)

@@ -408,3 +408,24 @@ def test_stream_cdc_restart_from_checkpoint(spark, tmp_path):
     ks = set(got["k"])
     assert 3 not in ks and 100 not in ks and 999 not in ks
     assert got[got.k == 5]["name"].iloc[0] == "five_v2"
+
+
+def test_compaction_plan_semantics(spark):
+    from geoharvest_spark.snapshots import compaction_plan
+
+    m = spark.createDataFrame(
+        [("a", 1, 3000, 10), ("a", 2, 3000, 20), ("a", 3, 3000, 30),
+         ("a", 4, 9000, 40), ("a", 5, 100, 50), ("b", 6, 100, 5)],
+        "part string, file_id long, n_bytes long, sort_key long",
+    )
+    out = {(r["part"], r["bin_id"]): (r["n_files"], r["total_bytes"],
+                                      r["min_key"], r["max_key"])
+           for r in compaction_plan(m, target_bytes=8192).collect()}
+    # a: prefix sums 0,3000,6000,9000,18000 -> bins 0,0,0,1,2
+    assert out[("a", 0)] == (3, 9000, 10, 30)
+    assert out[("a", 1)] == (1, 9000, 40, 40)
+    assert out[("a", 2)] == (1, 100, 50, 50)
+    assert out[("b", 0)] == (1, 100, 5, 5)
+    import pytest as _p
+    with _p.raises(ValueError):
+        compaction_plan(m, target_bytes=0)

@@ -342,3 +342,29 @@ def test_zorder_bbox_predicate_equals_exact_filter(spark):
     # BETWEEN form is only safe on stored columns (inline-reuse trap)
     small = keyed.limit(2000).localCheckpoint()
     assert small.where(zp_stored).count() == small.where(zp).count()
+
+
+def test_zorder_bbox_predicate_antimeridian_wrap(spark):
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.index import zorder_bbox_predicate, zorder_key
+
+    i = F.col("id")
+    pts = spark.range(20000).select(
+        ((i * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((i * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+    keyed = pts.withColumn("zkey", zorder_key(F.col("lon"), F.col("lat"), 8))
+    # wrapped bbox: lon in [170, 180] U [-180, -170]
+    zp = zorder_bbox_predicate(
+        F.col("zkey"), 170.0, -170.0, -20.0, 20.0, res=8, max_ranges=24,
+        stored_key=False,
+    )
+    exact = (
+        ((F.col("lon") >= 170.0) | (F.col("lon") <= -170.0))
+        & (F.col("lat") >= -20.0) & (F.col("lat") <= 20.0)
+    )
+    n_exact = keyed.where(exact).count()
+    assert n_exact > 0
+    assert keyed.where(zp & exact).count() == n_exact   # never drops
+    assert keyed.where(zp).count() >= n_exact           # superset
