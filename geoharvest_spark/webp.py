@@ -8,23 +8,23 @@ and hand-built bit-level fixtures):
   single-symbol code) and COMPLEX (code-length code in kCLORDER, 16/17/
   18 repeats, optional max_symbol cap);
 - meta-prefix groups (entropy image), color cache (0x1e35a7bd hash),
-  LZ77 backward references with far distances;
-- inverse transforms: SUBTRACT_GREEN, PREDICTOR (all 14 modes),
+  LZ77 backward references — BOTH distance forms: far distances
+  (code > 120) and the 120-entry near-window plane codes (the 2-D
+  neighborhood table, generated from the spec's ordering rule and
+  pinned entry-by-entry against the known table in tests);
+- inverse transforms: SUBTRACT_GREEN, PREDICTOR (all 14 modes, spec
+  Select tie-break — ties return T — and the contiguous-buffer
+  top[x+1] top-right at the last column, i.e. current row col 0),
   COLOR (3.5-fixed-point channel cross-talk), COLOR_INDEXING with
-  sub-byte pixel bundling (palettes <= 16).
+  sub-byte pixel bundling (palettes <= 16), and combinations
+  (inverses apply in reverse declaration order; palette+subtract-green
+  fixture-tested).
 
-Honest gates (raise NotImplementedError, never corrupt): near-window
-LZ77 distance codes (dist_code <= 120) — the 120-entry neighborhood
-plane-code table cannot be verified here without a reference
-implementation to differ-test against, and a silently wrong entry
-corrupts pixels; conforming encoders may always emit the equivalent
-far-distance form (code = distance + 120), which this module's encoder
-does. Animated/alpha-chunked containers (VP8X) and lossy VP8 are out of
-scope.
+Honest gates (raise NotImplementedError, never corrupt):
+animated/alpha-chunked containers (VP8X) and lossy VP8 are out of
+scope — this module is the LOSSLESS path of the media suite.
 
-Cross-implementation caveats (documented, round-trip-consistent): the
-top-right neighbor of a last-column pixel clamps to the row edge, and
-the color-transform element layout follows the spec's
+The color-transform element layout follows the spec's
 blue/green/red = green_to_red/green_to_blue/red_to_blue reading.
 
 At scale this decoder runs like every other codec here: inside
@@ -525,12 +525,18 @@ def _decode_vp8l(body: bytes) -> np.ndarray:
     if br.read(3) != 0:
         raise ValueError("VP8L: unsupported version")
     argb, transforms = _decode_image_stream(br, w, h, True)
-    if any(t[0] == 3 for t in transforms) and len(transforms) > 1:
-        # transforms declared after color-indexing operate on the
-        # PACKED-width image; supporting the combination needs
-        # width-threading this module does not carry — honest gate
+    ci = [idx for idx, t in enumerate(transforms) if t[0] == 3]
+    if ci and ci[0] != len(transforms) - 1:
+        # a transform declared AFTER color-indexing was read at the
+        # PACKED width and its inverse must run on the packed image;
+        # this module threads width only at the palette inverse —
+        # honest gate for that (encoder-unused) ordering. Transforms
+        # declared BEFORE color-indexing are fine: the reversed loop
+        # unpacks first, then inverts them at the original width
+        # (palette+subtract-green fixture-tested).
         raise NotImplementedError(
-            "VP8L: color-indexing combined with other transforms"
+            "VP8L: transforms declared after color-indexing "
+            "(packed-width threading)"
         )
     # color-indexing narrows the coded width; recover via transforms
     argb, w = _inverse_transforms(argb, w, h, transforms)

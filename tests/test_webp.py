@@ -565,3 +565,39 @@ def test_select_predictor_tie_returns_top():
     assert _predict(11, L, T, TL, 0) == T
     # strict preference still picks the closer side (T == TL -> p_l = 0)
     assert _predict(11, L, TL, TL, 0) == L
+
+
+def test_palette_combined_with_subtract_green():
+    # TWO transforms: SUBTRACT_GREEN declared first, COLOR_INDEXING
+    # second; inverses apply in reverse order (palette first, then SG),
+    # so final r = (pal_r + pal_g) & 255, b = (pal_b + pal_g) & 255
+    st = _Stream(6, 1)
+    bw = st.bw
+    bw.write(1, 1)  # transform present
+    bw.write(2, 2)  # SUBTRACT_GREEN (no payload)
+    bw.write(1, 1)  # another transform present
+    bw.write(3, 2)  # COLOR_INDEXING
+    bw.write(1, 8)  # 2 colors
+    bw.write(0, 1)  # palette stream: no cache
+    _simple_code(bw, [10, 40])  # green
+    _simple_code(bw, [10, 40])  # red (SG-space values)
+    _simple_code(bw, [10, 40])  # blue
+    _simple_code(bw, [255, 0])  # alpha
+    _simple_code(bw, [1])       # distance
+    for bit in (0, 0, 0, 1, 1, 1, 1, 0):
+        bw.write(bit, 1)        # pal0=(255,10,10,10); pal1=(255,50,50,50)
+    bw.write(0, 1)  # end of transforms
+    packed = (0 << 0) | (1 << 1) | (0 << 2) | (1 << 3) | (1 << 4) | (0 << 5)
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    _simple_code(bw, [packed])
+    _simple_code(bw, [0])
+    _simple_code(bw, [0])
+    _simple_code(bw, [0])
+    _simple_code(bw, [1])
+    out = decode_webp(st.payload())
+    # pal0 SG-inverse: g=10 -> r=20, b=20; pal1: g=50 -> r=100, b=100
+    want = [[20, 10, 20], [100, 50, 100], [20, 10, 20],
+            [100, 50, 100], [100, 50, 100], [20, 10, 20]]
+    assert out[0, :, :3].tolist() == want
+    assert (out[0, :, 3] == 255).all()
