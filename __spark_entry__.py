@@ -4635,6 +4635,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["table_compaction_plan"] = table_compaction_plan
 
+    def stream_interval_join(spark, sf):
+        """§2.9 stream-stream event-time interval join
+        (streaming.interval_stream_join): clicks attribute to same-user
+        views within 5 minutes, BOTH sides streaming (file micro-
+        batches, maxFilesPerTrigger=1), state bounded by watermark +
+        the range condition. Final append-mode table must equal the
+        batch interval join over the identical rows — the oracle
+        recomputes that join from the same deterministic synth."""
+        import pandas as pd
+
+        from geoharvest_spark.streaming import interval_stream_join
+
+        base = _scratch("stream_ivj_")
+        t0 = 1704067200  # 2024-01-01 UTC epoch
+        vdir, cdir = f"{base}/views", f"{base}/clicks"
+        for part in range(3):
+            vrows = [
+                {"user": i % 20, "v_ts": pd.Timestamp(
+                    (t0 + i * 60) * 1_000_000_000, tz=None), "view_id": i}
+                for i in range(part * 70, min((part + 1) * 70, 200))
+            ]
+            crows = [
+                {"c_user": j % 20, "c_ts": pd.Timestamp(
+                    (t0 + j * 40 + 17) * 1_000_000_000, tz=None),
+                 "click_id": j}
+                for j in range(part * 100, min((part + 1) * 100, 300))
+            ]
+            spark.createDataFrame(
+                pd.DataFrame(vrows),
+                "user long, v_ts timestamp, view_id long",
+            ).coalesce(1).write.mode("append").parquet(vdir)
+            spark.createDataFrame(
+                pd.DataFrame(crows),
+                "c_user long, c_ts timestamp, click_id long",
+            ).coalesce(1).write.mode("append").parquet(cdir)
+        vs = (
+            spark.readStream.schema("user long, v_ts timestamp, view_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(vdir)
+        )
+        cs = (
+            spark.readStream.schema(
+                "c_user long, c_ts timestamp, click_id long"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(cdir)
+        )
+        sink = "stream_interval_join_sink"
+        spark.catalog.dropTempView(sink)
+        q = (
+            interval_stream_join(vs, cs, max_lag_seconds=300)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option("checkpointLocation", f"{base}/ckpt")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return (
+            spark.table(sink)
+            .select(
+                "user",
+                "view_id",
+                "click_id",
+                F.col("v_ts").cast("timestamp").cast("long").alias("v_epoch"),
+                F.col("c_ts").cast("timestamp").cast("long").alias("c_epoch"),
+            )
+            .orderBy("view_id", "click_id")
+        )
+
+    Q["stream_interval_join"] = stream_interval_join
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -7710,6 +7783,19 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "sum(n_bytes)::BIGINT AS total_bytes, "
             "min(sort_key) AS min_key, max(sort_key) AS max_key "
             "FROM cpb GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "stream_interval_join": (
+            # batch interval join over the identical deterministic synth
+            "WITH ivv AS (SELECT i % 20 AS \"user\", "
+            "1704067200 + i * 60 AS v_epoch, i AS view_id "
+            "FROM range(200) r(i)), "
+            "ivc AS (SELECT j % 20 AS c_user, "
+            "1704067200 + j * 40 + 17 AS c_epoch, j AS click_id "
+            "FROM range(300) r(j)) "
+            "SELECT \"user\", view_id, click_id, v_epoch, c_epoch "
+            "FROM ivv JOIN ivc ON \"user\" = c_user "
+            "AND c_epoch >= v_epoch AND c_epoch <= v_epoch + 300 "
+            "ORDER BY view_id, click_id"
         ),
     }
     # streaming CDC maintenance must equal the one-shot MERGE: the

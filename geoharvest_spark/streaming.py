@@ -343,3 +343,34 @@ def synth_event_batch(i0: int, n: int, dup_every: int = 7) -> list[dict]:
             }
         )
     return rows
+
+
+def interval_stream_join(
+    views: DataFrame,
+    clicks: DataFrame,
+    max_lag_seconds: int = 300,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream event-time INTERVAL join — the attribution join:
+    each click matches the views of the SAME user whose timestamp falls
+    within ``max_lag_seconds`` before it. Both sides are streaming, so
+    Spark buffers each in the state store; the watermark + the
+    range condition bound that state (a view older than watermark +
+    max_lag can never match a future click and is evicted) — the reason
+    this shape survives an unbounded 100-TB stream where an
+    unconstrained stream-stream join could not.
+
+    Expects views(user, v_ts, view_id) and clicks(c_user, c_ts,
+    click_id). Returns append-mode matches (user, view_id, click_id,
+    v_ts, c_ts) — exactly the batch interval join over the same rows
+    once the watermark has passed (kill/restart proof in
+    test_contract_streaming_resume)."""
+    v = views.withWatermark("v_ts", watermark)
+    c = clicks.withWatermark("c_ts", watermark)
+    return v.join(
+        c,
+        F.expr(
+            "user = c_user AND c_ts >= v_ts AND "
+            f"c_ts <= v_ts + interval {int(max_lag_seconds)} seconds"
+        ),
+    ).select("user", "view_id", "click_id", "v_ts", "c_ts")

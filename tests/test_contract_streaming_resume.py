@@ -429,3 +429,82 @@ def test_compaction_plan_semantics(spark):
     import pytest as _p
     with _p.raises(ValueError):
         compaction_plan(m, target_bytes=0)
+
+
+def test_stream_interval_join_restart_from_checkpoint(spark, tmp_path):
+    """Kill/restart for the stream-stream interval join: stop after the
+    first micro-batch (buffered view/click state in the state store),
+    add the remaining files, restart from the same checkpoint — the
+    recovered run's matches must equal an uninterrupted run AND the
+    batch interval join (exactly once, no lost buffered state)."""
+    import pandas as pd
+
+    from geoharvest_spark.streaming import interval_stream_join
+
+    t0 = 1704067200
+
+    def _views(lo, hi):
+        return pd.DataFrame(
+            [{"user": i % 5, "v_ts": pd.Timestamp((t0 + i * 60) * 10**9),
+              "view_id": i} for i in range(lo, hi)]
+        )
+
+    def _clicks(lo, hi):
+        return pd.DataFrame(
+            [{"c_user": j % 5, "c_ts": pd.Timestamp(
+                (t0 + j * 40 + 17) * 10**9), "click_id": j}
+             for j in range(lo, hi)]
+        )
+
+    def _stage(base, parts):
+        for vdf, cdf in parts:
+            spark.createDataFrame(
+                vdf, "user long, v_ts timestamp, view_id long"
+            ).coalesce(1).write.mode("append").parquet(f"{base}/v")
+            spark.createDataFrame(
+                cdf, "c_user long, c_ts timestamp, click_id long"
+            ).coalesce(1).write.mode("append").parquet(f"{base}/c")
+
+    def _run(base, ckpt, out):
+        vs = (spark.readStream
+              .schema("user long, v_ts timestamp, view_id long")
+              .option("maxFilesPerTrigger", 1).parquet(f"{base}/v"))
+        cs = (spark.readStream
+              .schema("c_user long, c_ts timestamp, click_id long")
+              .option("maxFilesPerTrigger", 1).parquet(f"{base}/c"))
+        q = (interval_stream_join(vs, cs, max_lag_seconds=300)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt).outputMode("append")
+             .start())
+        q.processAllAvailable()
+        q.stop()
+
+    parts = [(_views(0, 20), _clicks(0, 30)),
+             (_views(20, 40), _clicks(30, 60))]
+    # interrupted: part 1, crash, part 2, resume
+    a = str(tmp_path / "a")
+    _stage(a, parts[:1])
+    _run(a, f"{a}/ckpt", f"{a}/out")
+    _stage(a, parts[1:])
+    _run(a, f"{a}/ckpt", f"{a}/out")
+    # uninterrupted twin
+    b = str(tmp_path / "b")
+    _stage(b, parts)
+    _run(b, f"{b}/ckpt", f"{b}/out")
+
+    cols = ["user", "view_id", "click_id"]
+    got = (spark.read.parquet(f"{a}/out").toPandas()[cols]
+           .sort_values(cols).reset_index(drop=True))
+    want = (spark.read.parquet(f"{b}/out").toPandas()[cols]
+            .sort_values(cols).reset_index(drop=True))
+    assert len(got) == len(want) > 0 and got.equals(want)
+    # batch truth
+    vall = pd.concat([p[0] for p in parts])
+    call = pd.concat([p[1] for p in parts])
+    truth = sorted(
+        (int(v.user), int(v.view_id), int(c.click_id))
+        for v in vall.itertuples()
+        for c in call.itertuples()
+        if v.user == c.c_user and 0 <= (c.c_ts - v.v_ts).total_seconds() <= 300
+    )
+    assert sorted(map(tuple, got.values.tolist())) == truth
