@@ -4708,6 +4708,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["stream_interval_join"] = stream_interval_join
 
+    def event_key_skew_profile(spark, sf):
+        """Shuffle-skew census (profile.key_skew_profile): per-key count
+        distribution as one row — head share + exact-integer Gini (one
+        final division) — the pre-shuffle report that decides salting /
+        AQE-skew strategy. The only global sort is over DISTINCT keys.
+        Key under test: a zipf-ish synthetic (user_id squared mod)."""
+        from geoharvest_spark.profile import key_skew_profile
+
+        i = F.col("event_id")
+        ev = _t(spark, sf, "events").select(
+            ((i * i) % 97 % (F.lit(1) + i % 13)).alias("k")
+        )
+        return key_skew_profile(ev, "k", top_k=5)
+
+    Q["event_key_skew_profile"] = event_key_skew_profile
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -7796,6 +7812,23 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "FROM ivv JOIN ivc ON \"user\" = c_user "
             "AND c_epoch >= v_epoch AND c_epoch <= v_epoch + 300 "
             "ORDER BY view_id, click_id"
+        ),
+        "event_key_skew_profile": (
+            # same ranked-count Gini identity; ties on (count, key)
+            "WITH skv AS (SELECT ((event_id * event_id) % 97) % "
+            "(1 + event_id % 13) AS k FROM events), "
+            "skc AS (SELECT k, count(*) AS c FROM skv GROUP BY 1), "
+            "skr AS (SELECT c, row_number() OVER (ORDER BY c, k) AS i "
+            "FROM skc), "
+            "ska AS (SELECT sum(c)::BIGINT AS n_rows, "
+            "count(*)::BIGINT AS n_keys, max(c)::BIGINT AS max_count, "
+            "sum(2 * i * c)::BIGINT AS s2ic, sum(c)::BIGINT AS sc "
+            "FROM skr), "
+            "skt AS (SELECT sum(c)::BIGINT AS topk_count FROM ("
+            "SELECT c FROM skr ORDER BY i DESC LIMIT 5)) "
+            "SELECT n_rows, n_keys, max_count, topk_count, "
+            "CAST(s2ic - (n_keys + 1) * sc AS DOUBLE) / "
+            "CAST(n_keys * sc AS DOUBLE) AS gini FROM ska, skt"
         ),
     }
     # streaming CDC maintenance must equal the one-shot MERGE: the

@@ -15,7 +15,7 @@ these extend the engine's quality/analytics family.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -375,4 +375,58 @@ def trimmed_stats(
             )
             / F.col("n").cast("double")
         ).alias("winsorized_mean"),
+    )
+
+
+def key_skew_profile(
+    df: DataFrame, key_col: str, top_k: int = 5
+) -> DataFrame:
+    """Shuffle-skew diagnostics for a prospective join/groupBy key: the
+    per-key count distribution summarized as ONE row — total rows,
+    distinct keys, max/top-k head share, and the Gini coefficient of
+    the key mass (0 = uniform, ->1 = one hot key). This is the census
+    that decides salting/AQE-skew strategy BEFORE paying for the big
+    shuffle (cap_per_key's hot_threshold guard is the action this
+    report informs).
+
+    Exact integer numerics: counts are ints; Gini uses the sorted-rank
+    identity  G = sum((2i - n_keys - 1) * c_(i)) / (n_keys * sum(c))
+    (i = 1-based rank by (count, key) — deterministic ties), an integer
+    numerator with ONE final double division. The only global sort is
+    over DISTINCT KEYS (the count table, not the rows); top-k head
+    share comes from the same ranked table.
+
+    Returns (n_rows, n_keys, max_count, topk_count, gini).
+    """
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy(F.col("c"), F.col(key_col))
+    ranked = counts.select(
+        F.col("c"), F.row_number().over(w).alias("i")
+    )
+    agg = ranked.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_count"),
+        F.sum(
+            (F.lit(2) * F.col("i")) * F.col("c")
+        ).alias("_s2ic"),
+        F.sum(F.col("c")).alias("_sc"),
+    )
+    topk = (
+        ranked.orderBy(F.desc("i"))
+        .limit(top_k)
+        .agg(F.sum("c").alias("topk_count"))
+    )
+    return agg.crossJoin(topk).select(
+        "n_rows",
+        "n_keys",
+        "max_count",
+        "topk_count",
+        (
+            (
+                F.col("_s2ic")
+                - (F.col("n_keys") + 1) * F.col("_sc")
+            ).cast("double")
+            / (F.col("n_keys") * F.col("_sc")).cast("double")
+        ).alias("gini"),
     )

@@ -193,3 +193,17 @@ def test_trimmed_stats_small(spark):
     assert out["trimmed_n"] == 9 and out["trimmed_mean"] == 6.0
     # winsorized: 1->2, 1000->10: (54 + 1*2 + 1*10)/11
     assert abs(out["winsorized_mean"] - 66.0 / 11.0) < 1e-12
+
+
+def test_key_skew_profile_gini(spark):
+    from geoharvest_spark.profile import key_skew_profile
+
+    u = spark.createDataFrame([(i % 10,) for i in range(1000)], "k long")
+    r = key_skew_profile(u, "k").collect()[0]
+    assert (r["n_rows"], r["n_keys"], r["max_count"]) == (1000, 10, 100)
+    assert r["gini"] == 0.0
+    h = spark.createDataFrame(
+        [(0,)] * 991 + [(i,) for i in range(1, 10)], "k long"
+    )
+    r = key_skew_profile(h, "k").collect()[0]
+    assert r["max_count"] == 991 and r["gini"] > 0.85
