@@ -4724,6 +4724,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["event_key_skew_profile"] = event_key_skew_profile
 
+    def geo_spacetime_scan(spark, sf):
+        """Spatiotemporal z-order scan (index.zrange3_decompose): one
+        bbox + day-range query becomes <= 24 aligned 3-way-Morton key
+        ranges via the OCTREE walk (exact by construction — key count
+        == box volume, property-tested) — the partition-pruning planner
+        for a morton3-clustered spatiotemporal layout. Computed key ->
+        exists() predicate (two key references; BETWEENs would inline
+        the 30-term interleave per bound). Oracle replays the
+        independent bit-by-bit morton3 + the same ranges + the exact
+        filter."""
+        from geoharvest_spark.index import (
+            morton3_key,
+            zrange3_decompose,
+            zrange3_predicate,
+        )
+
+        i = F.col("event_id")
+        t0 = 1704067200  # 2024-01-01 UTC
+        pts = _t(spark, sf, "events").select(
+            i.alias("point_id"),
+            ((i * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+            ((i * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+            # TIMESTAMP_NTZ: cast through timestamp first (CLAUDE.md)
+            F.floor(
+                (F.col("ts").cast("timestamp").cast("long") - F.lit(t0))
+                / F.lit(86400)
+            ).cast("long").alias("day"),
+        )
+        xcol = F.least(
+            F.greatest(
+                F.floor((F.col("lon") + 180.0) / 360.0 * 512.0), F.lit(0)
+            ),
+            F.lit(511),
+        ).cast("long")
+        ycol = F.least(
+            F.greatest(
+                F.floor((F.col("lat") + 90.0) / 180.0 * 256.0), F.lit(0)
+            ),
+            F.lit(255),
+        ).cast("long")
+        keyed = pts.select(
+            "point_id", "lon", "lat", "day",
+            morton3_key(xcol, ycol, F.col("day")).alias("zk3"),
+        )
+        # box: lon [-60, 55], lat [-25, 40], day [2, 9]
+        x0, x1 = 170, 334   # floor((-60+180)/360*512), floor((55+180)/360*512)
+        y0, y1 = 92, 184
+        ranges = zrange3_decompose(x0, x1, y0, y1, 2, 9, max_ranges=24)
+        exact = (
+            (F.col("lon") >= -60.0) & (F.col("lon") <= 55.0)
+            & (F.col("lat") >= -25.0) & (F.col("lat") <= 40.0)
+            & (F.col("day") >= 2) & (F.col("day") <= 9)
+        )
+        sel = keyed.where(zrange3_predicate(F.col("zk3"), ranges) & exact)
+        return sel.agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.sum("zk3").alias("zk3_sum"),
+            F.min("zk3").alias("zk3_min"),
+            F.max("zk3").alias("zk3_max"),
+        )
+
+    Q["geo_spacetime_scan"] = geo_spacetime_scan
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -5538,6 +5601,11 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "zkey", -60.0, 55.0, -25.0, 40.0, res=8, max_ranges=24
     )
     from geoharvest_spark.geo import ray_cast_sql as _ray_cast_sql
+
+    _m3_sql = ix.morton3_sql
+    _ZR3_PRED = ix.zrange3_sql_predicate(
+        "zk3", ix.zrange3_decompose(170, 334, 92, 184, 2, 9, max_ranges=24)
+    )
 
     # Bloom bitset for bloom_semi_prune, built with the PURE-PYTHON twin
     # over the same dim keys (or-accumulation is order-independent); the
@@ -7812,6 +7880,27 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "FROM ivv JOIN ivc ON \"user\" = c_user "
             "AND c_epoch >= v_epoch AND c_epoch <= v_epoch + 300 "
             "ORDER BY view_id, click_id"
+        ),
+        "geo_spacetime_scan": (
+            # independent bit-by-bit morton3 + the SAME octree ranges
+            "WITH s3p AS (SELECT event_id AS point_id, "
+            "(event_id * 7919 % 36000) / 100.0 - 180.0 AS lon, "
+            "(event_id * 104729 % 18000) / 100.0 - 90.0 AS lat, "
+            "(epoch_us(ts) // 1000000 - 1704067200) // 86400 AS day "
+            "FROM events), "
+            "s3c AS (SELECT point_id, lon, lat, day, "
+            "least(greatest(cast(floor((lon + 180.0) / 360.0 * 512.0) "
+            "as bigint), 0), 511) AS sx, "
+            "least(greatest(cast(floor((lat + 90.0) / 180.0 * 256.0) "
+            "as bigint), 0), 255) AS sy FROM s3p), "
+            f"s3k AS (SELECT point_id, lon, lat, day, "
+            f"({_m3_sql('sx', 'sy', 'day')})::BIGINT AS zk3 FROM s3c), "
+            f"s3s AS (SELECT * FROM s3k WHERE ({_ZR3_PRED}) "
+            "AND lon BETWEEN -60.0 AND 55.0 AND lat BETWEEN -25.0 AND 40.0 "
+            "AND day BETWEEN 2 AND 9) "
+            "SELECT count(*)::BIGINT AS n_points, "
+            "sum(zk3)::BIGINT AS zk3_sum, min(zk3) AS zk3_min, "
+            "max(zk3) AS zk3_max FROM s3s"
         ),
         "event_key_skew_profile": (
             # same ranked-count Gini identity; ties on (count, key)

@@ -751,3 +751,129 @@ def smooth_cell_counts(counts: DataFrame, res: int, weight: int = 1) -> DataFram
         .alias("m"),
     )
     return scattered.groupBy("cell").agg(F.sum("m").alias("n_smooth"))
+
+
+def morton3_key(x: Column, y: Column, t: Column) -> Column:
+    """3-way Morton interleave of 10-bit x/y/t (spatiotemporal cluster
+    key: lon-cell, lat-cell, time-bucket). Bit-by-bit multiply-add sum
+    — pure codegen, ~30 terms, and the SAME formulation as the SQL twin
+    so neither side hides a magic-constant slip."""
+    out = None
+    for k in range(10):
+        term = (
+            ((x.bitwiseAND(F.lit(1 << k))) / F.lit(1 << k)).cast("long")
+            * F.lit(1 << (3 * k))
+            + ((y.bitwiseAND(F.lit(1 << k))) / F.lit(1 << k)).cast("long")
+            * F.lit(1 << (3 * k + 1))
+            + ((t.bitwiseAND(F.lit(1 << k))) / F.lit(1 << k)).cast("long")
+            * F.lit(1 << (3 * k + 2))
+        )
+        out = term if out is None else out + term
+    return out
+
+
+def morton3_sql(x_expr: str, y_expr: str, t_expr: str) -> str:
+    """DuckDB twin of morton3_key (bit-by-bit, 1:1 with the Column sum)."""
+    return (
+        f"list_sum(list_transform(range(10), k -> "
+        f"((({x_expr}) >> k) & 1) * (1::BIGINT << (3 * k)) + "
+        f"((({y_expr}) >> k) & 1) * (1::BIGINT << (3 * k + 1)) + "
+        f"((({t_expr}) >> k) & 1) * (1::BIGINT << (3 * k + 2))))"
+    )
+
+
+def morton3_np(x, y, t):
+    """numpy reference twin (independent of the Column path)."""
+    x = np.asarray(x, dtype=np.int64)
+    y = np.asarray(y, dtype=np.int64)
+    t = np.asarray(t, dtype=np.int64)
+    out = np.zeros_like(x)
+    for k in range(10):
+        out |= ((x >> k) & 1) << (3 * k)
+        out |= ((y >> k) & 1) << (3 * k + 1)
+        out |= ((t >> k) & 1) << (3 * k + 2)
+    return out
+
+
+def zrange3_decompose(
+    x0: int, x1: int, y0: int, y1: int, t0: int, t1: int,
+    max_ranges: int = 64,
+) -> list:
+    """Octree walk: a 3-D box (inclusive 10-bit coords) -> maximal
+    aligned 3-way-Morton key ranges (exact: key count == box volume),
+    merged, then smallest-gap coarsened to ``max_ranges`` (stays a
+    SUPERSET — pair with the exact predicate). The spatiotemporal
+    query planner: one bbox + time-range becomes a handful of key
+    BETWEENs over a morton3-clustered layout — driver-side integer
+    math, zero data reads."""
+    if x0 > x1 or y0 > y1 or t0 > t1:
+        raise ValueError(f"empty box: {(x0, x1, y0, y1, t0, t1)}")
+    ranges: list = []
+
+    def rec(level: int, z: int, qx: int, qy: int, qt: int) -> None:
+        size = 1 << level
+        if (
+            qx > x1 or qx + size - 1 < x0
+            or qy > y1 or qy + size - 1 < y0
+            or qt > t1 or qt + size - 1 < t0
+        ):
+            return
+        if (
+            qx >= x0 and qx + size - 1 <= x1
+            and qy >= y0 and qy + size - 1 <= y1
+            and qt >= t0 and qt + size - 1 <= t1
+        ):
+            ranges.append([z, z + (1 << (3 * level)) - 1])
+            return
+        half = size >> 1
+        eighth = 1 << (3 * (level - 1))
+        for dt in (0, 1):
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    rec(
+                        level - 1,
+                        z + (dx + 2 * dy + 4 * dt) * eighth,
+                        qx + dx * half,
+                        qy + dy * half,
+                        qt + dt * half,
+                    )
+
+    rec(10, 0, 0, 0, 0)
+    ranges.sort()
+    merged = [ranges[0]]
+    for lo, hi in ranges[1:]:
+        if lo <= merged[-1][1] + 1:
+            merged[-1][1] = max(merged[-1][1], hi)
+        else:
+            merged.append([lo, hi])
+    while len(merged) > max_ranges:
+        gi = min(
+            range(1, len(merged)),
+            key=lambda i: merged[i][0] - merged[i - 1][1],
+        )
+        merged[gi - 1][1] = merged[gi][1]
+        del merged[gi]
+    return [(lo, hi) for lo, hi in merged]
+
+
+def zrange3_predicate(zkey: Column, ranges: list) -> Column:
+    """exists() range predicate for a COMPUTED morton3 key (two key
+    references total — the BETWEEN form would inline the 30-term
+    interleave once per bound; see zorder_bbox_predicate)."""
+    arr = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('lo',CAST({lo} AS BIGINT),"
+            f"'hi',CAST({hi} AS BIGINT))"
+            for lo, hi in ranges
+        )
+        + ")"
+    )
+    return F.exists(arr, lambda r: (zkey >= r["lo"]) & (zkey <= r["hi"]))
+
+
+def zrange3_sql_predicate(zkey_expr: str, ranges: list) -> str:
+    """SQL twin (same driver-side ranges)."""
+    return " OR ".join(
+        f"({zkey_expr} BETWEEN {lo} AND {hi})" for lo, hi in ranges
+    )

@@ -368,3 +368,57 @@ def test_zorder_bbox_predicate_antimeridian_wrap(spark):
     assert n_exact > 0
     assert keyed.where(zp & exact).count() == n_exact   # never drops
     assert keyed.where(zp).count() >= n_exact           # superset
+
+
+def test_zrange3_octree_exact_and_superset():
+    import random
+
+    import numpy as np
+
+    from geoharvest_spark.index import morton3_np, zrange3_decompose
+
+    rng = random.Random(13)
+    for _ in range(40):
+        x0 = rng.randint(0, 80); x1 = x0 + rng.randint(0, 25)
+        y0 = rng.randint(0, 80); y1 = y0 + rng.randint(0, 25)
+        t0 = rng.randint(0, 80); t1 = t0 + rng.randint(0, 25)
+        rs = zrange3_decompose(x0, x1, y0, y1, t0, t1, max_ranges=10**9)
+        xs, ys, ts = np.meshgrid(
+            np.arange(x0, x1 + 1), np.arange(y0, y1 + 1),
+            np.arange(t0, t1 + 1),
+        )
+        zs = morton3_np(xs.ravel(), ys.ravel(), ts.ravel())
+        cov = np.zeros(len(zs), bool)
+        total = 0
+        for lo, hi in rs:
+            cov |= (zs >= lo) & (zs <= hi)
+            total += hi - lo + 1
+        assert cov.all()
+        # exact: key count == box volume
+        assert total == (x1-x0+1) * (y1-y0+1) * (t1-t0+1)
+        rs8 = zrange3_decompose(x0, x1, y0, y1, t0, t1, max_ranges=8)
+        assert len(rs8) <= 8
+        cov8 = np.zeros(len(zs), bool)
+        for lo, hi in rs8:
+            cov8 |= (zs >= lo) & (zs <= hi)
+        assert cov8.all()
+
+
+def test_morton3_key_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.index import morton3_key, morton3_np
+
+    df = spark.range(500).select(
+        (F.col("id") * 7 % 1024).alias("x"),
+        (F.col("id") * 13 % 1024).alias("y"),
+        (F.col("id") * 31 % 1024).alias("t"),
+    )
+    got = (
+        df.select("x", "y", "t", morton3_key(
+            F.col("x"), F.col("y"), F.col("t")).alias("z"))
+        .toPandas()
+    )
+    want = morton3_np(got.x.to_numpy(), got.y.to_numpy(), got.t.to_numpy())
+    assert (got.z.to_numpy() == want).all()
