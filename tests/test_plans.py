@@ -530,3 +530,33 @@ def test_phrase_search_is_narrow(spark):
     plan = _plan(phrase_match_counts(d, "needle in the haystack"))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_zrange_betweens_push_down_on_stored_key(spark, tmp_path):
+    # the stored-key BETWEEN form must reach the parquet scan as
+    # PushedFilters over the zkey column of a zorder_layout table —
+    # that's the row-group min/max pruning the planner exists for
+    from geoharvest_spark.index import zorder_bbox_predicate, zorder_layout
+
+    i = F.col("id")
+    pts = spark.range(50000).select(
+        ((i * 7919 % 36000) / 100.0 - 180.0).alias("lon"),
+        ((i * 104729 % 18000) / 100.0 - 90.0).alias("lat"),
+    )
+    path = str(tmp_path / "zlayout")
+    zorder_layout(pts, res=8, partitions=8).write.parquet(path)
+    t = spark.read.parquet(path)
+    zp = zorder_bbox_predicate(
+        F.col("zkey"), -60.0, 55.0, -25.0, 40.0, res=8, max_ranges=8
+    )
+    txt = _fmt(t.where(zp).select("zkey"))
+    pushed = txt.split("PushedFilters")[1][:800]
+    assert "zkey" in pushed, pushed
+    # and rows selected equal the computed-key exists() form
+    from geoharvest_spark.index import zorder_key
+
+    zp2 = zorder_bbox_predicate(
+        F.col("zkey"), -60.0, 55.0, -25.0, 40.0, res=8, max_ranges=8,
+        stored_key=False,
+    )
+    assert t.where(zp).count() == t.where(zp2).count()
