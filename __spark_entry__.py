@@ -4787,6 +4787,79 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["geo_spacetime_scan"] = geo_spacetime_scan
 
+    def event_join_size_census(spark, sf):
+        """Exact equi-join size WITHOUT the join
+        (profile.join_size_census): sum over keys of |L_k|*|R_k| from
+        the two count tables — the pre-shuffle planning census that
+        prices a 100-TB join and flags the salt-worthy hot keys.
+        Verified against the materialized join."""
+        from geoharvest_spark.profile import join_size_census
+
+        i = F.col("event_id")
+        l = _t(spark, sf, "events").select((i % 37).alias("k"))
+        r = _t(spark, sf, "events").where(i % 2 == 0).select(
+            ((i * 7) % 41).alias("k")
+        )
+        return join_size_census(l, r, "k", top_k=5)
+
+    Q["event_join_size_census"] = event_join_size_census
+
+    def geo_polygon_overlay(spark, sf):
+        """Exact polygon-overlay area (geo.polygon_intersection_area):
+        Sutherland-Hodgman over exact rationals (integer vertices ->
+        Fraction intersection points -> Fraction shoelace), emitted via
+        the correctly-rounded float(Fraction). 25 pentagon subjects x 8
+        rectangle clips; the oracle is a STRUCTURALLY different
+        pure-python half-plane formulation staged driver-side
+        (oracle_stage.stage_overlay) — two independent exact kernels
+        must agree bit-for-bit."""
+        from geoharvest_spark.geo import polygon_intersection_area
+        from geoharvest_spark.oracle_stage import OVERLAY_PENT_OFFS
+
+        k = F.col("n_nationkey").cast("long")
+        subj = F.expr(
+            "array(" + ",".join(
+                f"named_struct('x', CAST(_cx + {dx} AS BIGINT), "
+                f"'y', CAST(_cy + {dy} AS BIGINT))"
+                for dx, dy in OVERLAY_PENT_OFFS
+            ) + ")"
+        )
+        subs = (
+            _t(spark, sf, "nation")
+            .select(
+                k.alias("lid"),
+                ((k * 137 % 340 - 170) * 512).alias("_cx"),
+                ((k * 73 % 160 - 80) * 512).alias("_cy"),
+            )
+            .select("lid", subj.alias("subject"))
+        )
+        r = F.col("id")
+        rect = F.expr(
+            "array("
+            "named_struct('x', _x0, 'y', _y0),"
+            "named_struct('x', _x0 + _w, 'y', _y0),"
+            "named_struct('x', _x0 + _w, 'y', _y0 + _h),"
+            "named_struct('x', _x0, 'y', _y0 + _h))"
+        )
+        rk = (r * 3) % 25
+        clips = (
+            spark.range(8)
+            .select(
+                r.alias("rid"),
+                ((rk * 137 % 340 - 170) * 512 - (2048 + 11 * r)).alias(
+                    "_x0"
+                ),
+                ((rk * 73 % 160 - 80) * 512 - (1024 + 7 * r)).alias("_y0"),
+                ((3 + r % 4) * 2048).alias("_w"),
+                ((2 + r % 3) * 2048).alias("_h"),
+            )
+            .select("rid", rect.alias("clip"))
+        )
+        pairs = subs.crossJoin(clips)
+        return polygon_intersection_area(pairs).orderBy("lid", "rid")
+
+    Q["geo_polygon_overlay"] = geo_polygon_overlay
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -7901,6 +7974,28 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "SELECT count(*)::BIGINT AS n_points, "
             "sum(zk3)::BIGINT AS zk3_sum, min(zk3) AS zk3_min, "
             "max(zk3) AS zk3_max FROM s3s"
+        ),
+        "geo_polygon_overlay": (
+            # independently-formulated half-plane clipping, staged
+            # driver-side (pure python, exact Fractions)
+            f"SELECT lid, rid, n_vertices::INT AS n_vertices, "
+            f"inter_area2 "
+            f"FROM read_parquet('{stage['overlay']}') ORDER BY lid, rid"
+        ),
+        "event_join_size_census": (
+            # independent check: ACTUALLY materialize the join
+            "WITH jcl AS (SELECT event_id % 37 AS k FROM events), "
+            "jcr AS (SELECT (event_id * 7) % 41 AS k FROM events "
+            "WHERE event_id % 2 = 0), "
+            "jcp AS (SELECT jcl.k AS k FROM jcl JOIN jcr USING (k)), "
+            "jck AS (SELECT k, count(*) AS rows_k FROM jcp GROUP BY 1), "
+            "jct AS (SELECT sum(rows_k)::BIGINT AS join_rows, "
+            "count(*)::BIGINT AS n_matching_keys, "
+            "max(rows_k)::BIGINT AS max_key_rows FROM jck), "
+            "jcx AS (SELECT sum(rows_k)::BIGINT AS topk_join_rows FROM ("
+            "SELECT rows_k FROM jck ORDER BY rows_k DESC, k LIMIT 5)) "
+            "SELECT join_rows, n_matching_keys, topk_join_rows, "
+            "max_key_rows FROM jct, jcx"
         ),
         "event_key_skew_profile": (
             # same ranked-count Gini identity; ties on (count, key)

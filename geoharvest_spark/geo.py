@@ -632,3 +632,116 @@ def path_cells(
     return st.select(
         F.col(id_col), "step", ghcell(lon, lat, res).alias("cell")
     )
+
+
+def clip_polygon_convex(subject, clip):
+    """Sutherland-Hodgman: clip ``subject`` (any simple polygon) by the
+    CONVEX ``clip`` polygon, both as [(x, y), ...] integer/Fraction
+    vertex lists (open rings, counter-clockwise clip). Returns the
+    clipped vertex list with EXACT ``fractions.Fraction`` coordinates —
+    intersection points of integer-vertex edges are rational, so the
+    whole overlay is exact arithmetic, no epsilon anywhere.
+    """
+    from fractions import Fraction
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    out = [(Fraction(x), Fraction(y)) for x, y in subject]
+    n = len(clip)
+    for i in range(n):
+        a, b = clip[i], clip[(i + 1) % n]
+        if not out:
+            break
+        inp, out = out, []
+        for j in range(len(inp)):
+            cur, nxt = inp[j], inp[(j + 1) % len(inp)]
+            cur_in = cross(a, b, cur) >= 0
+            nxt_in = cross(a, b, nxt) >= 0
+            if cur_in:
+                out.append(cur)
+            if cur_in != nxt_in:
+                # exact rational intersection of segment cur->nxt with
+                # the infinite line a->b
+                dx1, dy1 = nxt[0] - cur[0], nxt[1] - cur[1]
+                dx2, dy2 = b[0] - a[0], b[1] - a[1]
+                den = dx1 * dy2 - dy1 * dx2
+                t = Fraction(
+                    (a[0] - cur[0]) * dy2 - (a[1] - cur[1]) * dx2, den
+                )
+                out.append((cur[0] + t * dx1, cur[1] + t * dy1))
+    return out
+
+
+def shoelace_area2_fraction(verts):
+    """Exact 2x signed area of a Fraction-vertex polygon."""
+    from fractions import Fraction
+
+    s = Fraction(0)
+    n = len(verts)
+    for i in range(n):
+        x1, y1 = verts[i]
+        x2, y2 = verts[(i + 1) % n]
+        s += x1 * y2 - x2 * y1
+    return s
+
+
+def polygon_intersection_area(
+    pairs: DataFrame,
+    left_key: str = "lid",
+    right_key: str = "rid",
+    subject_col: str = "subject",
+    clip_col: str = "clip",
+) -> DataFrame:
+    """Exact polygon-overlay area for candidate pairs (typically from
+    bbox_overlap_join): clip the subject polygon by the CONVEX clip
+    polygon with Sutherland-Hodgman over exact rationals (integer
+    vertices -> Fraction intersection points -> Fraction shoelace), and
+    emit |area2| as a double via Python's correctly-rounded
+    float(Fraction) — deterministic bit-for-bit, no epsilon, no
+    floating clipping drift.
+
+    Runs in Arrow-batched mapInPandas (pure-python exact arithmetic is
+    the point; per-pair cost is O(|subject| * |clip|)); at scale the
+    bbox join bounds the candidate pairs and this stage is
+    embarrassingly parallel. Columns ``subject``/``clip`` are
+    array<struct<x:long, y:long>> open rings (clip counter-clockwise).
+    Returns (left_key, right_key, n_vertices, inter_area2).
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(left_key, T.LongType()),
+            T.StructField(right_key, T.LongType()),
+            T.StructField("n_vertices", T.IntegerType()),
+            T.StructField("inter_area2", T.DoubleType()),
+        ]
+    )
+
+    def _run(batches):
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples():
+                subj = [(int(v["x"]), int(v["y"]))
+                        for v in getattr(r, subject_col)]
+                clp = [(int(v["x"]), int(v["y"]))
+                       for v in getattr(r, clip_col)]
+                out = clip_polygon_convex(subj, clp)
+                a2 = abs(shoelace_area2_fraction(out)) if out else 0
+                rows.append(
+                    (
+                        int(getattr(r, left_key)),
+                        int(getattr(r, right_key)),
+                        len(out),
+                        float(a2),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[left_key, right_key, "n_vertices",
+                               "inter_area2"]
+            )
+
+    cols = [left_key, right_key, subject_col, clip_col]
+    return pairs.select(*cols).mapInPandas(_run, schema)

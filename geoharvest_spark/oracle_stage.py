@@ -302,4 +302,92 @@ def stage_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "qmodel_weights": stage_qmodel(),
         "dhash_pixels": stage_dhash_pixels(),
         "zlib": stage_zlib(sf_dir),
+        "overlay": stage_overlay(sf_dir),
     }
+
+
+# overlay synth shared by the Spark query (entry) and the stage below:
+# 25 nation-derived pentagon subjects x 8 integer rectangles (CCW)
+OVERLAY_PENT_OFFS = ((4501, 3), (1353, 4255), (-3599, 2603),
+                     (-3601, -2601), (1355, -4251))
+
+
+def overlay_subject(k: int) -> list:
+    cx = (k * 137 % 340 - 170) * 512
+    cy = (k * 73 % 160 - 80) * 512
+    return [(cx + dx, cy + dy) for dx, dy in OVERLAY_PENT_OFFS]
+
+
+def overlay_clip(r: int) -> list:
+    # anchored near subject r*3's center so most pairs exercise PARTIAL
+    # clips (corner cuts), not just disjoint/contained cases
+    k = (r * 3) % 25
+    x0 = (k * 137 % 340 - 170) * 512 - (2048 + 11 * r)
+    y0 = (k * 73 % 160 - 80) * 512 - (1024 + 7 * r)
+    w = (3 + r % 4) * 2048
+    h = (2 + r % 3) * 2048
+    return [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+
+
+def stage_overlay(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Independent pure-python polygon overlay: clip each pentagon by
+    each rectangle via successive HALF-PLANE cuts (the rectangle as 4
+    inequalities, a structurally different formulation from the
+    engine's edge-walking Sutherland-Hodgman), exact Fractions end to
+    end, |2*area| emitted through the same correctly-rounded
+    float(Fraction)."""
+    from fractions import Fraction
+
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey"]
+    )
+    keys = sorted(int(k) for k in t.column("n_nationkey").to_pylist())
+
+    def halfplane_cut(poly, a, b, c):
+        # keep points with a*x + b*y <= c; exact Fraction intersections
+        out = []
+        n = len(poly)
+        for i in range(n):
+            (x1, y1), (x2, y2) = poly[i], poly[(i + 1) % n]
+            f1 = a * x1 + b * y1 - c
+            f2 = a * x2 + b * y2 - c
+            if f1 <= 0:
+                out.append((x1, y1))
+            if (f1 <= 0) != (f2 <= 0):
+                t_ = Fraction(f1, f1 - f2)
+                out.append((x1 + t_ * (x2 - x1), y1 + t_ * (y2 - y1)))
+        return out
+
+    rows = []
+    for k in keys:
+        subj = [(Fraction(x), Fraction(y)) for x, y in overlay_subject(k)]
+        for r in range(8):
+            (x0, y0), _, (x1, y1), _ = (
+                overlay_clip(r)[0], overlay_clip(r)[1],
+                overlay_clip(r)[2], overlay_clip(r)[3],
+            )
+            poly = subj
+            for a, b, c in ((-1, 0, -x0), (1, 0, x1), (0, -1, -y0), (0, 1, y1)):
+                if not poly:
+                    break
+                poly = halfplane_cut(poly, a, b, c)
+            if poly:
+                s = Fraction(0)
+                n = len(poly)
+                for i in range(n):
+                    xa, ya = poly[i]
+                    xb, yb = poly[(i + 1) % n]
+                    s += xa * yb - xb * ya
+                a2 = abs(s)
+                nv = len(poly)
+            else:
+                a2, nv = Fraction(0), 0
+            rows.append((k, r, nv, float(a2)))
+    return _write(
+        pd.DataFrame(
+            rows, columns=["lid", "rid", "n_vertices", "inter_area2"]
+        ),
+        "overlay.parquet",
+    )

@@ -430,3 +430,41 @@ def key_skew_profile(
             / (F.col("n_keys") * F.col("_sc")).cast("double")
         ).alias("gini"),
     )
+
+
+def join_size_census(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """EXACT equi-join output-size census WITHOUT materializing the
+    join: |L join R| = sum over keys of count_L(k) * count_R(k),
+    computed from the two per-key count tables (aggregate-sized, not
+    row-sized — the planning query you run before committing to a
+    100-TB shuffle). Also reports matching-key count and the top-k
+    hottest keys' share of the output, which is the direct input to
+    the salt/AQE-skew decision (one key owning half the output = salt
+    it; see key_skew_profile).
+
+    Returns one row: (join_rows, n_matching_keys, topk_join_rows,
+    max_key_rows).
+    """
+    lc = left.groupBy(key_col).agg(F.count(F.lit(1)).alias("_lc"))
+    rc = right.groupBy(key_col).agg(F.count(F.lit(1)).alias("_rc"))
+    per_key = lc.join(rc, key_col).select(
+        F.col(key_col), (F.col("_lc") * F.col("_rc")).alias("_rows")
+    )
+    total = per_key.agg(
+        F.sum("_rows").alias("join_rows"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+        F.max("_rows").alias("max_key_rows"),
+    )
+    top = (
+        per_key.orderBy(F.desc("_rows"), key_col)
+        .limit(top_k)
+        .agg(F.sum("_rows").alias("topk_join_rows"))
+    )
+    return total.crossJoin(top).select(
+        "join_rows", "n_matching_keys", "topk_join_rows", "max_key_rows"
+    )

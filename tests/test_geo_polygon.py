@@ -144,3 +144,73 @@ def test_path_cells_dda(spark):
     assert len(cells1) == 4            # each sample in its own cell
     p2 = [r for r in out if r["path_id"] == 2]
     assert len(p2) == 1 and p2[0]["step"] == 0   # zero-length path
+
+
+def test_clip_polygon_convex_exact_cases():
+    from fractions import Fraction
+
+    from geoharvest_spark.geo import (
+        clip_polygon_convex,
+        shoelace_area2_fraction,
+    )
+
+    # quarter-overlapping unit squares: area exactly 1
+    out = clip_polygon_convex(
+        [(0, 0), (2, 0), (2, 2), (0, 2)], [(1, 1), (3, 1), (3, 3), (1, 3)]
+    )
+    assert abs(shoelace_area2_fraction(out)) == 2
+    # disjoint -> empty; contained -> itself
+    assert clip_polygon_convex(
+        [(0, 0), (1, 0), (1, 1)], [(5, 5), (6, 5), (6, 6), (5, 6)]
+    ) == []
+    t = clip_polygon_convex(
+        [(0, 0), (4, 0), (0, 4)],
+        [(-9, -9), (9, -9), (9, 9), (-9, 9)],
+    )
+    assert abs(shoelace_area2_fraction(t)) == 16
+    # rational intersection: triangle clipped at x <= 1 -> trapezoid
+    # (0,0),(1,0),(1,3/4)... vertices stay exact Fractions
+    tri = clip_polygon_convex(
+        [(0, 0), (4, 0), (0, 3)], [(-9, -9), (1, -9), (1, 9), (-9, 9)]
+    )
+    a2 = abs(shoelace_area2_fraction(tri))
+    assert a2 == Fraction(21, 8) * 2  # area = 3/2*1 + ... = 21/8? verify:
+    # area of triangle x<=1 slice: integral of y=3-3x/4 from 0..1 =
+    # 3 - 3/8 = 21/8. 2*area = 21/4
+    assert a2 == Fraction(21, 4)
+
+
+def test_polygon_overlay_two_kernels_agree(spark):
+    # the engine's edge-walking SH vs the oracle's half-plane cuts on
+    # randomized integer rectangles x convex polygons
+    import random
+    from fractions import Fraction
+
+    from geoharvest_spark import oracle_stage as osg
+    from geoharvest_spark.geo import (
+        clip_polygon_convex,
+        polygon_intersection_area,
+        shoelace_area2_fraction,
+    )
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(40):
+        cx, cy = rng.randint(-50, 50), rng.randint(-50, 50)
+        subj = [(cx + dx, cy + dy) for dx, dy in
+                ((9, 0), (3, 8), (-7, 5), (-7, -5), (3, -8))]
+        x0, y0 = rng.randint(-60, 50), rng.randint(-60, 50)
+        clp = [(x0, y0), (x0 + 12, y0), (x0 + 12, y0 + 9), (x0, y0 + 9)]
+        rows.append((i, i, subj, clp))
+    df = spark.createDataFrame(
+        [(l, r, [{"x": x, "y": y} for x, y in s],
+          [{"x": x, "y": y} for x, y in c]) for l, r, s, c in rows],
+        "lid long, rid long, subject array<struct<x:long,y:long>>, "
+        "clip array<struct<x:long,y:long>>",
+    )
+    got = {r["lid"]: (r["n_vertices"], r["inter_area2"])
+           for r in polygon_intersection_area(df).collect()}
+    for l, r, subj, clp in rows:
+        out = clip_polygon_convex(subj, clp)
+        want = float(abs(shoelace_area2_fraction(out))) if out else 0.0
+        assert got[l][1] == want, l
