@@ -4860,6 +4860,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["geo_polygon_overlay"] = geo_polygon_overlay
 
+    def geo_group_hulls(spark, sf):
+        """Per-group convex hulls (geo.group_convex_hulls): exact-int64
+        monotone chain in applyInPandas (hull per point cluster — the
+        footprint summary of a spatial group). Oracle = an INDEPENDENT
+        gift-wrapping implementation staged driver-side
+        (oracle_stage.stage_hulls); both use strict turns, so vertex
+        counts and the exact shoelace area2 must agree."""
+        from geoharvest_spark.geo import group_convex_hulls
+
+        i = F.col("event_id")
+        pts = _t(spark, sf, "events").select(
+            (i % 40).alias("group_id"),
+            ((i * i * 7 + i) % 2001 - 1000).alias("x"),
+            ((i * i * 13 + 5 * i) % 1601 - 800).alias("y"),
+        ).distinct()
+        return group_convex_hulls(pts).orderBy("group_id")
+
+    Q["geo_group_hulls"] = geo_group_hulls
+
+    def event_ks_drift(spark, sf):
+        """Two-sample KS drift gate (profile.ks_statistic): exact
+        integer ECDF numerator over DISTINCT values (one window over
+        the value domain, not the rows), ONE final division — the
+        distribution-equality check between two corpus slices. Slices:
+        even vs odd event ids with a planted shift on the odd side."""
+        from geoharvest_spark.profile import ks_statistic
+
+        i = F.col("event_id")
+        base = _t(spark, sf, "events")
+        l = base.where(i % 2 == 0).select(((i * 37) % 200).alias("v"))
+        r = base.where(i % 2 == 1).select(
+            (((i * 37) % 200) + (i % 5)).alias("v")
+        )
+        return ks_statistic(l, r, "v")
+
+    Q["event_ks_drift"] = event_ks_drift
+
+    def cdc_maintain_rollup(spark, sf):
+        """Incremental aggregate-view maintenance
+        (snapshots.maintain_agg_from_changelog): SUM/COUNT per key kept
+        current from CDC deltas (I/D/U with pre-images) without
+        rescanning the base — one changelog hash agg + one full-outer
+        merge; zero-count keys drop. Oracle recomputes the FINAL table
+        state and aggregates it from scratch."""
+        from geoharvest_spark.snapshots import maintain_agg_from_changelog
+
+        i = F.col("event_id")
+        base_rows = _t(spark, sf, "events").select(
+            (i % 50).alias("key"), ((i * 37) % 100).alias("v0"), i.alias("rid")
+        )
+        base_agg = base_rows.groupBy("key").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("v0").alias("val_sum"),
+        )
+        ch = base_rows.where(i % 3 == 0).select(
+            "key", F.lit("U").alias("op"),
+            ((F.col("v0") + 7) % 100).alias("val"),
+            F.col("v0").alias("old_val"),
+        ).unionByName(
+            base_rows.where(i % 3 == 1).select(
+                "key", F.lit("D").alias("op"), F.col("v0").alias("val"),
+                F.lit(None).cast("long").alias("old_val"),
+            )
+        ).unionByName(
+            _t(spark, sf, "events").where(i % 7 == 0).select(
+                ((i + 3) % 50).alias("key"), F.lit("I").alias("op"),
+                ((i * 13) % 100).alias("val"),
+                F.lit(None).cast("long").alias("old_val"),
+            )
+        )
+        return maintain_agg_from_changelog(base_agg, ch).orderBy("key")
+
+    Q["cdc_maintain_rollup"] = cdc_maintain_rollup
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -7974,6 +8048,50 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "SELECT count(*)::BIGINT AS n_points, "
             "sum(zk3)::BIGINT AS zk3_sum, min(zk3) AS zk3_min, "
             "max(zk3) AS zk3_max FROM s3s"
+        ),
+        "geo_group_hulls": (
+            # independent gift-wrapping hulls, staged driver-side
+            f"SELECT group_id, n_points, n_hull::INT AS n_hull, "
+            f"hull_area2 FROM read_parquet('{stage['hulls']}') "
+            "ORDER BY group_id"
+        ),
+        "event_ks_drift": (
+            # exact integer ECDF numerator over distinct values
+            "WITH ksl AS (SELECT (event_id * 37) % 200 AS v FROM events "
+            "WHERE event_id % 2 = 0), "
+            "ksr AS (SELECT (event_id * 37) % 200 + event_id % 5 AS v "
+            "FROM events WHERE event_id % 2 = 1), "
+            "kc1 AS (SELECT v, count(*) AS c1 FROM ksl GROUP BY 1), "
+            "kc2 AS (SELECT v, count(*) AS c2 FROM ksr GROUP BY 1), "
+            "km AS (SELECT coalesce(kc1.v, kc2.v) AS v, "
+            "coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2 "
+            "FROM kc1 FULL OUTER JOIN kc2 ON kc1.v = kc2.v), "
+            "kk AS (SELECT sum(c1) OVER (ORDER BY v "
+            "ROWS UNBOUNDED PRECEDING) AS k1, "
+            "sum(c2) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS k2 "
+            "FROM km), "
+            "kt AS (SELECT sum(c1)::BIGINT AS n_left, "
+            "sum(c2)::BIGINT AS n_right FROM km) "
+            "SELECT n_left, n_right, "
+            "max(abs(k1 * n_right - k2 * n_left))::BIGINT AS d_num, "
+            "CAST(max(abs(k1 * n_right - k2 * n_left)) AS DOUBLE) / "
+            "CAST(n_left * n_right AS DOUBLE) AS ks "
+            "FROM kk, kt GROUP BY n_left, n_right"
+        ),
+        "cdc_maintain_rollup": (
+            # recompute the FINAL state from scratch: base minus deleted
+            # rows, updated values applied, inserts appended
+            "WITH cmb AS (SELECT event_id % 50 AS key, "
+            "(event_id * 37) % 100 AS v0, event_id AS rid FROM events), "
+            "cmf AS ("
+            "SELECT key, CASE WHEN rid % 3 = 0 THEN (v0 + 7) % 100 "
+            "ELSE v0 END AS v FROM cmb WHERE rid % 3 <> 1 "
+            "UNION ALL "
+            "SELECT (event_id + 3) % 50 AS key, (event_id * 13) % 100 AS v "
+            "FROM events WHERE event_id % 7 = 0) "
+            "SELECT key, count(*)::BIGINT AS n_rows, "
+            "sum(v)::BIGINT AS val_sum FROM cmf GROUP BY 1 "
+            "HAVING count(*) > 0 ORDER BY key"
         ),
         "geo_polygon_overlay": (
             # independently-formulated half-plane clipping, staged

@@ -745,3 +745,76 @@ def polygon_intersection_area(
 
     cols = [left_key, right_key, subject_col, clip_col]
     return pairs.select(*cols).mapInPandas(_run, schema)
+
+
+def convex_hull_monotone(pts):
+    """Andrew's monotone chain over integer (x, y) tuples: returns the
+    hull vertices CCW, STRICT turns (collinear boundary points dropped)
+    — exact int64 cross products, no floats."""
+    pts = sorted(set(pts))
+    if len(pts) <= 2:
+        return pts
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    lower = []
+    for p in pts:
+        while len(lower) >= 2 and cross(lower[-2], lower[-1], p) <= 0:
+            lower.pop()
+        lower.append(p)
+    upper = []
+    for p in reversed(pts):
+        while len(upper) >= 2 and cross(upper[-2], upper[-1], p) <= 0:
+            upper.pop()
+        upper.append(p)
+    return lower[:-1] + upper[:-1]
+
+
+def group_convex_hulls(
+    points: DataFrame,
+    group_col: str = "group_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """Per-group convex hull over integer coordinates: Arrow-batched
+    applyInPandas running the exact-integer monotone chain per group
+    (hulls are tiny; the heavy part is the shuffle on group, which any
+    per-group reduction pays). Returns (group, n_points, n_hull,
+    hull_area2) — area2 = |shoelace| of the hull, exact int64.
+
+    Cross-checked against a structurally different gift-wrapping
+    implementation (oracle_stage.stage_hulls); both use STRICT turns so
+    collinear boundary points never make the vertex count ambiguous.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField(group_col, T.LongType()),
+            T.StructField("n_points", T.LongType()),
+            T.StructField("n_hull", T.IntegerType()),
+            T.StructField("hull_area2", T.LongType()),
+        ]
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        g = int(pdf[group_col].iloc[0])
+        pts = list(zip(pdf[x_col].astype(int), pdf[y_col].astype(int)))
+        hull = convex_hull_monotone(pts)
+        a2 = 0
+        n = len(hull)
+        if n >= 3:
+            for i in range(n):
+                x1, y1 = hull[i]
+                x2, y2 = hull[(i + 1) % n]
+                a2 += x1 * y2 - x2 * y1
+        return pd.DataFrame(
+            [(g, len(pts), n, abs(a2))],
+            columns=[group_col, "n_points", "n_hull", "hull_area2"],
+        )
+
+    return points.select(group_col, x_col, y_col).groupBy(
+        group_col
+    ).applyInPandas(_one, schema)

@@ -303,6 +303,7 @@ def stage_all(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
         "dhash_pixels": stage_dhash_pixels(),
         "zlib": stage_zlib(sf_dir),
         "overlay": stage_overlay(sf_dir),
+        "hulls": stage_hulls(sf_dir),
     }
 
 
@@ -390,4 +391,65 @@ def stage_overlay(sf_dir: str = "/root/testdata/sf0.01") -> str:
             rows, columns=["lid", "rid", "n_vertices", "inter_area2"]
         ),
         "overlay.parquet",
+    )
+
+
+def stage_hulls(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Independent per-group convex hulls by GIFT WRAPPING (Jarvis
+    march, strict turns — structurally different from the engine's
+    monotone chain) over the same synthetic integer points."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_id"]
+    )
+    ids = sorted(int(i) for i in t.column("event_id").to_pylist())
+    groups: dict = {}
+    for i in ids:
+        g = i % 40
+        groups.setdefault(g, set()).add(
+            ((i * i * 7 + i) % 2001 - 1000, (i * i * 13 + 5 * i) % 1601 - 800)
+        )
+
+    def cross(o, a, b):
+        return (a[0] - o[0]) * (b[1] - o[1]) - (a[1] - o[1]) * (b[0] - o[0])
+
+    rows = []
+    for g in sorted(groups):
+        pts = sorted(groups[g])
+        if len(pts) <= 2:
+            hull = pts
+        else:
+            hull = []
+            start = min(pts)
+            p = start
+            while True:
+                hull.append(p)
+                q = pts[0] if pts[0] != p else pts[1]
+                for r in pts:
+                    if r == p:
+                        continue
+                    c = cross(p, q, r)
+                    if c < 0 or (
+                        c == 0
+                        and (r[0] - p[0]) ** 2 + (r[1] - p[1]) ** 2
+                        > (q[0] - p[0]) ** 2 + (q[1] - p[1]) ** 2
+                    ):
+                        q = r
+                p = q
+                if p == start:
+                    break
+        a2 = 0
+        n = len(hull)
+        if n >= 3:
+            for i in range(n):
+                x1, y1 = hull[i]
+                x2, y2 = hull[(i + 1) % n]
+                a2 += x1 * y2 - x2 * y1
+        rows.append((g, len(pts), n, abs(a2)))
+    return _write(
+        pd.DataFrame(
+            rows, columns=["group_id", "n_points", "n_hull", "hull_area2"]
+        ),
+        "hulls.parquet",
     )

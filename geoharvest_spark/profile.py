@@ -468,3 +468,64 @@ def join_size_census(
     return total.crossJoin(top).select(
         "join_rows", "n_matching_keys", "topk_join_rows", "max_key_rows"
     )
+
+
+def ks_statistic(
+    left: DataFrame, right: DataFrame, val_col: str
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic over integer values —
+    the distribution-drift gate between two corpus slices (yesterday
+    vs today, sourceA vs sourceB). EXACT: with per-side counts c1, c2
+    aggregated per distinct value and n1, n2 totals,
+
+        D = max over values |cum1 * n2 - cum2 * n1| / (n1 * n2)
+
+    has an integer numerator (ties handled by evaluating both ECDFs at
+    every distinct value), so the only floating op is the ONE final
+    division. Plan: per-side hash aggregates to DISTINCT-VALUE rows,
+    one merge, one window over distinct values (not raw rows) — the
+    sort is |values|-sized, which is what makes an exact KS feasible
+    at 100 TB when the value domain is bounded.
+
+    Returns (n_left, n_right, d_num, ks).
+    """
+    lc = left.select(F.col(val_col).cast("long").alias("v")).groupBy(
+        "v"
+    ).agg(F.count(F.lit(1)).alias("c1"))
+    rc = right.select(F.col(val_col).cast("long").alias("v")).groupBy(
+        "v"
+    ).agg(F.count(F.lit(1)).alias("c2"))
+    m = lc.join(rc, "v", "full_outer").select(
+        "v",
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+        F.coalesce("c2", F.lit(0)).alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = m.select(
+        F.sum("c1").over(w).alias("k1"), F.sum("c2").over(w).alias("k2")
+    )
+    tot = m.agg(
+        F.sum("c1").alias("n_left"), F.sum("c2").alias("n_right")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .agg(
+            F.first("n_left").alias("n_left"),
+            F.first("n_right").alias("n_right"),
+            F.max(
+                F.abs(
+                    F.col("k1") * F.col("n_right")
+                    - F.col("k2") * F.col("n_left")
+                )
+            ).alias("d_num"),
+        )
+        .select(
+            "n_left",
+            "n_right",
+            "d_num",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n_left") * F.col("n_right")).cast("double")
+            ).alias("ks"),
+        )
+    )

@@ -243,3 +243,57 @@ def compaction_plan(
         )
         .orderBy(partition_col, "bin_id")
     )
+
+
+def maintain_agg_from_changelog(
+    base_agg: DataFrame,
+    changes: DataFrame,
+    key_col: str = "key",
+    val_col: str = "val",
+    op_col: str = "op",
+    old_col: str = "old_val",
+) -> DataFrame:
+    """Incremental aggregate-view maintenance (SUM/COUNT per key) from a
+    CDC changelog — the warehouse pattern that keeps a rollup current
+    WITHOUT rescanning the base table: I contributes (+1, +val), D
+    (-1, -val) with ``val`` the deleted row's value, U (0, val -
+    old_val) with the pre-image in ``old_col``. Deltas are one hash
+    aggregate over the (small) changelog, merged into the base rollup
+    with a single full-outer join; everything commutes, so applying
+    batches one at a time equals applying them all at once (the
+    stream_cdc_apply argument, lifted from rows to aggregates).
+
+    ``base_agg`` carries (key, n_rows, val_sum). Keys whose maintained
+    count reaches zero drop out (the view stays minimal). Returns the
+    maintained (key, n_rows, val_sum).
+    """
+    op = F.col(op_col)
+    dn = (
+        F.when(op == "I", F.lit(1))
+        .when(op == "D", F.lit(-1))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
+    ds = (
+        F.when(op == "I", F.col(val_col))
+        .when(op == "D", -F.col(val_col))
+        .otherwise(F.col(val_col) - F.col(old_col))
+        .cast("long")
+    )
+    delta = changes.groupBy(F.col(key_col).alias("_k")).agg(
+        F.sum(dn).alias("_dn"), F.sum(ds).alias("_ds")
+    )
+    merged = base_agg.join(
+        delta, base_agg[key_col] == delta["_k"], "full_outer"
+    ).select(
+        F.coalesce(base_agg[key_col], F.col("_k")).alias(key_col),
+        (
+            F.coalesce(F.col("n_rows"), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        ).alias("n_rows"),
+        (
+            F.coalesce(F.col("val_sum"), F.lit(0))
+            + F.coalesce(F.col("_ds"), F.lit(0))
+        ).alias("val_sum"),
+    )
+    return merged.where(F.col("n_rows") > 0)

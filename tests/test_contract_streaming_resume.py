@@ -508,3 +508,28 @@ def test_stream_interval_join_restart_from_checkpoint(spark, tmp_path):
         if v.user == c.c_user and 0 <= (c.c_ts - v.v_ts).total_seconds() <= 300
     )
     assert sorted(map(tuple, got.values.tolist())) == truth
+
+
+def test_maintain_agg_from_changelog_semantics(spark):
+    from geoharvest_spark.snapshots import maintain_agg_from_changelog
+
+    base = spark.createDataFrame(
+        [("a", 2, 30), ("b", 1, 5)], "key string, n_rows long, val_sum long"
+    )
+    ch = spark.createDataFrame(
+        [("a", "U", 25, 10), ("a", "D", 20, None), ("b", "I", 7, None),
+         ("c", "I", 3, None), ("b", "D", 5, None), ("b", "D", 7, None)],
+        "key string, op string, val long, old_val long",
+    )
+    out = {r["key"]: (r["n_rows"], r["val_sum"])
+           for r in maintain_agg_from_changelog(base, ch).collect()}
+    # a: count 2-1, sum 30+(25-10)-20; b: count reaches 0 -> dropped
+    assert out == {"a": (1, 25), "c": (1, 3)}
+    # batch-splitting commutes: applying the changelog in two halves
+    # through the operator equals one-shot
+    h1 = ch.limit(3)
+    h2 = ch.subtract(h1)
+    step = maintain_agg_from_changelog(base, h1)
+    two = {r["key"]: (r["n_rows"], r["val_sum"])
+           for r in maintain_agg_from_changelog(step, h2).collect()}
+    assert two == out

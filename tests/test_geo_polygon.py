@@ -214,3 +214,17 @@ def test_polygon_overlay_two_kernels_agree(spark):
         out = clip_polygon_convex(subj, clp)
         want = float(abs(shoelace_area2_fraction(out))) if out else 0.0
         assert got[l][1] == want, l
+
+
+def test_convex_hull_monotone_cases():
+    from geoharvest_spark.geo import convex_hull_monotone
+
+    # square + interior + collinear boundary points: hull is 4 corners
+    pts = [(0, 0), (4, 0), (4, 4), (0, 4), (2, 2), (2, 0), (0, 2), (4, 2)]
+    hull = convex_hull_monotone(pts)
+    assert sorted(hull) == [(0, 0), (0, 4), (4, 0), (4, 4)]
+    # degenerate: all collinear
+    assert convex_hull_monotone([(0, 0), (1, 1), (2, 2), (3, 3)]) in (
+        [(0, 0), (3, 3)], [(0, 0), (3, 3)],
+    )
+    assert convex_hull_monotone([(1, 1)]) == [(1, 1)]

@@ -207,3 +207,15 @@ def test_key_skew_profile_gini(spark):
     )
     r = key_skew_profile(h, "k").collect()[0]
     assert r["max_count"] == 991 and r["gini"] > 0.85
+
+
+def test_ks_statistic_exact(spark):
+    from geoharvest_spark.profile import ks_statistic
+
+    l = spark.createDataFrame([(v,) for v in [1, 2, 3, 4, 5] * 20], "v long")
+    r = spark.createDataFrame([(v,) for v in [3, 4, 5, 6, 7] * 20], "v long")
+    out = ks_statistic(l, r, "v").collect()[0]
+    assert (out["n_left"], out["n_right"]) == (100, 100)
+    assert out["ks"] == 0.4          # ECDFs differ most at v=2 (0.4 vs 0)
+    same = ks_statistic(l, l, "v").collect()[0]
+    assert same["ks"] == 0.0 and same["d_num"] == 0
