@@ -4934,6 +4934,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["cdc_maintain_rollup"] = cdc_maintain_rollup
 
+    def crawl_frontier_schedule(spark, sf):
+        """Politeness frontier scheduling (webops.frontier_schedule):
+        per-host Crawl-delay slots from one host-keyed window — the
+        coordinator-free shard-by-host plan a web-scale frontier uses.
+        Rolled up per host (n_urls, makespan) plus slot checksums."""
+        from geoharvest_spark.webops import frontier_schedule
+
+        i = F.col("doc_id")
+        urls = _t(spark, sf, "documents").select(
+            i.alias("url_id"),
+            F.concat(F.lit("h"), (i % 23)).alias("host"),
+            (i * 7 % 100).alias("priority"),
+            (F.lit(1) + i % 23 % 5).alias("crawl_delay"),
+        )
+        sched = frontier_schedule(urls, start_epoch=1704067200)
+        return (
+            sched.groupBy("host")
+            .agg(
+                F.count(F.lit(1)).alias("n_urls"),
+                F.max("scheduled_at").alias("last_slot"),
+                F.sum("scheduled_at").alias("slot_sum"),
+                F.sum(F.col("queue_pos") * F.col("url_id")).alias(
+                    "order_checksum"
+                ),
+            )
+            .orderBy("host")
+        )
+
+    Q["crawl_frontier_schedule"] = crawl_frontier_schedule
+
     # Re-emit in rotation order (see _driver_order above): stalest driver
     # row first, never-green queries (debuts) most urgent, so the union of
     # rounds keeps every query's CORRECTNESS row fresh.
@@ -8048,6 +8078,24 @@ def oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> dict[str, str]:
             "SELECT count(*)::BIGINT AS n_points, "
             "sum(zk3)::BIGINT AS zk3_sum, min(zk3) AS zk3_min, "
             "max(zk3) AS zk3_max FROM s3s"
+        ),
+        "crawl_frontier_schedule": (
+            # same window semantics in SQL; delay constant per host so
+            # slot arithmetic replays exactly
+            "WITH cfu AS (SELECT doc_id AS url_id, "
+            "'h' || (doc_id % 23) AS host, doc_id * 7 % 100 AS priority, "
+            "1 + doc_id % 23 % 5 AS crawl_delay FROM documents), "
+            "cfs AS (SELECT url_id, host, "
+            "row_number() OVER (PARTITION BY host "
+            "ORDER BY priority, url_id) - 1 AS queue_pos, "
+            "1704067200 + (row_number() OVER (PARTITION BY host "
+            "ORDER BY priority, url_id) - 1) * crawl_delay "
+            "AS scheduled_at FROM cfu) "
+            "SELECT host, count(*)::BIGINT AS n_urls, "
+            "max(scheduled_at)::BIGINT AS last_slot, "
+            "sum(scheduled_at)::BIGINT AS slot_sum, "
+            "sum(queue_pos * url_id)::BIGINT AS order_checksum "
+            "FROM cfs GROUP BY 1 ORDER BY 1"
         ),
         "geo_group_hulls": (
             # independent gift-wrapping hulls, staged driver-side

@@ -715,3 +715,33 @@ def html_tag_histogram(
         .groupBy(id_col, "tag")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def frontier_schedule(
+    urls: DataFrame,
+    host_col: str = "host",
+    priority_col: str = "priority",
+    id_col: str = "url_id",
+    delay_col: str = "crawl_delay",
+    start_epoch: int = 0,
+) -> DataFrame:
+    """Politeness-constrained crawl-frontier schedule: within each host,
+    urls ordered by (priority, id) fetch one per ``crawl_delay`` seconds
+    (the robots.txt Crawl-delay contract) — slot k of a host fires at
+    start + k * delay. One host-keyed window (rank) + pure arithmetic;
+    the fleet-wide schedule falls out without any coordinator because
+    hosts are independent — exactly how a 10^12-url frontier shards.
+
+    Returns (url_id, host, queue_pos, scheduled_at).
+    """
+    w = Window.partitionBy(host_col).orderBy(priority_col, id_col)
+    pos = F.row_number().over(w) - 1
+    return urls.select(
+        F.col(id_col),
+        F.col(host_col),
+        pos.alias("queue_pos"),
+        (
+            F.lit(start_epoch)
+            + pos * F.col(delay_col).cast("long")
+        ).alias("scheduled_at"),
+    )

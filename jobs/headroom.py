@@ -1577,3 +1577,91 @@ def run_round7b_legs(spark) -> None:
         el = _time.perf_counter() - t0
         emit("rasterize_polygons", n_poly, el, "us_per_cell",
              el / max(n_cells, 1) * 1e6, cells=n_cells)
+
+
+def run_round7c_legs(spark) -> None:
+    """Round-7 batch-3: convex hulls, exact polygon overlay, KS drift,
+    join-size census at 4x volume."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.geo import (
+        group_convex_hulls,
+        polygon_intersection_area,
+    )
+    from geoharvest_spark.profile import join_size_census, ks_statistic
+
+    def emit(workload, n, sec, unit, per, **kw):
+        row = {"workload": workload, "rows": n, "sec": round(sec, 3),
+               unit: round(per, 4)}
+        row.update(kw)
+        print(json.dumps(row), flush=True)
+
+    i = F.col("id")
+
+    # hulls: fixed points/group (applyInPandas cost linear in points)
+    for n_pts in (2_000_000, 8_000_000):
+        pts = spark.range(n_pts, numPartitions=48).select(
+            (i % (n_pts // 2000)).alias("group_id"),
+            ((i * i * 7 + i) % 200001 - 100000).alias("x"),
+            ((i * i * 13 + 5 * i) % 160001 - 80000).alias("y"),
+        )
+        t0 = _time.perf_counter()
+        group_convex_hulls(pts).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        el = _time.perf_counter() - t0
+        emit("convex_hulls", n_pts, el, "us_per_point", el / n_pts * 1e6,
+             groups=n_pts // 2000)
+
+    # overlay: pairs scale, pentagon x rectangle
+    offs = [(4501, 3), (1353, 4255), (-3599, 2603), (-3601, -2601),
+            (1355, -4251)]
+    subj = F.expr(
+        "array(" + ",".join(
+            f"named_struct('x', CAST(_cx + {dx} AS BIGINT), "
+            f"'y', CAST(_cy + {dy} AS BIGINT))"
+            for dx, dy in offs
+        ) + ")"
+    )
+    rect = F.expr(
+        "array(named_struct('x', _x0, 'y', _y0),"
+        "named_struct('x', _x0 + 6144, 'y', _y0),"
+        "named_struct('x', _x0 + 6144, 'y', _y0 + 4096),"
+        "named_struct('x', _x0, 'y', _y0 + 4096))"
+    )
+    for n_pairs in (20_000, 80_000):
+        pairs = spark.range(n_pairs, numPartitions=48).select(
+            i.alias("lid"), i.alias("rid"),
+            ((i * 137 % 340 - 170) * 512).alias("_cx"),
+            ((i * 73 % 160 - 80) * 512).alias("_cy"),
+            ((i * 137 % 340 - 170) * 512 - 2048 + (i % 7) * 512).alias("_x0"),
+            ((i * 73 % 160 - 80) * 512 - 1024 + (i % 5) * 512).alias("_y0"),
+        ).select("lid", "rid", subj.alias("subject"), rect.alias("clip"))
+        t0 = _time.perf_counter()
+        polygon_intersection_area(pairs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        el = _time.perf_counter() - t0
+        emit("polygon_overlay", n_pairs, el, "us_per_pair",
+             el / n_pairs * 1e6)
+
+    # KS: value domain fixed (distinct-value window constant), rows grow
+    for n in (4_000_000, 16_000_000):
+        l = spark.range(n, numPartitions=48).select(((i * 37) % 1000).alias("v"))
+        r = spark.range(n, numPartitions=48).select(
+            (((i * 37) % 1000) + i % 5).alias("v"))
+        t0 = _time.perf_counter()
+        ks_statistic(l, r, "v").collect()
+        el = _time.perf_counter() - t0
+        emit("ks_statistic", 2 * n, el, "us_per_row", el / (2 * n) * 1e6)
+
+    # join-size census: count tables only, never the join
+    for n in (4_000_000, 16_000_000):
+        l = spark.range(n, numPartitions=48).select((i % 100000).alias("k"))
+        r = spark.range(n, numPartitions=48).select(((i * 7) % 120000).alias("k"))
+        t0 = _time.perf_counter()
+        join_size_census(l, r, "k").collect()
+        el = _time.perf_counter() - t0
+        emit("join_size_census", 2 * n, el, "us_per_row", el / (2 * n) * 1e6)
