@@ -1991,6 +1991,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---------------- rows-only (non-SQL-expressible) ----------------
     def s2_cell_counts(spark, sf):  # Hilbert-curve ids: no SQL twin
+        # measured: spreading the 1-row-group events scan before this UDF
+        # LOSES (~1.7 s vs ~1.1 s at sf1.0) — the shuffle costs more than
+        # the parallelized UDF saves; left narrow deliberately (r8)
         pts = _points(spark, sf)
         return (
             pts.withColumn(

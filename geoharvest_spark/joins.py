@@ -28,12 +28,12 @@ correct for all inputs, and at scale the fallback set is tiny.
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import BooleanType
 
 from . import index as ix
 from .geo import haversine_m, parse_polygon_wkt, points_in_polygon
@@ -91,42 +91,67 @@ def polygon_cover_cells(polygons: DataFrame, res: int) -> DataFrame:
     return df
 
 
+# per-worker parsed-polygon cache: persists across batches AND (with
+# spark.python.worker.reuse, the default) across tasks, so each distinct
+# WKT parses once per worker process, not once per batch
+_PIP_RING_CACHE: dict[str, "list[np.ndarray]"] = {}
+
+
+@F.arrow_udf(BooleanType())  # DataType object, NOT a DDL string: this module
+# is imported inside python workers (CLAUDE.md module-level-udf trap)
+def _pip_keep_udf(lon: "pa.Array", lat: "pa.Array", wkt: "pa.Array") -> "pa.Array":
+    """Vectorized even-odd ray cast as a columnar Arrow UDF.
+
+    Only (lon, lat, wkt) cross the Python boundary and a single boolean
+    comes back — id/payload columns stay in the JVM (guide §4.1: control
+    how many columns cross). The previous mapInPandas refine shipped every
+    candidate column out and back; at 10.8M candidates the Arrow round
+    trip alone cost ~2.7 s (measured with an identity mapInPandas) while
+    the ray-cast kernel was near-free. wkt arrives as an Arrow string
+    array (no per-row python str materialization); dictionary-encoding it
+    groups rows per polygon so the numpy kernel runs once per distinct
+    polygon per batch.
+    """
+    d = wkt.dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False)
+    lon_np = lon.to_numpy(zero_copy_only=False)
+    lat_np = lat.to_numpy(zero_copy_only=False)
+    order = np.argsort(codes, kind="stable")
+    n_uniq = len(d.dictionary)
+    bounds = np.searchsorted(codes[order], np.arange(n_uniq + 1))
+    lon_s, lat_s = lon_np[order], lat_np[order]
+    keep_sorted = np.zeros(len(codes), dtype=bool)
+    for u_i in range(n_uniq):
+        s, e = bounds[u_i], bounds[u_i + 1]
+        if s == e:
+            continue
+        w = d.dictionary[u_i].as_py()
+        rings = _PIP_RING_CACHE.get(w)
+        if rings is None:
+            rings = parse_polygon_wkt(w)
+            _PIP_RING_CACHE[w] = rings
+        if not rings:
+            continue
+        keep_sorted[s:e] = points_in_polygon(lon_s[s:e], lat_s[s:e], rings)
+    keep = np.zeros(len(codes), dtype=bool)
+    keep[order] = keep_sorted
+    return pa.array(keep)
+
+
+# non-deterministic marking stops the optimizer pushing the filter below
+# the projection and evaluating the UDF twice (guide §4.4)
+_pip_keep = _pip_keep_udf.asNondeterministic()
+
+
 def _refine_pip(joined: DataFrame) -> DataFrame:
-    """Exact PIP refine over candidate pairs (Arrow-batched ray casting)."""
-    fields = [f"{f.name} {f.dataType.simpleString()}" for f in joined.schema.fields]
-    schema = ", ".join(f for f in fields if not f.startswith("wkt "))
-
-    def _map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        ring_cache: dict[str, list[np.ndarray]] = {}
-        for pdf in batches:
-            if pdf.empty:
-                yield pdf.drop(columns=["wkt"])
-                continue
-            # factorize + stable sort -> contiguous per-polygon slices.
-            # pandas groupby + per-group index lookups cost more than the
-            # ray casting itself on realistic (many-small-group) batches.
-            codes, uniques = pd.factorize(pdf["wkt"].to_numpy())
-            order = np.argsort(codes, kind="stable")
-            bounds = np.searchsorted(
-                codes[order], np.arange(len(uniques) + 1)
-            )
-            lon = pdf["lon"].to_numpy()[order]
-            lat = pdf["lat"].to_numpy()[order]
-            keep_sorted = np.zeros(len(pdf), dtype=bool)
-            for u_i, wkt in enumerate(uniques):
-                rings = ring_cache.get(wkt)
-                if rings is None:
-                    rings = parse_polygon_wkt(wkt)
-                    ring_cache[wkt] = rings
-                if not rings:
-                    continue
-                s, e = bounds[u_i], bounds[u_i + 1]
-                keep_sorted[s:e] = points_in_polygon(lon[s:e], lat[s:e], rings)
-            keep = np.zeros(len(pdf), dtype=bool)
-            keep[order] = keep_sorted
-            yield pdf.loc[keep].drop(columns=["wkt"])
-
-    return joined.mapInPandas(_map, schema)
+    """Exact PIP refine over candidate pairs (columnar Arrow ray casting)."""
+    return (
+        joined.withColumn(
+            "_pip_in", _pip_keep(F.col("lon"), F.col("lat"), F.col("wkt"))
+        )
+        .where(F.col("_pip_in"))
+        .drop("_pip_in", "wkt")
+    )
 
 
 def pip_join(
@@ -145,8 +170,21 @@ def pip_join(
     ``census_sample``: estimate salt factors from a seeded sample instead of
     an exact pre-count (the at-scale default — set ~0.01 for a 100 TB scan).
     """
+    # measured (r8): spreading a narrow point source here LOSES (~0.5-0.8 s
+    # at sf1.0) — ghcell is cheap codegen and the (cell, salt) join shuffles
+    # the points anyway, so the extra exchange is pure cost (guide §2.4)
     pts = points.withColumn("cell", ix.ghcell(F.col("lon"), F.col("lat"), res))
     cover = polygon_cover_cells(polygons, res).select("cell", "poly_id", "wkt", "bbox")
+
+    # pre-filter the big side before it is shuffled (guide §3.2): points in
+    # cells no polygon covers can never match, so a broadcast semi-join on
+    # the DISTINCT cover cells drops them ahead of the exchange (measured:
+    # 24M -> 10.8M shuffled rows, candidate stage 4.6 -> 2.8 s at sf1.0).
+    # The broadcast is cell ids only — bounded by the res-level grid size,
+    # never by polygon count — so the main spatial join stays broadcast-free
+    # (north rule); degenerate full-coverage polygon sets just make the
+    # filter pass everything, never wrong results.
+    pts = pts.join(F.broadcast(cover.select("cell").distinct()), "cell", "left_semi")
 
     if salted:
         factors = ix.salt_factors(
@@ -320,6 +358,8 @@ def knn_join(
         F.col("lat").alias("q_lat"),
         k_col.alias("_k"),
     )
+    # measured (r8): spreading narrow points LOSES here (0.9 -> 1.5 s at
+    # sf1.0) — the ring pass joins on cell and shuffles p regardless
     p = points.select(
         F.col(point_key).alias("point_id"),
         F.col("lon").alias("p_lon"),

@@ -53,6 +53,14 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # scan-parallelism floor (guide §6): without it a 130 MB parquet
+        # file scans as 1-2 tasks and every downstream map-side operator
+        # (project, partial agg, shuffle write) runs near-single-threaded.
+        # Derived from the core count, never a constant: at cluster scale a
+        # big table's natural split count exceeds any sane floor, so the
+        # setting is inert there; locally it lets multi-row-group files
+        # split down to row-group granularity.
+        .config("spark.sql.files.minPartitionNum", str(n_shuffle))
     )
     # shuffle/spill files on tmpfs when available: shuffle-heavy operators
     # (tile rollup, knn candidate join) are otherwise bound by the boot
@@ -68,3 +76,40 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def spread_narrow(df, key: str | None = None, min_parts: int | None = None):
+    """Hash-repartition a NARROW frame up to the session's default
+    parallelism before expensive per-row work.
+
+    A parquet file with a single row group scans as ONE task no matter how
+    the byte-range splits are configured (the vectorized reader assigns
+    whole row groups to splits), so a heavy projection / pandas UDF
+    downstream of such a scan runs single-threaded (guide §2.1/§6.1 —
+    measured 6.2 s single-task minhash signatures over a 1-row-group
+    documents file that computes in ~0.3 s at 32-way).
+
+    Partitioning is by hash of ``key`` (or of all columns when None) —
+    NOT round-robin: keyless ``repartition(n)`` pays a local sort of the
+    input first (sort-before-repartition, needed for deterministic
+    retries), which is pure overhead here; a deterministic column hash
+    gives the same retry safety for free (guide §2.5). Values/rows are
+    unchanged — only their placement moves.
+
+    No-op when the frame is already at least ``min_parts`` partitions — at
+    cluster scale inputs arrive thousands-of-partitions wide and the extra
+    shuffle would be pure cost, so only genuinely narrow inputs pay it.
+    Only worth applying when downstream per-row work clearly dominates the
+    shuffle cost (a cheap UDF or plain agg is better left narrow —
+    measured on the s2/cell legs).
+    """
+    from pyspark.sql import functions as F
+
+    if df.isStreaming:  # .rdd is illegal on streaming frames; micro-batch
+        return df       # parallelism is the source's concern, not ours
+    spark = df.sparkSession
+    target = int(min_parts or spark.sparkContext.defaultParallelism)
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    part_key = F.col(key) if key else F.xxhash64(*[F.col(c) for c in df.columns])
+    return df.repartition(target, part_key)

@@ -71,7 +71,18 @@ def with_token_stats(
 def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality heuristics: word count, mean word length, uppercase ratio,
     digit ratio, distinct-token ratio. All JVM expressions (codegen);
-    the token array is staged once per row (multi-referenced alias)."""
+    the token array is staged once per row (multi-referenced alias).
+
+    Input is spread to session parallelism when narrow (guide §2.1): the
+    two regexp_replace passes + split/array_distinct are the dominant cost
+    and would otherwise run inside a single-row-group scan task (measured
+    2.6 s single-task at 50k docs vs ~0.3 s spread)."""
+    from .session import spread_narrow
+
+    # key on the text column so the exchange only carries columns consumers
+    # actually use (an all-columns hash key would pin every input column
+    # into the shuffle and defeat pruning — seen in the plan)
+    df = spread_narrow(df, key=text_col)
     toks = F.col("_toks")
     n_chars = F.length(F.col(text_col))
     n_upper = n_chars - F.length(
@@ -677,7 +688,17 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle: int = 2,
 ) -> DataFrame:
-    """(key, signature array<long>) — vectorized minhash over word shingles."""
+    """(key, signature array<long>) — vectorized minhash over word shingles.
+
+    The (id, text) projection is spread to the session's parallelism before
+    the UDF (guide §2.1/§4): a single-row-group documents file scans as one
+    task, and the signature UDF — the expensive stage — would otherwise run
+    single-threaded (measured 6.2 s for 50k docs in one task vs ~0.3 s
+    32-way). Projecting first keeps the repartition exchange narrow
+    (guide §2.3: only the columns the function needs cross the shuffle).
+    """
+    from .session import spread_narrow
+
     a, b = _minhash_params(num_hashes)
 
     @F.pandas_udf("array<long>")
@@ -704,7 +725,10 @@ def minhash_signatures(
             out.append(sig.min(axis=1).tolist())
         return pd.Series(out)
 
-    return df.select(F.col(key_col).alias("id"), _sig(F.col(text_col)).alias("sig"))
+    base = spread_narrow(
+        df.select(F.col(key_col).alias("id"), F.col(text_col).alias("_txt")), key="id"
+    )
+    return base.select("id", _sig(F.col("_txt")).alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -781,7 +805,10 @@ def minhash_lsh_pairs(
 def simhash_signatures(
     df: DataFrame, key_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
-    """64-bit SimHash per doc (vectorized bit-vote over md5 token hashes)."""
+    """64-bit SimHash per doc (vectorized bit-vote over md5 token hashes).
+    Input projection spread when narrow — same rationale as
+    minhash_signatures (per-doc md5 hashing is the expensive stage)."""
+    from .session import spread_narrow
 
     @F.pandas_udf("long")
     def _simhash(texts: pd.Series) -> pd.Series:
@@ -814,7 +841,10 @@ def simhash_signatures(
             out.append(int(sig.view(np.int64)))
         return pd.Series(out, dtype="int64")
 
-    return df.select(F.col(key_col).alias("id"), _simhash(F.col(text_col)).alias("simhash"))
+    base = spread_narrow(
+        df.select(F.col(key_col).alias("id"), F.col(text_col).alias("_txt")), key="id"
+    )
+    return base.select("id", _simhash(F.col("_txt")).alias("simhash"))
 
 
 def simhash_near_dups(

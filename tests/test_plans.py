@@ -50,9 +50,18 @@ def test_quality_query_stays_in_codegen(spark):
     from geoharvest_spark.textops import with_quality
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
-    plan = _plan(with_quality(d).select("doc_id", "mean_word_len", "upper_ratio"))
+    df = with_quality(d).select("doc_id", "mean_word_len", "upper_ratio")
+    # r8: with_quality spreads a narrow scan (one exchange), which makes the
+    # pre-execution plan adaptive and hides codegen markers — materialize
+    # THIS query execution (collect, not a write clone) and assert on the
+    # final plan
+    df.collect()
+    plan = _plan(df)
     assert "*(" in plan  # whole-stage-codegen marker
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # the spread exchange must stay pruned: quality needs doc_id+text only
+    exch = plan.split("Exchange hashpartitioning")[1].splitlines()[0]
+    assert "lang" not in exch and "source" not in exch
 
 
 def test_ghcell_is_jvm_side(spark):
