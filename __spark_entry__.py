@@ -335,14 +335,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Q["a2_error_rollup"] = a2_error_rollup
 
-    def a4_last_event_per_key(spark, sf):  # A4: last-event-wins window dedupe
+    def a4_last_event_per_key(spark, sf):  # A4: last-event-wins dedupe
+        # r8: the row_number window shuffled and sorted EVERY event; the
+        # winner per user is a plain max over (ts, event_id) packed into one
+        # long (event_id < 2^32 by construction; epoch*2^32 + id < 2^63), so
+        # a hash aggregate with map-side combine ships one row per user and
+        # a join-back restores event_type (AQE broadcasts the tiny winner
+        # side at runtime). Same rows, same order (1.21 -> 0.93 s at sf1.0).
         ev = _t(spark, sf, "events")
-        w = Window.partitionBy("user_id").orderBy(
-            F.col("ts").desc(), F.col("event_id").desc()
+        packed = (
+            F.col("ts").cast("timestamp").cast("long") * F.lit(4294967296)
+            + F.col("event_id")
+        )
+        win = (
+            ev.groupBy("user_id")
+            .agg(F.max(packed).alias("_pk"))
+            .select(
+                "user_id",
+                F.pmod(F.col("_pk"), F.lit(4294967296)).alias("event_id"),
+            )
         )
         return (
-            ev.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
+            ev.join(win, ["user_id", "event_id"], "inner")
             .select("user_id", "event_id", "event_type")
             .orderBy("user_id")
         )
@@ -550,10 +564,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         c = _t(spark, sf, "customer")
         o = _t(spark, sf, "orders")
         li = _t(spark, sf, "lineitem")
+        # shuffle_hash on the orders side of the lineitem join (guide §3.1):
+        # sort-merge sorted 6M lineitem rows for no benefit — the build side
+        # (customer-joined orders) fits per-partition hash tables comfortably
+        # (r8: 2.64 -> 2.24 s at sf1.0; results identical, agg-only change)
         j = (
             r.join(n, r.r_regionkey == n.n_regionkey)
             .join(c, n.n_nationkey == c.c_nationkey)
             .join(o, c.c_custkey == o.o_custkey)
+            .hint("shuffle_hash")
             .join(li, o.o_orderkey == li.l_orderkey)
         )
         rev = F.sum(

@@ -197,15 +197,18 @@ def test_chunk_dedup_no_global_sort(spark):
 
 
 def test_contamination_semi_join_shape(spark):
-    # corpus side joins the (tiny, distinct-reduced) benchmark hashes with
-    # a semi join; corpus rows never enter Python
+    # r8 single-pass shape: corpus explodes once, LEFT-joins the (tiny,
+    # distinct-reduced) benchmark hashes, and one aggregate counts grams
+    # and hits together — no separate totals pass, no totals join; corpus
+    # rows never enter Python
     from geoharvest_spark import textops as tx
 
     d = spark.read.parquet(f"{SF}/documents.parquet")
     bench = d.where(F.col("doc_id") % 50 == 0)
     corpus = d.where(F.col("doc_id") % 50 != 0)
     plan = _plan(tx.contamination_stats(corpus, bench, n=8))
-    assert "LeftSemi" in plan
+    assert "LeftOuter" in plan
+    assert "LeftSemi" not in plan
     assert "EvalPython" not in plan
 
 
@@ -242,8 +245,9 @@ def test_gram_ops_split_once_per_doc(spark):
     # join probe, totals) that each recompute the scan+split lineage once
     # per doc — 3 branches x 1 split, never per-chunk splits
     assert _plan(tx.chunk_dedup(d)).count("split(") == 3
-    # contamination: corpus grams + bench grams + totals -> three branches
-    assert _plan(tx.contamination_stats(d, bench, n=8)).count("split(") == 3
+    # contamination (r8 single-pass): corpus grams + bench grams — the
+    # separate totals branch (and its third split) is gone
+    assert _plan(tx.contamination_stats(d, bench, n=8)).count("split(") == 2
 
 
 def test_scalar_text_ops_split_once(spark):
