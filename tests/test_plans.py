@@ -241,10 +241,16 @@ def test_gram_ops_split_once_per_doc(spark):
     d = spark.read.parquet(f"{SF}/documents.parquet")
     bench = d.where(F.col("doc_id") % 50 == 0)
     assert _plan(tx.repetition_stats(d)).count("split(") == 1
-    # chunk_dedup's exploded frame has three consumers (keeper aggregate,
-    # join probe, totals) that each recompute the scan+split lineage once
-    # per doc — 3 branches x 1 split, never per-chunk splits
-    assert _plan(tx.chunk_dedup(d)).count("split(") == 3
+    # chunk_dedup (r8): the exploded frame is CACHED — keeper aggregate
+    # and join probe read InMemoryTableScans instead of recomputing the
+    # chunking lineage; the totals branch derives its count from the token
+    # array without exploding (its split prints at the project + pushed
+    # filter + scan-DataFilters sites, plus one per cached-relation print
+    # — never per-chunk splits)
+    chunk_plan = _plan(tx.chunk_dedup(d))
+    assert chunk_plan.count("InMemoryTableScan") == 2
+    assert chunk_plan.count("split(") == 5
+    spark.catalog.clearCache()
     # contamination (r8 single-pass): corpus grams + bench grams — the
     # separate totals branch (and its third split) is gone
     assert _plan(tx.contamination_stats(d, bench, n=8)).count("split(") == 2
