@@ -110,10 +110,12 @@ def with_lm_score(
     avg_cost_micronats). Documents with < 2 tokens carry zero bigrams
     and a NULL average (nothing to score — callers decide the policy).
 
-    Plan: one staged token split per doc, posexplode to bigrams, ONE
-    broadcast equi-join against the model table, two-stage hash
-    aggregate per doc. avg = one integer division's double result
-    (cost/n), bit-identical across engines."""
+    Plan: one staged token split per doc, posexplode_OUTER to bigrams
+    (zero-bigram docs keep a null row, so no separate distinct-ids pass
+    and restore join — r8, same single-pass shape as
+    contamination_stats), ONE broadcast equi-join against the model
+    table, two-stage hash aggregate per doc. avg = one integer
+    division's double result (cost/n), bit-identical across engines."""
     spark = df.sparkSession
     mdf = spark.createDataFrame(
         model_rows(model), "w1 string, w2 string, cost long"
@@ -125,7 +127,7 @@ def with_lm_score(
     )
     grams = base.select(
         F.col(id_col),
-        F.posexplode(
+        F.posexplode_outer(
             F.when(
                 F.size(toks) >= 2,
                 F.expr(
@@ -134,22 +136,30 @@ def with_lm_score(
                 ),
             ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
         ).alias("_pos", "_g"),
-    ).select(id_col, F.col("_g.w1").alias("w1"), F.col("_g.w2").alias("w2"))
+    ).select(
+        id_col,
+        F.col("_g").isNotNull().alias("_has"),
+        F.col("_g.w1").alias("w1"),
+        F.col("_g.w2").alias("w2"),
+    )
     scored = grams.join(F.broadcast(mdf), ["w1", "w2"], "left").select(
         id_col,
-        F.coalesce(F.col("cost"), F.lit(model["oov_cost"])).alias("c"),
+        # null exactly on the placeholder row of a zero-bigram doc, so
+        # count("c") below is the true bigram count
+        F.when(
+            F.col("_has"), F.coalesce(F.col("cost"), F.lit(model["oov_cost"]))
+        ).alias("c"),
     )
-    agg = scored.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.sum("c").alias("cost_micronats"),
-    )
-    ids = df.select(id_col).distinct()
-    return ids.join(agg, id_col, "left").select(
+    return scored.groupBy(id_col).agg(
+        F.count("c").alias("n_bigrams"),
+        F.coalesce(F.sum("c"), F.lit(0)).alias("cost_micronats"),
+    ).select(
         id_col,
-        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
-        F.coalesce("cost_micronats", F.lit(0)).alias("cost_micronats"),
-        (
+        "n_bigrams",
+        "cost_micronats",
+        F.when(
+            F.col("n_bigrams") > 0,
             F.col("cost_micronats").cast("double")
-            / F.col("n_bigrams").cast("double")
+            / F.col("n_bigrams").cast("double"),
         ).alias("avg_cost_micronats"),
     )
