@@ -500,7 +500,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         pts = _points(spark, sf).withColumnRenamed("event_id", "point_id")
         polys = _nation_boxes(spark, sf)
-        out = pip_join(pts, polys, res=4, rows_per_task=5000)
+        # nation boxes tile the WHOLE world: the cover-cell prefilter can
+        # prune nothing and is pure fixed overhead here (r8: measured
+        # +0.2-0.5 s) — disabled for this query only
+        out = pip_join(
+            pts, polys, res=4, rows_per_task=5000, cell_prefilter=False
+        )
         return (
             out.groupBy("poly_id")
             .agg(F.count(F.lit(1)).alias("n_points"))
