@@ -78,6 +78,10 @@ def _tiff_lzw_decode(data: bytes, expect: int) -> bytes:
             nbits += 8
         code = (bitbuf >> (nbits - width)) & ((1 << width) - 1)
         nbits -= width
+        # drop the consumed high bits: without this mask bitbuf grows into
+        # a strip-sized bignum and every shift/or reallocates it — O(n^2),
+        # measured 1.68 s -> 0.06 s per 64 KB strip (r8)
+        bitbuf &= (1 << nbits) - 1
         if code == EOI:
             break
         if code == CLEAR:
@@ -127,6 +131,7 @@ def _tiff_lzw_encode(data: bytes) -> bytes:
         while nbits >= 8:
             out.append((bitbuf >> (nbits - 8)) & 0xFF)
             nbits -= 8
+            bitbuf &= (1 << nbits) - 1  # same bignum-growth guard as decode
 
     def _fresh() -> dict[bytes, int]:
         return {bytes([i]): i for i in range(256)}
