@@ -120,8 +120,9 @@ def repetition_stats(
     training (the "duplicate n-gram fraction" family of the Gopher and C4
     cleaning rules).
 
-    Plan shape: n-grams are built JVM-side from the token array (one
-    ``transform`` over an index sequence — no UDF), exploded once, then
+    Plan shape: gram START POSITIONS explode (an int array — r8; the gram
+    strings themselves are built by a plain codegen projection afterwards,
+    5.5x faster than exploding an interpreted-HOF string array), then
     counted with a two-stage hash aggregate (map-side partial combine).
     Both shuffles key on (doc, gram) / doc — corpus-sized data never
     converges anywhere, so the plan is the same at 100 TB. Docs shorter
@@ -138,8 +139,20 @@ def repetition_stats(
     base = df.select(
         F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
     )
-    grams = _gram_array(F.col("_toks"), n)
-    g = base.select(F.col(id_col), F.explode(grams).alias("gram"))
+    g = (
+        base.select(
+            F.col(id_col),
+            F.col("_toks"),
+            F.explode_outer(_gram_positions(F.col("_toks"), n)).alias("_p"),
+        )
+        .where(F.col("_p").isNotNull())
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", F.slice(F.col("_toks"), F.col("_p") + 1, n)
+            ).alias("gram"),
+        )
+    )
     per = g.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
     return (
         per.groupBy(id_col)
@@ -199,7 +212,13 @@ def hash_split(
 
 
 def _gram_array(toks: Column, n: int) -> Column:
-    """n-gram string array from a token array (empty when too short)."""
+    """n-gram string array from a token array (empty when too short).
+
+    NOTE (r8): building the gram STRINGS inside this higher-order
+    transform runs interpreted (HOFs are CodegenFallback) — measured
+    13 µs/gram vs ~2 µs when the gram is built by a plain projection
+    after exploding the POSITIONS (_gram_positions below). Keep this
+    array form only where a per-row array is genuinely needed."""
     return F.when(
         F.size(toks) >= n,
         F.transform(
@@ -209,6 +228,23 @@ def _gram_array(toks: Column, n: int) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def _gram_positions(toks: Column, n: int) -> Column:
+    """0-based n-gram start positions (empty when too short) — ints only.
+
+    The r8 gram-stream shape: explode THESE (cheap int array), then build
+    each gram with a plain codegen projection over the staged token array
+    (`concat_ws(' ', slice(toks, p + 1, n))`) — 5.5x faster than exploding
+    _gram_array's interpreted-HOF strings (0.9 s vs 4.9 s for 11.5M
+    8-grams at 250k docs). Use explode_outer + an isNotNull filter on the
+    exploded position, NOT a plain explode: the plain generator's inferred
+    size>0 filter re-evaluates the generator input below the staging
+    projection (CLAUDE.md trap), while the outer variant carries no
+    inferred filter."""
+    return F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.expr("cast(array() as array<int>)"))
 
 
 def normalized_text_col(text: Column) -> Column:
@@ -260,21 +296,44 @@ def contamination_stats(
         else F.col(text_col)
     )
     base = df.select(F.col(id_col), tokens_col(txt).alias("_toks"))
-    grams = _gram_array(F.col("_toks"), n)
+    # gram positions explode; the gram string + md5 are a codegen
+    # projection (r8 — see _gram_positions). The null position row that
+    # explode_outer emits for a zero-gram doc yields h = NULL (guarded
+    # when), exactly like md5(null gram) did before.
     corpus_g = base.select(
-        F.col(id_col), F.explode_outer(grams).alias("gram")
-    ).select(id_col, F.md5("gram").alias("h"))
+        F.col(id_col),
+        F.col("_toks"),
+        F.explode_outer(_gram_positions(F.col("_toks"), n)).alias("_p"),
+    ).select(
+        id_col,
+        F.when(
+            F.col("_p").isNotNull(),
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_p") + 1, n))
+            ),
+        ).alias("h"),
+    )
     bench_base = bench.select(tokens_col(txt).alias("_toks"))
     bench_h = (
         bench_base.select(
-            F.explode(_gram_array(F.col("_toks"), n)).alias("gram")
+            F.col("_toks"),
+            F.explode_outer(_gram_positions(F.col("_toks"), n)).alias("_p"),
         )
-        .select(F.md5("gram").alias("h"))
+        .where(F.col("_p").isNotNull())
+        .select(
+            F.md5(
+                F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_p") + 1, n))
+            ).alias("h")
+        )
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
     return (
-        corpus_g.join(bench_h, "h", "left")
+        # explicit broadcast (guide §3.1): the distinct benchmark-hash side
+        # is bounded by eval-set size by design, but its estimated size
+        # sits just over the auto threshold — without the hint the planner
+        # sorted all 11.5M corpus gram rows for a sort-merge join
+        corpus_g.join(F.broadcast(bench_h), "h", "left")
         .groupBy(id_col)
         .agg(
             # count("h") skips the null row explode_outer emits for
@@ -1029,7 +1088,12 @@ def connected_components(
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
             .where(F.col("a") != F.col("b"))
             .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
-            .distinct()
+            # NO distinct here (r8): the small-star half below ends in a
+            # distinct, so each ROUND's output edge set is bit-identical
+            # either way — duplicates feed only min-aggregations, which
+            # ignore them. Dropping the mid-round exchange+aggregate cut
+            # the per-round stage count ~1/6 (4.6 -> 3.7 s at the 135k-edge
+            # bench graph; final star forest verified identical).
         )
         # small-star: for every node u, link each SMALLER-or-self
         # neighbor (and u itself) to m(u) = min of those neighbors
@@ -1419,29 +1483,34 @@ def substring_span_dedup(
     toks = F.col("_toks")
     n = F.size(toks)
     sep = "\x1f"
-    grams = F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(F.concat_ws(sep, F.slice(toks, i + 1, k))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long"),
-    )
-    # guard short docs with a conditional EMPTY gram array rather than a
-    # where(n >= k): the filter would push below the staging projection
-    # and re-evaluate split(text) a second time per scanned row.
-    grams_safe = F.when(n >= k, grams).otherwise(
-        F.expr("cast(array() as array<bigint>)")
-    )
+    # gram POSITIONS explode (ints); the 60-bit hash is a plain codegen
+    # projection over the staged token array (r8 — HOF string building
+    # ran interpreted at ~13 µs/gram, see _gram_positions). explode_outer
+    # + isNotNull keeps the generator free of an inferred filter that
+    # would re-evaluate split(text) below the staging projection.
+    gh = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(sep, F.slice(toks, F.col("pos") + 1, k))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
     # cached: consumed by BOTH the keeper aggregate and the dup probe —
     # without it the tokenize+hash+explode pass (the op's dominant cost,
     # ~1/3 of wall time at the 250k bench) runs twice (same discipline
     # as knn_join's census cache; bench clears cache between reps)
-    occ = base.select(
-        F.col("id"), F.posexplode(grams_safe).alias("pos", "gh")
-    ).cache()
+    occ = (
+        base.select(
+            F.col("id"),
+            toks,
+            F.explode_outer(_gram_positions(toks, k)).alias("pos"),
+        )
+        .where(F.col("pos").isNotNull())
+        .select("id", "pos", gh.alias("gh"))
+        .cache()
+    )
     # keeper, census-guarded (the cap_per_key discipline):
     # COMMON PATH — duplicated-gram KEYS are few (clean-ish corpora):
     #   one all-primitive hash aggregate (min(id), count — long buffers
