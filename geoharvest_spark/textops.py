@@ -579,10 +579,17 @@ def cdc_chunk_dedup(
 
     Fully JVM-side: the gram hashes reuse substring_span_dedup's 60-bit
     map-side hash (md5 of the chr(31)-joined slice, first 15 hex
-    digits — SQL-replayable); cuts/chunks are higher-order-function
-    array work per row; the corpus-wide keeper is the shared
-    hash-aggregate + shuffle-hash tail (_dedup_exploded_chunks). The
-    shuffle carries (md5, id, idx) only — never chunk text twice.
+    digits — SQL-replayable). r8 boundary pass: the rolling hash is
+    computed on the EXPLODED position stream as a plain codegen
+    projection (computing it inside the per-row cuts transform() ran
+    interpreted — HOFs are CodegenFallback, ~13 us/gram, VERDICT r7 #7's
+    "gram-hash stage" cost); boundary positions then aggregate back to a
+    per-doc sorted cuts array (tiny rows: one per boundary HIT) and
+    re-attach to the token array by an id equi-join. Chunk assembly from
+    the cuts array stays per-row array work; the corpus-wide keeper is
+    the shared hash-aggregate + shuffle-hash tail
+    (_dedup_exploded_chunks). The keeper shuffle carries (md5, id, idx)
+    only — never chunk text twice.
 
     Boundary spec (mirrored by the oracle): gram at token position i
     (0-based, i <= n-window) cuts AFTER token i + window - 1; chunks
@@ -603,28 +610,46 @@ def cdc_chunk_dedup(
     toks = F.col("_toks")
     n = F.size(toks)
     sep = "\x1f"
-    gh = lambda i: F.conv(  # noqa: E731 — same hash as substring dedup
+    # boundary pass on the exploded position stream (codegen — see
+    # docstring): hash each window-gram, keep positions whose low bits
+    # are zero, aggregate the per-doc sorted cuts array (cut values are
+    # strictly increasing per doc, so array_sort(collect_list) is exactly
+    # the old in-order filter output)
+    gh_col = F.conv(
         F.substring(
-            F.md5(F.concat_ws(sep, F.slice(toks, i + 1, window))), 1, 15
+            F.md5(
+                F.concat_ws(sep, F.slice(toks, F.col("_p") + 1, window))
+            ),
+            1,
+            15,
         ),
         16,
         10,
     ).cast("long")
-    # cut END positions (0-based token index); guard short docs with an
-    # empty sequence (sequence(0, n-window) would run BACKWARDS when
-    # n < window — Spark sequences auto-step -1 — yielding bogus cuts)
-    cuts = F.when(
-        n >= window,
-        F.filter(
-            F.transform(
-                F.sequence(F.lit(0), n - window),
-                lambda i: F.when(
-                    gh(i).bitwiseAND(F.lit(mask)) == 0, i + window - 1
-                ),
-            ),
-            lambda c: c.isNotNull(),
-        ),
-    ).otherwise(F.expr("cast(array() as array<int>)"))
+    cut_rows = (
+        base.select(
+            F.col(id_col),
+            toks,
+            F.explode_outer(_gram_positions(toks, window)).alias("_p"),
+        )
+        .where(F.col("_p").isNotNull())
+        .select(F.col(id_col), F.col("_p"), gh_col.alias("_gh"))
+        .where(F.col("_gh").bitwiseAND(F.lit(mask)) == 0)
+        .select(
+            F.col(id_col), (F.col("_p") + window - 1).cast("int").alias("_cut")
+        )
+    )
+    cuts_agg = cut_rows.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("_cut")).alias("_cuts_j")
+    )
+    with_cuts = base.join(cuts_agg, id_col, "left").select(
+        F.col(id_col),
+        toks,
+        F.coalesce(
+            F.col("_cuts_j"), F.expr("cast(array() as array<int>)")
+        ).alias("_cuts"),
+    )
+    cuts = F.col("_cuts")
     # ANSI-safe tail edge: element_at only evaluates when cuts is
     # non-empty (CaseWhen branches evaluate in order)
     edges = F.concat(
@@ -638,7 +663,7 @@ def cdc_chunk_dedup(
     )
     # stage the token array once (inline-split trap), then the edges
     # array once (each chunk references edges twice)
-    staged = base.select(F.col(id_col), toks.alias("_toks2"), edges.alias("_e"))
+    staged = with_cuts.select(F.col(id_col), toks.alias("_toks2"), edges.alias("_e"))
     toks2, e2 = F.col("_toks2"), F.col("_e")
     chunks2 = F.when(
         F.size(toks2) > 0,
