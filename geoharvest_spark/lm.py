@@ -125,22 +125,22 @@ def with_lm_score(
         F.col(id_col),
         F.split(F.col(text_col), r"\s+").alias("_toks"),
     )
+    # explode bigram START positions (int array) and pick the two tokens
+    # with plain element_at projections — building the struct array inside
+    # a transform() HOF ran interpreted (CodegenFallback; the r8
+    # gram-stream finding, see textops._gram_positions)
+    pos_arr = F.when(
+        F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
+    ).otherwise(F.expr("cast(array() as array<int>)"))
     grams = base.select(
         F.col(id_col),
-        F.posexplode_outer(
-            F.when(
-                F.size(toks) >= 2,
-                F.expr(
-                    "transform(slice(_toks, 1, size(_toks) - 1), "
-                    "(x, i) -> struct(x as w1, _toks[i + 1] as w2))"
-                ),
-            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-        ).alias("_pos", "_g"),
+        F.col("_toks"),
+        F.explode_outer(pos_arr).alias("_p"),
     ).select(
         id_col,
-        F.col("_g").isNotNull().alias("_has"),
-        F.col("_g.w1").alias("w1"),
-        F.col("_g.w2").alias("w2"),
+        F.col("_p").isNotNull().alias("_has"),
+        F.element_at(F.col("_toks"), F.col("_p") + 1).alias("w1"),
+        F.element_at(F.col("_toks"), F.col("_p") + 2).alias("w2"),
     )
     scored = grams.join(F.broadcast(mdf), ["w1", "w2"], "left").select(
         id_col,
