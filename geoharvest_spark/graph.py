@@ -101,18 +101,30 @@ def pagerank(
         )
     base = ((damping_den - damping_num) * scale) // damping_den
 
-    outdeg = (
+    # Adjacency-list form (r8, guide §2.2): group the edge list ONCE into
+    # (src, dsts array) — after that, every iteration shuffles only the
+    # |nodes|-row rank table into the join and explodes the adjacency
+    # in-task, instead of re-shuffling (and sort-merge-sorting) the full
+    # |edges|-row table every round (measured: the edge table crossed the
+    # wire once per iteration before; now once total). Out-adjacency rows
+    # are bounded by per-node OUT-degree (page link counts — naturally
+    # small even on web graphs whose IN-degree is unbounded; the in-side
+    # is never collected). Edge multiplicity is preserved by collect_list
+    # and each exploded element contributes exactly `rank div out_deg`,
+    # an order-free integer sum — results stay bit-identical.
+    adj = (
         e.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("out_deg"))
+        .agg(F.collect_list("dst").alias("_dsts"))
         .localCheckpoint(eager=True)
     )
     ranks = nodes.select("id", F.lit(int(scale)).cast("long").alias("rank"))
     for t in range(int(iters)):
-        contrib = ranks.join(
-            outdeg, ranks["id"] == outdeg["src"]
-        ).select("src", F.expr("rank div out_deg").alias("contrib"))
         s = (
-            e.join(contrib, "src")
+            ranks.join(adj, ranks["id"] == adj["src"])
+            .select(
+                F.explode("_dsts").alias("dst"),
+                F.expr("rank div size(_dsts)").alias("contrib"),
+            )
             .groupBy("dst")
             .agg(F.sum("contrib").alias("s"))
         )

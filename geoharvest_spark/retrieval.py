@@ -99,9 +99,17 @@ def bm25_topk(
     )
     qpost = postings
     dfreq = qpost.groupBy("term").agg(F.count(F.lit(1)).alias("dft"))
-    stats = base.agg(
+    # corpus stats WITHOUT a second tokenize: size(split(text, '\s+'))
+    # (split's default limit -1 keeps trailing empty strings) is exactly
+    # the number of '\s+' matches plus one, so regexp_count gives the
+    # identical token count with no array materialization — the stats
+    # branch re-scanned and re-split the whole corpus just for this sum
+    # (guide §2.3: shuffle/compute only what the operator needs).
+    stats = df.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(F.size("_toks")).cast("long").alias("t_tokens"),
+        F.sum(
+            F.regexp_count(F.col(text_col), F.lit(r"\s+")) + 1
+        ).cast("long").alias("t_tokens"),
     )
     scored = (
         qpost.join(F.broadcast(dfreq), "term")
