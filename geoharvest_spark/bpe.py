@@ -153,18 +153,52 @@ def _count_occurrences(col: Column, ch: str) -> Column:
     return F.length(col) - F.length(F.replace(col, F.lit(ch), F.lit("")))
 
 
+def trained_consistent(merges: Iterable[tuple[str, str]]) -> bool:
+    """True iff every merge's parts are buildable by strictly earlier
+    merges (single chars are always buildable) — the training invariant
+    under which the replace-chain and the classic lowest-rank-first
+    loop provably agree (r6). O(#merges), driver-side."""
+    made: set[str] = set()
+    for a, b in merges:
+        if (len(a) > 1 and a not in made) or (len(b) > 1 and b not in made):
+            return False
+        made.add(a + b)
+    return True
+
+
 def with_bpe_token_count(
     df,
     merges: Iterable[tuple[str, str]],
     text_col: str = "text",
     out_col: str = "n_tokens_bpe",
+    force_codegen: bool = False,
 ):
     """Add ``out_col`` = exact BPE token count of ``text_col`` under the
-    merge table, all codegen. The normalized text and the merged stream
-    are each staged through their own projection alias (referenced
-    twice — CollapseProject keeps them; the inline-reuse trap from
-    CLAUDE.md), so the merge chain evaluates once per row."""
+    merge table.
+
+    r8 dispatch: when the merge table satisfies the trained-consistency
+    invariant (checked driver-side in O(#merges)), the count runs on the
+    Arrow rank-dict path — provably equal to the replace-chain for such
+    tables (pinned in test_bpe: chain == rank-dict == reference loop)
+    and ~12x faster at 250k docs (0.6 vs 7.9 s); the isNotNull mask
+    keeps the codegen path's NULL-in -> NULL-out contract. Hand-crafted
+    tables that violate the invariant, and ``force_codegen=True``, take
+    the original all-codegen replace chain (the SQL-replayable oracle
+    shape — the DuckDB oracle always replays that form independently).
+
+    Codegen path: the normalized text and the merged stream are each
+    staged through their own projection alias (referenced twice —
+    CollapseProject keeps them; the inline-reuse trap from CLAUDE.md),
+    so the merge chain evaluates once per row."""
     merges = list(merges)
+    if not force_codegen and trained_consistent(merges):
+        cnt = token_count_udf(merges)
+        return df.withColumn(
+            out_col,
+            F.when(
+                F.col(text_col).isNotNull(), cnt(F.col(text_col))
+            ).cast("long"),
+        )
     out = (
         df.withColumn("_bpe_norm", normalize_expr(F.col(text_col)))
         .withColumn(

@@ -269,7 +269,7 @@ def test_bpe_plan_single_stage_no_reevaluation(spark):
 
     df = spark.createDataFrame([(0, "ab ab ba")], ["doc_id", "text"])
     merges = [("a", "b"), ("b", "a"), ("ab", "ab")]
-    out = bpe.with_bpe_token_count(df, merges)
+    out = bpe.with_bpe_token_count(df, merges, force_codegen=True)
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.count("regexp_replace") == 3
     assert len(re.findall(r"(?<!regexp_)replace\(", plan)) == len(merges) + 2
@@ -277,3 +277,36 @@ def test_bpe_plan_single_stage_no_reevaluation(spark):
     for line in phys.split("\n"):
         if "Project" in line:
             assert line.lstrip().startswith(("*", "+- *", ": *")) or "*(" in line, line
+
+
+def test_bpe_dispatch_consistent_vs_not(spark):
+    """r8: trained-consistent tables dispatch to the Arrow rank-dict
+    path (equal counts, pinned above); inconsistent hand-crafted tables
+    keep the codegen replace chain. NULL text stays NULL either way."""
+    df = spark.createDataFrame(
+        [(0, "ab ab ba"), (1, None)], ["doc_id", "text"]
+    )
+    good = [("a", "b"), ("a", "ab")]
+    assert bpe.trained_consistent(good)
+    plan_good = (
+        bpe.with_bpe_token_count(df, good)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" in plan_good
+    bad = [("ab", "c")]  # "ab" never built by an earlier merge
+    assert not bpe.trained_consistent(bad)
+    plan_bad = (
+        bpe.with_bpe_token_count(df, bad)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "EvalPython" not in plan_bad
+    # NULL contract + value agreement between the two paths
+    import pandas as pd
+
+    a = bpe.with_bpe_token_count(df, good).orderBy("doc_id").toPandas()
+    b = (
+        bpe.with_bpe_token_count(df, good, force_codegen=True)
+        .orderBy("doc_id").toPandas()
+    )
+    assert a["n_tokens_bpe"].tolist()[:1] == b["n_tokens_bpe"].tolist()[:1]
+    assert pd.isna(a["n_tokens_bpe"][1]) and pd.isna(b["n_tokens_bpe"][1])
