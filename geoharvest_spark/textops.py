@@ -148,8 +148,14 @@ def repetition_stats(
         .where(F.col("_p").isNotNull())
         .select(
             F.col(id_col),
-            F.concat_ws(
-                " ", F.slice(F.col("_toks"), F.col("_p") + 1, n)
+            # r8: hash the token-array slice directly — the gram is only
+            # a grouping key here (never exposed), so xxhash64 over the
+            # array gives identical equality classes with no gram-string
+            # build and a narrow long shuffle key (collision odds
+            # ~n^2/2^64 per doc — far below the 60-bit md5 prefix this
+            # family accepts elsewhere)
+            F.xxhash64(
+                F.slice(F.col("_toks"), F.col("_p") + 1, n)
             ).alias("gram"),
         )
     )
@@ -300,6 +306,11 @@ def contamination_stats(
     # projection (r8 — see _gram_positions). The null position row that
     # explode_outer emits for a zero-gram doc yields h = NULL (guarded
     # when), exactly like md5(null gram) did before.
+    # r8: the gram hash is a pure equality carrier (never exposed; the
+    # DuckDB oracle computes its own membership independently), so
+    # xxhash64 over the token-array slice replaces md5-of-gram-string on
+    # BOTH sides — no gram-string build, a long join key instead of a
+    # 32-char hex string, and better collision odds (64 vs 60 bits)
     corpus_g = base.select(
         F.col(id_col),
         F.col("_toks"),
@@ -308,9 +319,7 @@ def contamination_stats(
         id_col,
         F.when(
             F.col("_p").isNotNull(),
-            F.md5(
-                F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_p") + 1, n))
-            ),
+            F.xxhash64(F.slice(F.col("_toks"), F.col("_p") + 1, n)),
         ).alias("h"),
     )
     bench_base = bench.select(tokens_col(txt).alias("_toks"))
@@ -321,8 +330,8 @@ def contamination_stats(
         )
         .where(F.col("_p").isNotNull())
         .select(
-            F.md5(
-                F.concat_ws(" ", F.slice(F.col("_toks"), F.col("_p") + 1, n))
+            F.xxhash64(
+                F.slice(F.col("_toks"), F.col("_p") + 1, n)
             ).alias("h")
         )
         .distinct()
@@ -1471,9 +1480,9 @@ def substring_span_dedup(
     Plan shape, sized for 100 TB:
       1. tokens are staged once per row (own projection alias — the
          inline-split trap from repetition_stats applies);
-      2. every position's k-gram is hashed MAP-SIDE to a 60-bit int
-         (``conv(substr(md5(join(slice)), 1, 15), 16, 10)``) so the
-         shuffle carries (hash, id, pos) — never gram text;
+      2. every position's k-gram is hashed MAP-SIDE to a 64-bit int
+         (``xxhash64`` over the token-array slice — no gram string is
+         ever built) so the shuffle carries (hash, id, pos), never text;
       3. the keeper per hash is an all-PRIMITIVE hash aggregate
          (min(id), count) — long agg buffers stay in the codegen fast
          path; struct/decimal buffers measured 2.8-5.8x slower (struct
@@ -1486,9 +1495,10 @@ def substring_span_dedup(
          join output is linear in occurrences);
       5. span merging is per-DOC array work (sort + linear fold), never a
          corpus-wide sort.
-    At extreme scale (>= 10^11 grams) widen step 2 to the full 128-bit
-    md5 (collision odds ~n^2/2^61); both sides of the driver oracle use
-    the same hash so parity is unaffected either way.
+    At extreme scale (>= 10^11 grams) widen step 2 to a 128-bit hash
+    (collision odds ~n^2/2^65 at 64 bits); the hash never reaches the
+    output and the driver oracle hashes independently, so the choice
+    only matters through collisions.
 
     ``broadcast_threshold``: max duplicated-gram KEYS for the broadcast
     probe path; the census runs one eager job (which doubles as the occ
@@ -1507,21 +1517,17 @@ def substring_span_dedup(
     )
     toks = F.col("_toks")
     n = F.size(toks)
-    sep = "\x1f"
-    # gram POSITIONS explode (ints); the 60-bit hash is a plain codegen
+    # gram POSITIONS explode (ints); the hash is a plain codegen
     # projection over the staged token array (r8 — HOF string building
     # ran interpreted at ~13 µs/gram, see _gram_positions). explode_outer
     # + isNotNull keeps the generator free of an inferred filter that
     # would re-evaluate split(text) below the staging projection.
-    gh = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(sep, F.slice(toks, F.col("pos") + 1, k))),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("long")
+    # r8: xxhash64 over the token-array SLICE replaces the md5-of-string
+    # 60-bit hash — the hash is a pure equality carrier (keeper/dup
+    # classes; never exposed in the output, and the DuckDB oracle hashes
+    # independently), so this skips the gram-string build + md5 + conv
+    # per gram with BETTER collision odds (64 vs 60 bits).
+    gh = F.xxhash64(F.slice(toks, F.col("pos") + 1, k))
     # cached: consumed by BOTH the keeper aggregate and the dup probe —
     # without it the tokenize+hash+explode pass (the op's dominant cost,
     # ~1/3 of wall time at the 250k bench) runs twice (same discipline
