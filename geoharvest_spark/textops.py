@@ -1094,20 +1094,31 @@ def connected_components(
         .distinct()
     )
 
-    def _fingerprint(edges: DataFrame) -> tuple[int, int]:
-        # sum in decimal(38,0): long-sum of int64 hashes overflows under
-        # ANSI mode; decimal gives an exact wide accumulator
-        row = edges.agg(
+    # Fingerprint rides the CHECKPOINT job via the Observation API (r8):
+    # observed aggregates are collected during the materialization the
+    # eager localCheckpoint runs anyway, so each round is ONE job, not
+    # checkpoint + a separate fingerprint scan (measured: metrics do
+    # propagate through localCheckpoint(eager=True)). Sum in
+    # decimal(38,0): long-sum of int64 hashes overflows under ANSI mode;
+    # decimal gives an exact wide accumulator.
+    from pyspark.sql import Observation
+
+    def _fp_cols() -> list:
+        return [
             F.count(F.lit(1)).alias("n"),
             F.coalesce(
                 F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
                 F.lit(0).cast("decimal(38,0)"),
             ).alias("h"),
-        ).collect()[0]
-        return int(row["n"]), int(row["h"])
+        ]
 
-    e = e.localCheckpoint(eager=True)
-    prev = _fingerprint(e)
+    def _ckpt_fp(edges: DataFrame) -> "tuple[DataFrame, tuple[int, int]]":
+        obs = Observation()
+        out = edges.observe(obs, *_fp_cols()).localCheckpoint(eager=True)
+        m = obs.get
+        return out, (int(m["n"]), int(m["h"]))
+
+    e, prev = _ckpt_fp(e)
     converged = False
     for _ in range(max_iter):
         # large-star: for every node u, link each LARGER neighbor v to
@@ -1144,8 +1155,7 @@ def connected_components(
             .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
             .distinct()
         )
-        e = small.localCheckpoint(eager=True)
-        cur = _fingerprint(e)
+        e, cur = _ckpt_fp(small)
         if cur == prev:
             converged = True
             break
