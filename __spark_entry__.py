@@ -502,11 +502,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         polys = _nation_boxes(spark, sf)
         # nation boxes tile the WHOLE world: the cover-cell prefilter can
         # prune nothing and is pure fixed overhead here (r8: measured
-        # +0.2-0.5 s) — disabled for this query only. The codegen refine
-        # also loses here (interleaved min-of-3: 3.3 vs 2.5 s at sf1.0):
-        # 25 distinct 5-point rectangles batch perfectly in the Arrow
-        # kernel while the 10-term unroll pays 2x padding per row — so
-        # this query pins the Arrow path too (both bit-identical).
+        # +0.2-0.5 s) — disabled for this query only. The Arrow refine is
+        # pinned explicitly (it is also the library default): 25 distinct
+        # 5-point rectangles batch perfectly in the Arrow kernel while
+        # the 10-term codegen unroll pays 2x padding per row (interleaved
+        # min-of-3: 3.3 vs 2.5 s at sf1.0; both paths bit-identical).
         out = pip_join(
             pts, polys, res=4, rows_per_task=5000, cell_prefilter=False,
             codegen_refine=False,

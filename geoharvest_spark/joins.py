@@ -191,17 +191,22 @@ def _pip_edge_cols(wkt: "F.Column") -> "dict[str, F.Column]":
         )
 
     cols: dict[str, F.Column] = {}
+
+    def nn(c: "F.Column") -> "F.Column":
+        # coalesce with a literal makes the column NON-NULLABLE: the
+        # unrolled refine then reads plain doubles with zero null-
+        # tracking bytecode, keeping the WSCG stage comfortably under
+        # the JIT huge-method cliff (the gate guarantees the value
+        # branch never actually yields null)
+        return F.coalesce(c, F.lit(0.0))
+
     for j in range(_PIP_CODEGEN_MAX_V):
         in_ring = F.lit(j) < n
         jn = F.when(F.lit(j + 1) < n, F.lit(j + 1)).otherwise(F.lit(0))
-        cols[f"_pe{j}x1"] = F.when(in_ring, coord(F.lit(j), 0)).otherwise(
-            F.lit(0.0)
-        )
-        cols[f"_pe{j}y1"] = F.when(in_ring, coord(F.lit(j), 1)).otherwise(
-            F.lit(0.0)
-        )
-        cols[f"_pe{j}x2"] = F.when(in_ring, coord(jn, 0)).otherwise(F.lit(0.0))
-        cols[f"_pe{j}y2"] = F.when(in_ring, coord(jn, 1)).otherwise(F.lit(0.0))
+        cols[f"_pe{j}x1"] = nn(F.when(in_ring, coord(F.lit(j), 0)))
+        cols[f"_pe{j}y1"] = nn(F.when(in_ring, coord(F.lit(j), 1)))
+        cols[f"_pe{j}x2"] = nn(F.when(in_ring, coord(jn, 0)))
+        cols[f"_pe{j}y2"] = nn(F.when(in_ring, coord(jn, 1)))
     return cols
 
 
@@ -274,7 +279,7 @@ def pip_join(
     salted: bool = True,
     census_sample: float | None = None,
     cell_prefilter: bool = True,
-    codegen_refine: bool | None = None,
+    codegen_refine: bool | None = False,
 ) -> DataFrame:
     """Point-in-polygon join -> (point columns..., poly_id).
 
@@ -293,15 +298,21 @@ def pip_join(
     # the points anyway, so the extra exchange is pure cost (guide §2.4)
     pts = points.withColumn("cell", ix.ghcell(F.col("lon"), F.col("lat"), res))
 
-    # refine-path choice (guide §4): when EVERY polygon is a single ring of
-    # <= _PIP_CODEGEN_MAX_V parseable points (one tiny aggregate job over
-    # the polygon dim decides, same cost class as the salt census), the
-    # exact ray cast runs as an unrolled whole-stage-codegen expression —
-    # no Python boundary, and the candidate shuffle carries numeric ring
-    # arrays instead of WKT text. Otherwise (multi-ring / huge rings) the
-    # Arrow kernel path handles everything, as before. Both paths are
-    # bit-identical (same IEEE operand order), so the choice never changes
-    # results — codegen_refine=True/False forces a path for tests.
+    # refine-path choice (guide §4): codegen_refine=True (or None = auto-
+    # detect with one tiny polygon-dim aggregate) runs the exact ray cast
+    # as an unrolled whole-stage-codegen expression when every polygon is
+    # a single ring of <= _PIP_CODEGEN_MAX_V parseable points — no Python
+    # boundary, numeric ring columns instead of WKT text in the shuffle.
+    # Both paths are bit-identical (same IEEE operand order), so the
+    # choice never changes results. DEFAULT IS THE ARROW KERNEL (r8
+    # negative result): the codegen stage sits near HotSpot's huge-method
+    # JIT cliff, and under a benchmark-shaped workload mix the generated
+    # class is evicted from the ~100-entry codegen cache between
+    # invocations, so every run re-pays an interpreted warm-up (measured:
+    # 3.6 s warm vs 11.4 s first-run; alternating-cycle bench min landed
+    # ~5.5 s vs 4.4-4.8 s Arrow, while an isolated interleaved A/B showed
+    # codegen 3.65 <= arrow 3.82). Opt in per workload where the plan
+    # stays resident.
     use_codegen = (
         _pip_all_simple(polygons) if codegen_refine is None else codegen_refine
     )
