@@ -480,16 +480,37 @@ def chunk_dedup(
     )
     toks = F.col("_toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(float(chunk_tokens))).cast("int")
-    chunks = F.transform(
-        F.sequence(F.lit(0), n_chunks - 1),
-        # slice is 1-based: chunk i = tokens[i*K+1 .. i*K+K]
-        lambda i: F.concat_ws(
-            " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
-        ),
+    # r8 gram-stream shape: explode chunk INDICES (cheap int array) and
+    # build each chunk string with a plain codegen projection over the
+    # staged token array — building the strings inside transform() ran
+    # interpreted (HOFs are CodegenFallback, the ~13 µs/element finding).
+    # posexplode_outer + isNotNull mirrors plain posexplode exactly
+    # (null-array docs drop; the generator carries no inferred filter
+    # that would re-evaluate the staged split). chunk_idx stays the
+    # POSITION and the slice uses the element VALUE — identical to the
+    # old transform-lambda pairing. The chunk hash is xxhash64 (equality
+    # carrier only; dedup_md5 below still hashes the REASSEMBLED text
+    # with md5 as the output contract requires).
+    idxs = F.sequence(F.lit(0), n_chunks - 1)
+    ex = (
+        base.select(
+            F.col(id_col),
+            toks,
+            F.posexplode_outer(idxs).alias("chunk_idx", "_i"),
+        )
+        .where(F.col("chunk_idx").isNotNull())
+        .select(
+            F.col(id_col),
+            "chunk_idx",
+            F.concat_ws(
+                " ",
+                F.slice(
+                    toks, F.col("_i") * chunk_tokens + 1, chunk_tokens
+                ),
+            ).alias("chunk"),
+        )
+        .withColumn("h", F.xxhash64("chunk"))
     )
-    ex = base.select(
-        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
-    ).withColumn("h", F.md5("chunk"))
     # per-doc chunk count straight from the token count — no explode, no
     # chunk-string building, no aggregate; the size>0 filter mirrors
     # explode row semantics (a doc appears in the old explode-based totals
