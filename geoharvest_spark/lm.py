@@ -117,9 +117,26 @@ def with_lm_score(
     table, two-stage hash aggregate per doc. avg = one integer
     division's double result (cost/n), bit-identical across engines."""
     spark = df.sparkSession
-    mdf = spark.createDataFrame(
-        model_rows(model), "w1 string, w2 string, cost long"
-    )
+    # r8: join on ONE precomputed 64-bit key instead of the (w1, w2)
+    # string pair — the broadcast-hash probe over ~50M bigram rows was
+    # ~3.5 s of the 4.4 s leg (two string hashes + pair equality per
+    # row). Model-side keys are computed DRIVER-side with the pure-
+    # python XXH64 twin (pinned bit-equal to F.xxhash64 on strings in
+    # test_functions), so build-side uniqueness is verified exactly up
+    # front; in the astronomically-unlikely event two model bigrams
+    # collide, fall back to the exact string-pair join unchanged.
+    # Probe-side false matches remain possible in principle
+    # (|model| * |distinct bigrams| / 2^64 ~ 1e-8) — the same accepted
+    # class as the r8 gram-hash carriers.
+    from geoharvest_spark.functions import spark_xxhash64_strings
+
+    rows = model_rows(model)
+    keyed = [(spark_xxhash64_strings(a, b), c) for a, b, c in rows]
+    use_key_join = len({k for k, _ in keyed}) == len(keyed)
+    if use_key_join:
+        mdf = spark.createDataFrame(keyed, "bk long, cost long")
+    else:  # pragma: no cover - 2^-64-class event
+        mdf = spark.createDataFrame(rows, "w1 string, w2 string, cost long")
     toks = F.col("_toks")
     base = df.select(
         F.col(id_col),
@@ -132,17 +149,37 @@ def with_lm_score(
     pos_arr = F.when(
         F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)
     ).otherwise(F.expr("cast(array() as array<int>)"))
-    grams = base.select(
+    exploded = base.select(
         F.col(id_col),
         F.col("_toks"),
         F.explode_outer(pos_arr).alias("_p"),
-    ).select(
-        id_col,
-        F.col("_p").isNotNull().alias("_has"),
-        F.element_at(F.col("_toks"), F.col("_p") + 1).alias("w1"),
-        F.element_at(F.col("_toks"), F.col("_p") + 2).alias("w2"),
     )
-    scored = grams.join(F.broadcast(mdf), ["w1", "w2"], "left").select(
+    if use_key_join:
+        # the when() mask keeps the placeholder row's key NULL (a bare
+        # xxhash64(null, null) would be the seed constant, not null),
+        # so zero-bigram docs can never join; token strings themselves
+        # never leave this projection
+        grams = exploded.select(
+            id_col,
+            F.col("_p").isNotNull().alias("_has"),
+            F.when(
+                F.col("_p").isNotNull(),
+                F.xxhash64(
+                    F.element_at(F.col("_toks"), F.col("_p") + 1),
+                    F.element_at(F.col("_toks"), F.col("_p") + 2),
+                ),
+            ).alias("bk"),
+        )
+        joined = grams.join(F.broadcast(mdf), ["bk"], "left")
+    else:  # pragma: no cover - model-key collision fallback
+        grams = exploded.select(
+            id_col,
+            F.col("_p").isNotNull().alias("_has"),
+            F.element_at(F.col("_toks"), F.col("_p") + 1).alias("w1"),
+            F.element_at(F.col("_toks"), F.col("_p") + 2).alias("w2"),
+        )
+        joined = grams.join(F.broadcast(mdf), ["w1", "w2"], "left")
+    scored = joined.select(
         id_col,
         # null exactly on the placeholder row of a zero-bigram doc, so
         # count("c") below is the true bigram count

@@ -52,3 +52,29 @@ def test_remove_prefix_suffix(spark):
         gfn.remove_suffix(F.col("s"), ".zip").alias("b"),
     ).first()
     assert out.a == "abc.zip" and out.b == "mit:abc"
+
+
+def test_python_xxh64_matches_spark(spark):
+    """r8: the driver-side XXH64 twin must agree bit-for-bit with
+    F.xxhash64 over chained string columns (it precomputes the lm
+    model's join keys)."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from geoharvest_spark.functions import spark_xxhash64_strings
+
+    random.seed(11)
+    rows = [("hello", "world"), ("", ""), ("é", "日本"), ("x" * 100, "y")]
+    rows += [
+        (
+            "".join(random.choices(string.ascii_letters + " .,", k=random.randint(0, 64))),
+            "".join(random.choices(string.ascii_letters + " .,", k=random.randint(0, 64))),
+        )
+        for _ in range(40)
+    ]
+    df = spark.createDataFrame(rows, "w1 string, w2 string")
+    got = [r[0] for r in df.select(F.xxhash64("w1", "w2")).collect()]
+    exp = [spark_xxhash64_strings(a, b) for a, b in rows]
+    assert got == exp
