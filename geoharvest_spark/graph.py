@@ -112,38 +112,62 @@ def pagerank(
     # is never collected). Edge multiplicity is preserved by collect_list
     # and each exploded element contributes exactly `rank div out_deg`,
     # an order-free integer sum — results stay bit-identical.
+    # restricted to the vertex set ONCE (left_semi): the old per-round
+    # ranks-join implicitly dropped contributions from srcs outside
+    # `nodes` — the semi-join preserves exactly that
     adj = (
         e.groupBy("src")
         .agg(F.collect_list("dst").alias("_dsts"))
+        .join(
+            nodes.withColumnRenamed("id", "src"), "src", "left_semi"
+        )
         .localCheckpoint(eager=True)
     )
-    ranks = nodes.select("id", F.lit(int(scale)).cast("long").alias("rank"))
+    # r8: iterate on the IN-EDGE SUM table `s` instead of full ranks —
+    # r_t(v) = base + num * (coalesce(s_t(v), 0) div den) for every
+    # t >= 1 (nodes with no in-edges hold exactly the teleport base), so
+    # the per-iteration work is ONE left join (adj x s) + the dst
+    # aggregate, not two joins (ranks x adj, then nodes x s). Same
+    # integer expressions, same values; the full rank table is
+    # reconstructed once at the end. t = 0 needs no join at all
+    # (every rank is `scale`).
+    rank_of_s = (
+        F.lit(int(base))
+        + F.lit(int(damping_num))
+        * F.expr(f"coalesce(s, 0L) div {int(damping_den)}")
+    ).cast("long")
+    if int(iters) <= 0:
+        return nodes.select(
+            "id", F.lit(int(scale)).cast("long").alias("rank")
+        ).localCheckpoint(eager=True)
+    s = None
     for t in range(int(iters)):
+        if s is None:
+            contrib_rank = F.lit(int(scale)).cast("long")
+            src_rows = adj
+        else:
+            contrib_rank = rank_of_s
+            src_rows = adj.join(
+                s.withColumnRenamed("dst", "src"), "src", "left"
+            )
         s = (
-            ranks.join(adj, ranks["id"] == adj["src"])
+            src_rows.withColumn("r", contrib_rank)
             .select(
                 F.explode("_dsts").alias("dst"),
-                F.expr("rank div size(_dsts)").alias("contrib"),
+                F.expr("r div size(_dsts)").alias("contrib"),
             )
             .groupBy("dst")
             .agg(F.sum("contrib").alias("s"))
         )
-        ranks = nodes.join(s, nodes["id"] == s["dst"], "left").select(
-            "id",
-            (
-                F.lit(int(base))
-                + F.lit(int(damping_num))
-                * F.expr(f"coalesce(s, 0L) div {int(damping_den)}")
-            ).cast("long").alias("rank"),
-        )
         # PageRank has NO per-iteration driver read (fixed iteration
-        # count), so lineage truncation does not need a blocking job
-        # every round — an EAGER checkpoint each iteration measured
-        # ~0.7s/round of pure driver sync (40%+ of the 8-core leg).
-        # Periodic eager checkpoints bound plan depth while the rounds
-        # in between stay lazy and fuse into the same action.
+        # count) and s_{t-1} is referenced exactly once per round, so
+        # the rounds chain lazily into one action; periodic eager
+        # checkpoints only bound plan depth for high iteration counts.
         if (t + 1) % int(checkpoint_every) == 0 and t + 1 < int(iters):
-            ranks = ranks.localCheckpoint(eager=True)
+            s = s.localCheckpoint(eager=True)
+    ranks = nodes.join(s, nodes["id"] == s["dst"], "left").select(
+        "id", rank_of_s.alias("rank")
+    )
     # the returned frame may be consumed by several actions — one final
     # checkpoint pins the result (and caps total plan depth)
     return ranks.localCheckpoint(eager=True)
