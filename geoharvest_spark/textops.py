@@ -1575,13 +1575,19 @@ def substring_span_dedup(
     )
     # keeper, census-guarded (the cap_per_key discipline):
     # COMMON PATH — duplicated-gram KEYS are few (clean-ish corpora):
-    #   one all-primitive hash aggregate (min(id), count — long buffers
-    #   stay in the fast codegen path; a struct or decimal(38) buffer
-    #   measured 2.8-5.8x slower and super-linear under memory
-    #   pressure), then TWO broadcast probes over the cached occ: one
-    #   to find the keeper position inside the min doc, one to mark
-    #   every non-keeper occurrence. Broadcast probes are flat per-row
-    #   map work (measured 0.4 s/93M grams vs 13.4 s for a re-shuffle).
+    #   one all-primitive hash aggregate (long buffers stay in the fast
+    #   codegen path; a struct or decimal(38) buffer measured 2.8-5.8x
+    #   slower and super-linear under memory pressure), then a broadcast
+    #   probe over the cached occ marking every non-keeper occurrence.
+    #   Broadcast probes are flat per-row map work (measured 0.4 s/93M
+    #   grams vs 13.4 s for a re-shuffle). r8: when ids fit uint32
+    #   (one column-pruned aggregate over the doc ids decides — gram
+    #   positions are int32 by construction), the keeper is
+    #   min(id*2^31 + pos) — an EXACT lexicographic (id, pos) argmin in
+    #   one long buffer, max value 2^63-1 — which folds the old second
+    #   pass (min pos within the min doc) into the keeper aggregate and
+    #   saves one full scan of the cached gram stream (~2.6-3.7 s at
+    #   23M grams). Wider ids keep the two-probe shape.
     # FALLBACK — census above ``broadcast_threshold`` dup keys (heavily
     #   duplicated corpora) or ``broadcast_threshold=None`` (fully lazy):
     #   decimal(38,0)-packed (id,pos) keeper (order-preserving for the
@@ -1590,17 +1596,45 @@ def substring_span_dedup(
     #   driver-sized broadcast.
     # The census count doubles as the occ cache materialization (work
     # the op needs anyway), so the eager job is not wasted.
-    dg = (
-        occ.groupBy("gh")
-        .agg(F.min("id").alias("kid"), F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") > 1)
-        .select("gh", "kid")
-    )
+    # the id-range probe only runs when the census will run anyway —
+    # broadcast_threshold=None keeps the documented fully-lazy contract
+    pack_ok = False
+    if broadcast_threshold is not None:
+        idr = base.agg(
+            F.min("id").alias("lo"), F.max("id").alias("hi")
+        ).first()
+        pack_ok = (
+            idr["lo"] is not None
+            and int(idr["lo"]) >= 0
+            and int(idr["hi"]) < (1 << 32)
+        )
+    if pack_ok:
+        pkl = F.col("id") * F.lit(1 << 31).cast("long") + F.col("pos")
+        dg = (
+            occ.groupBy("gh")
+            .agg(F.min(pkl).alias("keep_pkl"), F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") > 1)
+            .select("gh", "keep_pkl")
+        )
+    else:
+        dg = (
+            occ.groupBy("gh")
+            .agg(F.min("id").alias("kid"), F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") > 1)
+            .select("gh", "kid")
+        )
     use_broadcast = False
     if broadcast_threshold is not None:
         dg = dg.cache()
         use_broadcast = dg.count() <= broadcast_threshold
-    if use_broadcast:
+    if use_broadcast and pack_ok:
+        pkl = F.col("id") * F.lit(1 << 31).cast("long") + F.col("pos")
+        dup = (
+            occ.join(F.broadcast(dg), "gh")
+            .where(pkl != F.col("keep_pkl"))
+            .select("id", "pos")
+        )
+    elif use_broadcast:
         kpos = (
             occ.join(F.broadcast(dg), "gh")
             .where(F.col("id") == F.col("kid"))
