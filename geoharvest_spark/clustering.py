@@ -163,9 +163,14 @@ def dbscan(
         .select(F.col("id_a").alias("id"))
         .cache()
     )
-    core_pairs = pairs.join(
-        core.withColumnRenamed("id", "id_a"), "id_a"
-    ).join(core.withColumnRenamed("id", "id_b"), "id_b")
+    # cached (r8): consumed by BOTH the contraction aggregate and the
+    # contracted-edge build below — ids-only rows, same bound as the
+    # pairs cache it derives from (interleaved A/B: ~0.4 s at 5.4M pairs)
+    core_pairs = (
+        pairs.join(core.withColumnRenamed("id", "id_a"), "id_a")
+        .join(core.withColumnRenamed("id", "id_b"), "id_b")
+        .cache()
+    )
     # PRE-CONTRACTION (r8): map every core point to the minimum of its
     # core eps-neighborhood (itself included) with ONE hash aggregate
     # over the cached directed pairs, then run connected components on
