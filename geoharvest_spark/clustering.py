@@ -135,6 +135,13 @@ def dbscan(
     Returns (id_col, role, cluster): role in ('core', 'border', 'noise');
     ``cluster`` is the minimum core id of the cluster (NULL for noise).
     Deterministic — no RNG, no scheduler-dependent tie-breaks.
+
+    Caching note (ADVICE r7): the operator ``.cache()``s four internal
+    ids-only frames (eps-pairs, core set, core-pair stream, contraction
+    labels) that are each consumed by several downstream joins; the
+    blocks free on ``spark.catalog.clearCache()`` or session end.
+    Callers invoking dbscan many times in one long-lived session should
+    clearCache between invocations (the bench harness does).
     """
     if eps <= 0 or min_pts < 1:
         raise ValueError(f"eps must be > 0 and min_pts >= 1: {eps}, {min_pts}")

@@ -893,14 +893,29 @@ def interval_overlap_join(
     if bucket < 1:
         raise ValueError(f"bucket must be >= 1: {bucket}")
 
+    # exact integer floor division (r8, ADVICE r7): F.floor(col/lit) runs
+    # in DOUBLE and mis-buckets endpoints past 2^53 (nanosecond epochs).
+    # `div` truncates toward zero, so negative dividends subtract 1 when
+    # a remainder exists (true floor, no negation overflow at LONG_MIN).
+    # The SAME expression shape is used for the interval covers AND the
+    # reference-point test, so exactly-once emission is preserved by
+    # construction under any bucketing.
+    def _fd(frag: str) -> str:
+        b = int(bucket)
+        return (
+            f"(cast(({frag}) as bigint) div {b}"
+            f" + (CASE WHEN ({frag}) < 0 AND ({frag}) % {b} != 0"
+            f" THEN -1 ELSE 0 END))"
+        )
+
     def cover(df, key, s, e):
-        b0 = F.floor(F.col(s) / F.lit(bucket)).cast("long")
-        b1 = F.floor(F.col(e) / F.lit(bucket)).cast("long")
         return df.select(
             F.col(key),
             F.col(s),
             F.col(e),
-            F.explode(F.sequence(b0, b1)).alias("_b"),
+            F.explode(
+                F.sequence(F.expr(_fd(s)), F.expr(_fd(e)))
+            ).alias("_b"),
         )
 
     la = cover(left, left_key, "s", "e").select(
@@ -922,8 +937,8 @@ def interval_overlap_join(
             (F.col("_ls") <= F.col("_re"))
             & (F.col("_rs") <= F.col("_le"))
             # reference-point: only the bucket containing the overlap
-            # start emits the pair
-            & (F.floor(ref / F.lit(bucket)).cast("long") == F.col("_b"))
+            # start emits the pair (same exact floor-div as the covers)
+            & (F.expr(_fd("greatest(_ls, _rs)")) == F.col("_b"))
         )
         .select(
             F.col(left_key),

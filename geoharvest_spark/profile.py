@@ -363,9 +363,15 @@ def trimmed_stats(
         "p_lo",
         "p_hi",
         "trimmed_n",
-        (
+        # guarded (r8, ADVICE r7): a degenerate group (p_lo/p_hi strictly
+        # between its two distinct values) has trimmed_n = 0, and ANSI
+        # mode makes the double division an ERROR (whole-query failure)
+        # where the DuckDB oracle's x/0 yields NULL — the guard emits
+        # the NULL the oracle would
+        F.when(
+            F.col("trimmed_n") > 0,
             F.col("_sum_in").cast("double")
-            / F.col("trimmed_n").cast("double")
+            / F.col("trimmed_n").cast("double"),
         ).alias("trimmed_mean"),
         (
             (

@@ -553,6 +553,10 @@ def _dedup_exploded_chunks(
     compute-heavy. Like dbscan's pair cache, blocks free on
     clearCache/session end; callers looping many invocations should
     clearCache between them."""
+    # the packed keeper needs a NUMERIC id: with a string id the decimal
+    # cast yields NULL (non-ANSI) or an opaque cast error (ANSI) deep in
+    # the job — validate up front instead (ADVICE r7)
+    _require_numeric_id(ex, id_col, "chunk dedup")
     ex = ex.cache()
     # packed scalar keeper (see _pack_id_pos): a struct min would demote
     # this corpus-wide aggregate to SortAggregate (full chunk-stream sort)
@@ -1473,6 +1477,19 @@ def stratified_hash_sample(
     return df.withColumn("sampled", h < thr)
 
 
+def _require_numeric_id(df: DataFrame, id_col: str, op: str) -> None:
+    """Raise TypeError early when ``id_col`` is not a numeric type — the
+    packed keepers (decimal/long id*2^k+pos) silently keep ZERO rows on
+    string ids under non-ANSI casts, and error opaquely under ANSI."""
+    from pyspark.sql.types import NumericType
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, NumericType):
+        raise TypeError(
+            f"{op} requires a numeric id column; {id_col!r} is {dt}"
+        )
+
+
 def _pack_id_pos(id_col, pos_col):
     """Order-preserving (id, pos) -> decimal(38,0) pack: id * 2^32 + pos.
 
@@ -1543,6 +1560,7 @@ def substring_span_dedup(
     """
     if k < 2:
         raise ValueError(f"k must be >= 2: {k}")
+    _require_numeric_id(df, id_col, "substring_span_dedup")
     base = df.select(
         F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_toks")
     )

@@ -364,3 +364,25 @@ def test_pip_all_simple_gates_complex_wkt(spark):
         [("p1", big_ring)], "poly_id string, wkt string"
     )
     assert not _pip_all_simple(big)
+
+
+def test_interval_overlap_exact_buckets_negative_and_huge(spark):
+    """r8 (ADVICE r7): bucket ids are exact integer floor division — the
+    old double-division form mis-bucketed endpoints past 2^53 and the
+    reference-point rule then double- or zero-emitted pairs. Negative
+    endpoints take the true floor (not truncation toward zero)."""
+    from geoharvest_spark.joins import interval_overlap_join
+
+    big = (1 << 55) + 3  # not representable exactly as a double
+    la = spark.createDataFrame(
+        [(1, -130, -70), (2, big, big + 10)], "lid long, s long, e long"
+    )
+    rb = spark.createDataFrame(
+        [(10, -75, -60), (20, big + 5, big + 50), (30, -200, -131)],
+        "rid long, s long, e long",
+    )
+    out = sorted(
+        (r.lid, r.rid, r.overlap_start, r.overlap_end)
+        for r in interval_overlap_join(la, rb, bucket=64).collect()
+    )
+    assert out == [(1, 10, -75, -70), (2, 20, big + 5, big + 10)]

@@ -1191,3 +1191,19 @@ def test_term_bursts_trailing_window(spark):
     assert (r["term"], r["day"], r["trailing_total"], r["burst_ppm"]) == (
         "t", 4, 30, 3333333
     )
+
+
+def test_pack_keeper_ops_reject_string_ids(spark):
+    """r8 (ADVICE r7): the packed keepers silently keep zero chunks on
+    string ids under non-ANSI casts — reject the dtype up front."""
+    import pytest
+
+    from geoharvest_spark.textops import chunk_dedup, substring_span_dedup
+
+    d = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z")], "doc_id string, text string"
+    )
+    with pytest.raises(TypeError, match="numeric id"):
+        chunk_dedup(d, chunk_tokens=2).collect()
+    with pytest.raises(TypeError, match="numeric id"):
+        substring_span_dedup(d, k=2).collect()
