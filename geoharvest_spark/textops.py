@@ -622,7 +622,7 @@ def cdc_chunk_dedup(
     re-attach to the token array by an id equi-join. Chunk assembly from
     the cuts array stays per-row array work; the corpus-wide keeper is
     the shared hash-aggregate + shuffle-hash tail
-    (_dedup_exploded_chunks). The keeper shuffle carries (md5, id, idx)
+    (_dedup_exploded_chunks). The keeper shuffle carries (hash, id, idx)
     only — never chunk text twice.
 
     Boundary spec (mirrored by the oracle): gram at token position i
@@ -713,9 +713,12 @@ def cdc_chunk_dedup(
             ),
         ),
     ).otherwise(F.expr("cast(array() as array<string>)"))
+    # the dedup KEY is an equality carrier only (the boundary rolling
+    # hash above is the spec; dedup_md5 below hashes the reassembled
+    # text) — xxhash64 like the fixed-size path (r8)
     ex = staged.select(
         F.col(id_col), F.posexplode(chunks2).alias("chunk_idx", "chunk")
-    ).withColumn("h", F.md5("chunk"))
+    ).withColumn("h", F.xxhash64("chunk"))
     # totals stays explode-based here ON PURPOSE (r8): a pre-explode
     # size(edges)-1 count removes the Generate that keeps the staged
     # rolling-hash projection from collapsing, and CollapseProject then
